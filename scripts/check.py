@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs DuckDB oracle SQL against the same parquet tables and compares with the
+parquet dumps produced by `graft.Verify`. Columns are sorted by name before
+comparison (mirroring the driver); rows are compared as sorted multisets.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_of(names, cols):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    data = [cols[i] for i in order]
+    return sorted(zip(*[[canon(v) for v in c] for c in data]),
+                  key=lambda r: tuple((x is None, str(x)) for x in r)), \
+           [names[i] for i in order]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = n_skip = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        if only and name not in only:
+            continue
+        got_t = pq.read_table(f"{out_dir}/{name}")
+        if name not in oracle:
+            print(f"  SKIP {name}: rows-only ({got_t.num_rows} rows)")
+            n_skip += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"  FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got_rows, got_cols = rows_of(got_t.column_names,
+                                     [c.to_pylist() for c in got_t.columns])
+        exp_rows, exp_cols = rows_of(exp.column_names,
+                                     [c.to_pylist() for c in exp.columns])
+        if got_cols != exp_cols:
+            print(f"  FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"  FAIL {name}: rowcount {len(got_rows)} != {len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = [(i, g, e) for i, (g, e) in enumerate(zip(got_rows, exp_rows)) if g != e]
+        if bad:
+            i, g, e = bad[0]
+            print(f"  FAIL {name}: {len(bad)}/{len(got_rows)} rows differ; first @{i}:")
+            print(f"    cols: {got_cols}")
+            print(f"    got:  {g}")
+            print(f"    exp:  {e}")
+            n_fail += 1
+        else:
+            print(f"  PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All tables live as `<dir>/<name>.parquet`. The reference engine loads its
+  * static tables from pipe-separated CSV (reference:
+  * `src/main/scala/org/mvrs/dspa/jobs/preparation/LoadStaticDataJob.scala:20-25`);
+  * here the driver supplies parquet, which is also the format a 100 TB
+  * deployment would use (columnar scan + predicate pushdown + column pruning).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    // default; read nanos as Long and normalize in events() below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  /** `ts` arrives as nanos-since-epoch (Long, see load()); convert to a
+    * TimestampType truncated to µs — the same truncation DuckDB applies when
+    * it reads TIMESTAMP(NANOS) into its µs-precision TIMESTAMP, so oracle
+    * comparisons see identical instants. Integer `div` (not `/`) because ns
+    * values ~1.7e18 exceed Double's 2^53 exact-integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators (SURVEY.md §2.3–§2.5, §2.7, §2.8).
+  *
+  * Each query is declared with the DataFrame API so Catalyst handles
+  * predicate pushdown, column pruning and join-strategy selection; the
+  * matching DuckDB SQL in [[oracle]] is the correctness contract.
+  *
+  * Determinism rules shared with the oracle:
+  *  - every query ends in a total ORDER BY (stable across engines);
+  *  - doubles are rounded (sums of 2-decimal inputs → round 2; ratios → 4);
+  *  - timestamps are projected as epoch seconds (BIGINT) to avoid
+  *    ns-vs-µs precision drift between parquet readers;
+  *  - arrays are emitted as canonical sorted, comma-joined strings.
+  */
+object RelationalPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A-basic aggregation (reference A1-family: grouped counters/sums;
+    // reference: jobs/activeposts/PostStatisticsFunction.scala computes
+    // grouped counters — here the batch shape, TPC-H Q1 style).
+    "q01_agg_basic" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1/P2/F3 projection + filter + empty-string→NULL routing
+    // (reference: utils/ParseUtils.scala:37-45, streams/package.scala:276-285).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("value") > 100 && col("event_type") =!= "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          nullif(col("event_type"), lit("error")).as("etype_or_null"),
+          round(col("value") * 2, 2).as("value2"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J1 batch equi-join + aggregate (reference:
+    // jobs/preparation/LoadStaticDataJob.scala:71-84). customer is the small
+    // side → broadcast hint; at 100 TB the dim still fits executor memory.
+    "q03_join_inner" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J2/J3 left-outer lookup with default on miss (reference:
+    // jobs/activeposts/AsyncForumTitleLookupFunction.scala:20-50 — the
+    // "<unknown forum>" default). Dim side filtered so misses exist.
+    "q04_join_left_default" -> ((s, d) => {
+      val bigCust = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      Tables.orders(s, d)
+        .join(broadcast(bigCust), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_name"), lit("<unknown customer>")).as("cust"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("cust"))
+    }),
+
+    // left_semi join = EXISTS (reference J7-family candidate membership).
+    "q05_join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // left_anti join = NOT EXISTS (reference J6 exclude-known-persons,
+    // jobs/recommendations/AsyncExcludeKnownPersonsFunction.scala:19-77).
+    "q06_join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers_without_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // U1/P4 event-type tagging union (reference:
+    // jobs/activeposts/ActivePostStatisticsJob.scala:112-126): narrow three
+    // shapes to a common schema, UNION ALL, aggregate.
+    "q07_union_all" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), lit("interaction").as("kind"), col("value"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), lit("interaction").as("kind"), col("value"))
+      val c = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), lit("conversion").as("kind"), col("value"))
+      a.unionByName(b).unionByName(c)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("kind"))
+    }),
+
+    // A7 exact distinct count (reference: PostStatisticsFunction person-set
+    // union → size; scale note: approx_count_distinct is the 100 TB variant,
+    // exercised separately in q-level tests).
+    "q08_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // T1 top-N per group via ranking window (reference:
+    // jobs/recommendations/RecommendationUtils.scala:21-31 — filter, sort
+    // desc, take 5; deterministic tiebreak on key).
+    "q09_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") >= 1000)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // Analytic window functions: rank / lag / running sum (declared-supported
+    // surface per SURVEY §2.6 — beyond the reference's top-N these come free
+    // with Window specs).
+    "q10_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("prev_bal", round(lag(col("s_acctbal"), 1).over(w), 2))
+        .withColumn("running", round(sum(col("s_acctbal"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("rnk"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("bal"), col("prev_bal"), col("running"))
+        .orderBy(col("s_nationkey"), col("rnk"))
+    }),
+
+    // A4 group + sorted value list (reference:
+    // jobs/preparation/LoadStaticDataJob.scala:63-111, sortedValues:141-144).
+    // Canonical string form for cross-engine comparison.
+    "q11_sorted_list" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    }),
+
+    // A5/J4 explode + re-group (reference: LoadStaticDataJob.scala:99-105
+    // LSH-bucket inverted index; here: word → doc inverted-index counts).
+    "q12_explode_group" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("word"))
+    }),
+
+    // A8 rolling max last-activity per key (reference:
+    // jobs/recommendations/FilterToActivePersonsFunction.scala:116-119).
+    "q13_rolling_max" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(unix_timestamp(max(col("ts"))).as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // U3/U4 set ops on array values (reference: array_except semantics of
+    // AsyncExcludeKnownPersonsFunction.scala:60-70; array_union of
+    // RecommendationsJob.scala:221-227). Canonical sorted-string output.
+    "q14_array_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(collect_set(col("event_id") % 100).as("a"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(collect_set(col("event_id") % 100).as("b"))
+      clicks.join(purchases, Seq("user_id"), "inner")
+        .select(col("user_id"),
+          array_join(sort_array(array_except(col("a"), col("b"))), ",").as("a_minus_b"),
+          array_join(sort_array(array_intersect(col("a"), col("b"))), ",").as("a_and_b"),
+          size(array_union(col("a"), col("b"))).as("n_union"))
+        .orderBy(col("user_id"))
+    }),
+
+    // F1–F4/F9 scalar function surface: timestamp extraction, regex field
+    // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
+    // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.
+    "q15_scalar_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          year(col("ts")).as("y"),
+          dayofmonth(col("ts")).as("dom"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("k"),
+          concat(lit("U"), col("user_id")).as("feature_id"),
+          md5(col("event_type")).as("etype_md5"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT event_id, user_id,
+        |  nullif(event_type,'error') AS etype_or_null,
+        |  round(value*2,2) AS value2
+        |FROM events WHERE value > 100 AND event_type <> 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q03_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_join_left_default" ->
+      """SELECT coalesce(c_name,'<unknown customer>') AS cust,
+        |  count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_join_semi" ->
+      """SELECT c_nationkey, count(*) AS n_customers_with_orders
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_join_anti" ->
+      """SELECT c_nationkey, count(*) AS n_customers_without_orders
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_union_all" ->
+      """SELECT kind, count(*) AS n, round(sum(value),2) AS sum_value FROM (
+        |  SELECT user_id, 'interaction' AS kind, value FROM events WHERE event_type='click'
+        |  UNION ALL
+        |  SELECT user_id, 'interaction' AS kind, value FROM events WHERE event_type='view'
+        |  UNION ALL
+        |  SELECT user_id, 'conversion' AS kind, value FROM events WHERE event_type='purchase'
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_topn" ->
+      """SELECT c_mktsegment, rn, o_orderkey, round(o_totalprice,2) AS price FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice >= 1000
+        |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q10_window_analytic" ->
+      """SELECT s_nationkey, rnk, s_suppkey, round(s_acctbal,2) AS bal, prev_bal, running FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    rank() OVER w AS rnk,
+        |    round(lag(s_acctbal,1) OVER w, 2) AS prev_bal,
+        |    round(sum(s_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  FROM supplier
+        |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |) WHERE rnk <= 3 ORDER BY s_nationkey, rnk""".stripMargin,
+
+    "q11_sorted_list" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_explode_group" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin,
+
+    "q13_rolling_max" ->
+      """SELECT user_id, CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_array_setops" ->
+      """WITH a AS (
+        |  SELECT user_id, list(DISTINCT event_id % 100) AS a FROM events WHERE event_type='click' GROUP BY 1
+        |), b AS (
+        |  SELECT user_id, list(DISTINCT event_id % 100) AS b FROM events WHERE event_type='purchase' GROUP BY 1
+        |)
+        |SELECT a.user_id,
+        |  coalesce(array_to_string(list_sort([x FOR x IN a.a IF NOT list_contains(b.b, x)]), ','), '') AS a_minus_b,
+        |  coalesce(array_to_string(list_sort([x FOR x IN a.a IF list_contains(b.b, x)]), ','), '') AS a_and_b,
+        |  len(list_distinct(list_concat(a.a, b.b))) AS n_union
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    "q15_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  year(ts) AS y, dayofmonth(ts) AS dom,
+        |  CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
+        |  'U' || user_id AS feature_id,
+        |  md5(event_type) AS etype_md5
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+  )
+}
