@@ -14,11 +14,12 @@ import graft.operators._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalPack.queries("q01_agg_basic")(spark, "/root/testdata/sf0.001")
+    WindowPack.queries("q21_sliding_stats")(spark, "/root/testdata/sf0.001")
 
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalPack.queries, RelationalPack.oracle)
+      (RelationalPack.queries, RelationalPack.oracle),
+      (WindowPack.queries, WindowPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

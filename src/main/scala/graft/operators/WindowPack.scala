@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time window operators (SURVEY.md §2.5 A1–A3, §2.4 J11, §2.9 W3).
+  *
+  * The reference's flagship Task 1 is a sliding-window per-key statistics
+  * operator (reference: jobs/activeposts/PostStatisticsFunction.scala:28-267,
+  * 12 h window / 30 min slide, per-type counters + exact distinct persons).
+  * Here the same shape runs as a declarative `window()` aggregation — Spark's
+  * sliding window replicates the per-slide bucketing the reference hand-built
+  * (each event lands in size/slide = 24 overlapping windows); the oracle
+  * reproduces that expansion with a generate_series bucket join.
+  *
+  * Window starts are emitted as epoch seconds (`wstart`), never raw
+  * timestamps, for cross-engine parity.
+  */
+object WindowPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A2 sliding stats transform, shared verbatim by the batch query and
+    * the Structured Streaming path (StreamOps) — DataFrame ops are
+    * execution-mode agnostic, so batch/stream parity is by construction
+    * (tested in StreamingSpec).
+    */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
+        col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
+
+  /** A3 windowed collect-set transform (see slidingStats note). */
+  def windowedCollectSet(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
+        col("types"), col("n"))
+
+  val queries: Map[String, Q] = Map(
+    // W3 tumbling window aggregation (reference A2 family:
+    // UnusualActivityDetectionJob.scala:274-293 keyed sliding count — the
+    // tumbling base case first).
+    "q20_tumbling_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+          col("n"), col("n_users"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // A1 sliding-window per-key statistics — the reference's flagship
+    // operator (PostStatisticsFunction: per-post 12h/30min counters +
+    // exact distinct users; here per-user with per-type counters).
+    // Scale note: the ×24 window fan-out happens AFTER the map-side partial
+    // aggregation of (window,key) pairs; at 100 TB swap countDistinct for
+    // approx_count_distinct (SURVEY §7.4.3) — both semantics are tested.
+    "q21_sliding_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          countDistinct(col("event_type")).as("n_types"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
+          col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
+        .orderBy(col("wstart"), col("user_id"))
+    }),
+
+    // A3 windowed collect-set (reference: RecommendationsJob.scala:342-356 +
+    // functions/CollectSetFunction.scala — per-person set of interacted
+    // posts over 4h windows). Canonical sorted-string output.
+    "q22_windowed_collect_set" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "4 hours").as("w"), col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
+          col("types"), col("n"))
+        .orderBy(col("wstart"), col("user_id"))
+    }),
+
+    // J11 as-of join against last-value state with staleness cutoff
+    // (reference: jobs/clustering/AggregateFeaturesFunction.scala:22-66 —
+    // append the stored per-person frequency, 0 if absent or older than
+    // the cutoff). Declarative form per SURVEY §7.4.5: last prior 'view'
+    // within 6 h, else 0. Deterministic tiebreak (ts, event_id).
+    "q23_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("pv_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+        .withColumn("pv_val",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          when(col("pv_ts").isNotNull &&
+            col("ts").cast("double") - col("pv_ts").cast("double") <= 21600d,
+            round(col("pv_val"), 2)).otherwise(0d).as("prior_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Session windows (gap-based, 30 min): Spark-native session_window;
+    // beyond the reference's fixed windows but first-class in our engine.
+    // Oracle reproduces via the classic lag + cumulative-sum sessionization.
+    "q24_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
+    // list — declared-supported in our engine; Catalyst expands for free).
+    "q25_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("day")).as("day_epoch"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("day_epoch").asc_nulls_first, col("event_type").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_tumbling_stats" ->
+      """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS wstart,
+        |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // Each event belongs to the 24 sliding windows whose start is the
+    // enclosing 30-min bucket minus k slides, k = 0..23 (12h/30min).
+    "q21_sliding_stats" ->
+      """SELECT wstart, user_id, count(*) AS n_events,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM (
+        |  SELECT e.*, (CAST(floor(epoch(ts)/1800) AS BIGINT) - s.k) * 1800 AS wstart
+        |  FROM events e, generate_series(0, 23) s(k)
+        |) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q22_windowed_collect_set" ->
+      """SELECT CAST(floor(epoch(ts)/14400) AS BIGINT)*14400 AS wstart, user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT event_id, user_id, round(value,2) AS value,
+        |  CASE WHEN pv_ts IS NOT NULL AND epoch(ts) - epoch(pv_ts) <= 21600
+        |       THEN round(pv_val,2) ELSE 0 END AS prior_view_value
+        |FROM (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type='view' THEN ts END IGNORE NULLS)
+        |      OVER w AS pv_ts,
+        |    last_value(CASE WHEN event_type='view' THEN value END IGNORE NULLS)
+        |      OVER w AS pv_val
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Sessionization: new session when gap >= 30 min (Spark's session
+    // window is [start, last+gap), an event at exactly last+gap opens a
+    // new session).
+    "q24_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT CAST(floor(epoch(day)) AS BIGINT) AS day_epoch, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
+        |GROUP BY ROLLUP(day, event_type)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  )
+}

