@@ -19,7 +19,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalPack.queries, RelationalPack.oracle),
-      (WindowPack.queries, WindowPack.oracle)
+      (WindowPack.queries, WindowPack.oracle),
+      (TextPack.queries, TextPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,390 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (dedup, fingerprinting, quality,
+  * language-ID, token stats) grown from the reference's MinHash/LSH seed
+  * (reference: jobs/recommendations/RecommendationUtils.scala:16-49,
+  * jobs/preparation/LoadStaticDataJob.scala:86-105).
+  *
+  * Everything is built-in-expression level (no UDFs): md5/conv for hashing,
+  * higher-order array functions for shingling — the whole pack stays inside
+  * whole-stage codegen. MinHash constants come from [[Hashes.family]] and are
+  * embedded in BOTH the Spark plan and the generated DuckDB oracle SQL, so
+  * the hash-bearing queries are exactly oracle-checkable (the reference's
+  * batch/stream determinism contract, README.md:112, re-expressed as
+  * Spark/DuckDB determinism).
+  *
+  * Scale design (100 TB):
+  *  - shingle → pair joins shuffle on the shingle; ultra-frequent shingles
+  *    are skew keys — production config adds a document-frequency cap on
+  *    shingles before the join (kept off here to match the oracle exactly);
+  *  - MinHash/LSH replaces the quadratic pair join with #bands bucket joins:
+  *    only same-bucket docs are compared (the MMDS ch.3 construction);
+  *  - signatures are 64 longs/doc — 512 B/doc state, broadcastable per
+  *    bucket; exact-Jaccard verification only runs on candidate pairs.
+  */
+object TextPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared config — single source of truth for Spark AND oracle SQL
+  private val W          = 3      // shingle width (words)
+  private val NUM_HASHES = 64
+  private val BANDS      = 16     // 16 bands x 4 rows: s-curve threshold ~0.5
+  private val ROWS       = NUM_HASHES / BANDS
+  private val SEED       = 42L
+  private val JACC_T     = 0.5
+  private val fam        = Hashes.family(NUM_HASHES, SEED)
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct W-gram word shingles of `text` (empty when too short). */
+  private def shinglesCol: Column =
+    when(size(toks) >= W,
+      array_distinct(transform(sequence(lit(1), size(toks) - lit(W - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(W))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB equivalent of [[shinglesCol]] (1-based inclusive slices). */
+  private val sqlShingles: String =
+    s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
+
+  /** (doc_id, shingle) exploded rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shinglesCol).as("shingle"))
+
+  private val sqlShingleRows: String =
+    s"""SELECT doc_id, unnest(s) AS shingle FROM (
+       |    SELECT doc_id, $sqlShingles AS s
+       |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  /** MinHash signature table: doc_id, m0..m63 (min of h_i over shingles). */
+  private def sigDf(s: SparkSession, d: String): DataFrame = {
+    val hx = shingleRows(s, d)
+      .select(col("doc_id"), Hashes.base32(col("shingle")).as("x"))
+    hx.groupBy(col("doc_id"))
+      .agg(min(Hashes.minhashSlot(col("x"), fam(0))).as("m0"),
+        (1 until NUM_HASHES).map(i =>
+          min(Hashes.minhashSlot(col("x"), fam(i))).as(s"m$i")): _*)
+  }
+
+  private val sqlSig: String = {
+    val mins = fam.zipWithIndex
+      .map { case (ab, i) => s"min(${Hashes.sqlMinhashSlot("x", ab)}) AS m$i" }
+      .mkString(",\n         ")
+    s"""SELECT doc_id,
+       |         $mins
+       |  FROM (SELECT doc_id, ${Hashes.sqlBase32("shingle")} AS x FROM shx)
+       |  GROUP BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: canonical doc per identical text (hash-groupBy; the
+    // baseline dedup pass of any training-data pipeline). Window-min keeps
+    // the lowest doc_id as canonical — deterministic keep-first.
+    "q30_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram Jaccard near-dup pairs, computed scalably: explode shingles,
+    // self-join on the shingle (the inverted-index block join — reference
+    // A5 shape, LoadStaticDataJob.scala:99-105), count shared, then
+    // |A∩B| / (|A|+|B|-|A∩B|). Quadratic only within a shingle's posting
+    // list, never across the corpus.
+    "q31_ngram_jaccard" -> ((s, d) => {
+      val shx = shingleRows(s, d)
+      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = shx.as("a")
+        .join(shx.as("b"), col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("jac", round(col("shared").cast("double")
+          / (col("ni") + col("nj") - col("shared")), 4))
+        .filter(col("jac") >= JACC_T)
+        .select(col("i"), col("j"), col("shared"), col("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // MinHash + LSH near-dup detection — the scale path: 64-slot signatures,
+    // 16 bands x 4 rows, candidates = docs sharing any band bucket, then
+    // exact-Jaccard verification of candidates only (MMDS ch.3; reference
+    // seed: RecommendationUtils.scala:40-49 + LoadStaticDataJob.scala:92-105).
+    "q32_dedup_minhash_lsh" -> ((s, d) => {
+      val sig = sigDf(s, d).cache()
+      val bandCols = (0 until BANDS).map(j =>
+        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+      val cand = bands.as("x")
+        .join(bands.as("y"), col("x.band") === col("y.band")
+          && col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      val sigArr = sig.select(col("doc_id"),
+        array((0 until NUM_HASHES).map(i => col(s"m$i")): _*).as("sig"))
+      val shArr = Tables.documents(s, d).select(col("doc_id"), shinglesCol.as("sh"))
+      cand
+        .join(sigArr.select(col("doc_id").as("i"), col("sig").as("sig_a")), "i")
+        .join(sigArr.select(col("doc_id").as("j"), col("sig").as("sig_b")), "j")
+        .join(shArr.select(col("doc_id").as("i"), col("sh").as("sh_a")), "i")
+        .join(shArr.select(col("doc_id").as("j"), col("sh").as("sh_b")), "j")
+        .withColumn("est_sim", round(expr(
+          s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($NUM_HASHES AS DOUBLE)"), 4))
+        .withColumn("jac", round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .filter(col("jac") >= JACC_T)
+        .select(col("i"), col("j"), col("est_sim"), col("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
+    // sign of sum over tokens of ±1 by token-hash bit b. 48 bits keeps the
+    // value positive in a signed 64-bit integer in both engines.
+    "q33_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+        .select(col("doc_id"), Hashes.base32(col("tok")).as("x"),
+          explode(sequence(lit(0), lit(47))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("(x >> b) & 1") === 1, 1).otherwise(-1)).as("sgn"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("sgn") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup pairs: hamming distance <= 8 of the 48-bit sketches.
+    // Brute-force n^2 here to stay oracle-identical; the 100 TB variant
+    // band-joins the sketch (4 x 12-bit prefixes) exactly like q32's LSH
+    // and only then verifies hamming distance.
+    "q34_simhash_neardup" -> ((s, d) => {
+      val sh = queries("q33_simhash")(s, d)
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+        .filter(col("hamming") <= 8)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Language/profile ID by marker-token scoring: count tokens from each
+    // profile's marker list, argmax with deterministic tie order. For
+    // natural language the profiles are per-language stopword lists; the
+    // plan shape (one codegen'd pass, no shuffle) is the point.
+    "q35_langid_markers" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("s_storage", expr(
+          "size(filter(split(text, ' '), t -> t IN ('table', 'row', 'scan', 'part', 'key')))"))
+        .withColumn("s_compute", expr(
+          "size(filter(split(text, ' '), t -> t IN ('join', 'merge', 'batch', 'hash', 'agg')))"))
+        .withColumn("s_stream", expr(
+          "size(filter(split(text, ' '), t -> t IN ('window', 'filter', 'order', 'data', 'value')))"))
+        .withColumn("pred_profile",
+          when(col("s_storage") >= col("s_compute") && col("s_storage") >= col("s_stream"), "storage")
+            .when(col("s_compute") >= col("s_stream"), "compute")
+            .otherwise("stream"))
+        .select(col("doc_id"), col("s_storage"), col("s_compute"),
+          col("s_stream"), col("pred_profile"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: type-token ratio, stopword ratio, length credit —
+    // the standard cheap pre-filter of a training-data pipeline.
+    "q36_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_distinct", size(array_distinct(toks)))
+        .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+        .withColumn("stop_ratio", round(
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'value')))").cast("double")
+            / col("n_tokens"), 4))
+        .withColumn("quality", round(
+          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("ttr"), col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token statistics per source: whitespace tokens + BPE-ish subword
+    // count (ceil(len/4) pieces per token) via higher-order aggregate —
+    // single codegen'd pass, one small shuffle on source.
+    "q37_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_subwords", expr(
+          "aggregate(transform(split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 4).as("chars_per_token"))
+        .orderBy(col("source"))
+    }),
+
+    // Document fingerprinting: 60-bit content hash of whitespace-normalized
+    // lowercase text + fingerprint-group size (dup-cluster cardinality).
+    "q38_fingerprint" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+      val w = Window.partitionBy(col("fp60"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Hashes.base60(norm).as("fp60"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val sqlEstSim: String = (0 until NUM_HASHES)
+    .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+    .mkString("(", " + ", s")::DOUBLE / ${NUM_HASHES}::DOUBLE")
+
+  private val sqlBands: String = (0 until BANDS).map { j =>
+    val key = (0 until ROWS).map(r => s"m${j * ROWS + r}::VARCHAR").mkString(" || '-' || ")
+    s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH shx AS (
+         |  $sqlShingleRows
+         |), counts AS (
+         |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i, j, shared,
+         |  round(shared::DOUBLE / (ci.n + cj.n - shared), 4) AS jac
+         |FROM shared JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
+         |WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
+         |ORDER BY i, j""".stripMargin,
+
+    "q32_dedup_minhash_lsh" ->
+      s"""WITH shx AS (
+         |  $sqlShingleRows
+         |), sig AS (
+         |  $sqlSig
+         |), bands AS (
+         |  $sqlBands
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |), sh AS (
+         |  SELECT doc_id, $sqlShingles AS s
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+         |)
+         |SELECT i, j,
+         |  round($sqlEstSim, 4) AS est_sim,
+         |  round(len(list_intersect(pa.s, pb.s))::DOUBLE
+         |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) AS jac
+         |FROM cand
+         |  JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
+         |  JOIN sh pa ON pa.doc_id = i JOIN sh pb ON pb.doc_id = j
+         |WHERE round(len(list_intersect(pa.s, pb.s))::DOUBLE
+         |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) >= $JACC_T
+         |ORDER BY i, j""".stripMargin,
+
+    "q33_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN ((${Hashes.sqlBase32("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+         |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q34_simhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN ((${Hashes.sqlBase32("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+         |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
+         |), sh AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY i, j""".stripMargin,
+
+    "q35_langid_markers" ->
+      """SELECT doc_id, s_storage, s_compute, s_stream,
+        |  CASE WHEN s_storage >= s_compute AND s_storage >= s_stream THEN 'storage'
+        |       WHEN s_compute >= s_stream THEN 'compute'
+        |       ELSE 'stream' END AS pred_profile
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(str_split(text, ' '), t -> list_contains(['table', 'row', 'scan', 'part', 'key'], t))) AS s_storage,
+        |    len(list_filter(str_split(text, ' '), t -> list_contains(['join', 'merge', 'batch', 'hash', 'agg'], t))) AS s_compute,
+        |    len(list_filter(str_split(text, ' '), t -> list_contains(['window', 'filter', 'order', 'data', 'value'], t))) AS s_stream
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q36_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_distinct, ttr, stop_ratio,
+        |  ${Hashes.sqlRound("0.4::DOUBLE * ttr + 0.3::DOUBLE * (1.0::DOUBLE - stop_ratio) + 0.3::DOUBLE * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0::DOUBLE)", 4)} AS quality
+        |FROM (
+        |  SELECT doc_id, n_tokens, n_distinct,
+        |    round(n_distinct::DOUBLE / n_tokens, 4) AS ttr,
+        |    round(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(str_split(text, ' ')) AS n_tokens,
+        |      len(list_distinct(str_split(text, ' '))) AS n_distinct,
+        |      len(list_filter(str_split(text, ' '), t -> list_contains(['the', 'a', 'value'], t))) AS n_stop
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q37_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_tokens) AS total_tokens,
+        |  sum(n_subwords) AS total_subwords,
+        |  round(sum(n_chars)::DOUBLE / sum(n_tokens), 4) AS chars_per_token
+        |FROM (
+        |  SELECT source, n_chars,
+        |    len(str_split(text, ' '))::BIGINT AS n_tokens,
+        |    list_aggregate(list_transform(str_split(text, ' '),
+        |      t -> ceil(len(t) / 4.0)::BIGINT), 'sum') AS n_subwords
+        |  FROM documents
+        |) GROUP BY source ORDER BY source""".stripMargin,
+
+    "q38_fingerprint" ->
+      s"""SELECT doc_id, fp60, count(*) OVER (PARTITION BY fp60) AS group_size
+         |FROM (
+         |  SELECT doc_id,
+         |    ${Hashes.sqlBase60("trim(regexp_replace(lower(text), ' +', ' ', 'g'))")} AS fp60
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin
+  )
+}

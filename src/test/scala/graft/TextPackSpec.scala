@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Hashes
+import graft.operators.TextPack
+import org.apache.spark.sql.functions._
+
+class TextPackSpec extends GraftSuite {
+
+  test("every text query returns rows at sf0.001 with matching oracle key") {
+    TextPack.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(TextPack.oracle.contains(name), s"$name lacks oracle SQL")
+    }
+  }
+
+  test("base32 hash is pinned cross-engine (DuckDB parity contract)") {
+    import spark.implicits._
+    // value verified against DuckDB: ('0x'||substr(md5('abc'),1,8))::BIGINT
+    val got = Seq("abc").toDF("s").select(Hashes.base32(col("s"))).collect()(0).getLong(0)
+    assert(got == 2416005272L)
+  }
+
+  test("LSH candidates achieve full recall on high-similarity pairs") {
+    // every pair q31 confirms at jaccard >= 0.5 must be surfaced by the
+    // banded MinHash pipeline (16 bands x 4 rows => ~100% @ s >= 0.9,
+    // planted dups are ~0.99)
+    val exact = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextPack.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no planted near-dup pairs found")
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
+    assert(lsh.subsetOf(exact), s"LSH emitted unverified pairs ${lsh -- exact}")
+  }
+
+  test("MinHash estimate approximates exact Jaccard (reference error-bound invariant)") {
+    // reference: RecommendationUtilsTestSuite.scala:8-38 asserts |est - jac|
+    // small for 100 hashes; with 64 hashes stddev ~ sqrt(s(1-s)/64) ~ 0.06
+    // at s=0.5 — allow 4 sigma.
+    val rows = TextPack.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .select("est_sim", "jac").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.25,
+        s"est=${r.getDouble(0)} jac=${r.getDouble(1)}")
+    }
+  }
+
+  test("exact dedup marks exactly n_docs - n_distinct_texts rows as dups") {
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.count() - docs.select("text").distinct().count()
+    val dups = TextPack.queries("q30_dedup_exact")(spark, sf)
+      .filter(col("is_dup")).count()
+    assert(dups == expected)
+  }
+
+  test("simhash near-dup pairs include all near-identical (jaccard>=0.95) pairs") {
+    // simhash over unigram token sets is noisy for very short docs (a ~10
+    // token doc flips bits easily), so the guarantee is scoped to
+    // near-identical pairs — the planted dups sit at ~0.99.
+    val planted = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = TextPack.queries("q34_simhash_neardup")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(sim), s"simhash missed ${planted -- sim}")
+  }
+
+  test("single-pass text queries compile to shuffle-free plans") {
+    // q35/q36 are per-row scoring passes: no Exchange may appear before the
+    // final presentation sort (scale guard: a shuffle here would be a bug).
+    Seq("q35_langid_markers", "q36_quality_score").foreach { q =>
+      val df = TextPack.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      // exactly one Exchange: the rangepartitioning of the final orderBy
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$plan")
+    }
+  }
+}
