@@ -20,7 +20,8 @@ object SparkEntry {
     Seq(
       (RelationalPack.queries, RelationalPack.oracle),
       (WindowPack.queries, WindowPack.oracle),
-      (TextPack.queries, TextPack.oracle)
+      (TextPack.queries, TextPack.oracle),
+      (SimilarityPack.queries, SimilarityPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
