@@ -21,7 +21,8 @@ object SparkEntry {
       (RelationalPack.queries, RelationalPack.oracle),
       (WindowPack.queries, WindowPack.oracle),
       (TextPack.queries, TextPack.oracle),
-      (SimilarityPack.queries, SimilarityPack.oracle)
+      (SimilarityPack.queries, SimilarityPack.oracle),
+      (GraphPack.queries, GraphPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

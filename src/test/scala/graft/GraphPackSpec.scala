@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.GraphPack
+import org.apache.spark.sql.functions._
+
+class GraphPackSpec extends GraftSuite {
+
+  private lazy val resolved = GraphPack.queries("q45_reply_tree_roots")(spark, sf)
+    .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+
+  private lazy val events = Tables.events(spark, sf)
+    .select(col("event_id"), col("event_type"),
+      regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"),
+      unix_timestamp(col("ts")).as("tsec"))
+    .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("non-reply events are their own root at depth 0") {
+    events.foreach { case (id, (etype, _, _)) =>
+      if (etype != "click") {
+        val (root, depth, causal) = resolved(id)
+        assert(root == id && depth == 0 && causal)
+      }
+    }
+  }
+
+  test("reply chains: parent is at depth-1 with the same root (fixpoint invariant)") {
+    events.foreach { case (id, (etype, k, _)) =>
+      if (etype == "click") {
+        val parent = id - 1 - (k % 4)
+        (resolved.get(id), resolved.get(parent)) match {
+          case (Some((root, depth, _)), Some((proot, pdepth, _))) =>
+            assert(root == proot && depth == pdepth + 1, s"chain broken at $id")
+          case (Some(_), None) =>
+            fail(s"$id resolved but its parent $parent did not")
+          case (None, _) => // dangling chain — correctly dropped
+        }
+      }
+    }
+  }
+
+  test("causality: a resolved reply is causal iff parent causal and ts >= parent ts") {
+    events.foreach { case (id, (etype, k, tsec)) =>
+      if (etype == "click") {
+        val parent = id - 1 - (k % 4)
+        (resolved.get(id), resolved.get(parent), events.get(parent)) match {
+          case (Some((_, _, causal)), Some((_, _, pcausal)), Some((_, _, ptsec))) =>
+            assert(causal == (pcausal && tsec >= ptsec), s"causality wrong at $id")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("only dangling events are unresolved") {
+    val all = events.keySet
+    val unresolvedIds = all -- resolved.keySet
+    // every unresolved event must head a chain whose parent id doesn't exist
+    unresolvedIds.foreach { id =>
+      var cur = id
+      var steps = 0
+      while (events.contains(cur) && events(cur)._1 == "click" && steps < 100) {
+        cur = cur - 1 - (events(cur)._2 % 4)
+        steps += 1
+      }
+      assert(!events.contains(cur), s"$id unresolved but its chain reaches existing $cur")
+    }
+  }
+
+  test("q46 stats: descendant counts sum to number of resolved replies") {
+    val stats = GraphPack.queries("q46_reply_tree_stats")(spark, sf).collect()
+    val descendants = stats.map(_.getLong(1)).sum
+    val resolvedReplies = resolved.count { case (_, (_, depth, _)) => depth > 0 }
+    assert(descendants == resolvedReplies)
+  }
+}
