@@ -22,7 +22,8 @@ object SparkEntry {
       (WindowPack.queries, WindowPack.oracle),
       (TextPack.queries, TextPack.oracle),
       (SimilarityPack.queries, SimilarityPack.oracle),
-      (GraphPack.queries, GraphPack.oracle)
+      (GraphPack.queries, GraphPack.oracle),
+      (RecommendationPack.queries, RecommendationPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.MinHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's Task 2 — friend recommendations by MinHash/LSH user
+  * similarity (reference: jobs/recommendations/RecommendationsJob.scala:23-196)
+  * — re-expressed as a declarative batch pipeline over `events`:
+  *
+  *   user features (tags + event types)           RecommendationsJob.scala:276-283 (F4/F6)
+  *   → MinHash signatures                         RecommendationUtils.scala:40-41
+  *   → LSH band buckets (inverted index)          LoadStaticDataJob.scala:92-105 (A5/F7)
+  *   → same-bucket candidate pairs                AsyncCandidateUsersLookupFunction.scala:20-59 (J7)
+  *   → exclude known users                        AsyncExcludeKnownPersonsFunction.scala:19-77 (J6)
+  *   → estimated-similarity top-5 (min 0.2)       AsyncRecommendUsersFunction + getTopN:21-31 (J8/T1)
+  *
+  * The async-ElasticSearch lookup chain of the reference (W13) disappears:
+  * every lookup is a native join. "Known users" derives deterministically
+  * from the data (adjacent user ids, |u−c| <= 2) in place of the
+  * person_knows_person table.
+  *
+  * Scale: the candidate join is per-bucket (Σ bucket² not n²); signatures
+  * are 64 longs/user; the top-5 window partitions by user after candidate
+  * pruning — the heavy n² never materializes.
+  */
+object RecommendationPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val mh     = MinHash(numHashes = 64, bands = 16, seed = 42L)
+  private val MIN_SIM = 0.2
+  private val TOP_N   = 5
+  private val KNOWN_DIST = 2
+
+  /** (user_id, feature) distinct rows: tag features "T<k mod 20>" (F4
+    * prefixing, RecommendationUtils.toFeature:95) + event-type features. */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val tags = ev.select(col("user_id"),
+      concat(lit("T"), regexp_extract(col("props"), "(\\d+)", 1).cast("long") % 20).as("feature"))
+    val types = ev.select(col("user_id"),
+      concat(lit("E"), col("event_type")).as("feature"))
+    tags.unionByName(types).distinct()
+  }
+
+  private val sqlFeatures: String =
+    """SELECT DISTINCT user_id, feature FROM (
+      |    SELECT user_id,
+      |      'T' || (CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) % 20)::VARCHAR AS feature
+      |    FROM events
+      |    UNION ALL
+      |    SELECT user_id, 'E' || event_type AS feature FROM events
+      |  )""".stripMargin
+
+  private def sig(s: SparkSession, d: String): DataFrame =
+    mh.signature(features(s, d), "user_id", "feature")
+
+  val queries: Map[String, Q] = Map(
+    // User feature sets (reference: person features A4/U2 — sorted list
+    // canonical form, LoadStaticDataJob.scala:63-111,141-144).
+    "q50_user_features" -> ((s, d) =>
+      features(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(col("feature"))), ",").as("features"),
+          count(lit(1)).as("n_features"))
+        .orderBy(col("user_id"))),
+
+    // MinHash signatures, canonical comma-joined form (reference F6; stored
+    // Base64 in db/PersonMinHashIndex — canonical string here).
+    "q51_user_minhash" -> ((s, d) =>
+      sig(s, d)
+        .select(col("user_id"),
+          array_join(mh.sigArray, ",").as("signature"))
+        .orderBy(col("user_id"))),
+
+    // LSH bucket inverted index (reference A5: bucket → member list,
+    // LoadStaticDataJob.scala:99-105). Only multi-member buckets are
+    // emitted (singletons generate no candidates).
+    "q52_lsh_buckets" -> ((s, d) =>
+      sig(s, d)
+        .select(col("user_id"), posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
+        .groupBy(col("band"), col("bandkey"))
+        .agg(array_join(sort_array(collect_list(col("user_id"))), ",").as("users"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("band"), col("bandkey"))),
+
+    // Full recommendation chain: per-user top-5 unknown candidates by
+    // estimated Jaccard similarity >= 0.2.
+    "q53_recommendations" -> ((s, d) => {
+      val sg = sig(s, d).cache()
+      val bands = sg.select(col("user_id"),
+        posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+            && col("x.user_id") =!= col("y.user_id"))
+        .select(col("x.user_id").as("u"), col("y.user_id").as("c"))
+        .distinct()
+        .filter(abs(col("u") - col("c")) > KNOWN_DIST) // J6 exclude known
+      val sigArr = sg.select(col("user_id"), mh.sigArray.as("sig"))
+      val w = Window.partitionBy(col("u")).orderBy(col("est_sim").desc, col("c"))
+      cand
+        .join(sigArr.select(col("user_id").as("u"), col("sig").as("sig_u")), "u")
+        .join(sigArr.select(col("user_id").as("c"), col("sig").as("sig_c")), "c")
+        .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
+        .filter(col("est_sim") >= MIN_SIM)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_N)
+        .select(col("u").as("user_id"), col("rank"), col("c").as("rec_user_id"),
+          col("est_sim"))
+        .orderBy(col("user_id"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_user_features" ->
+      s"""WITH feats AS (
+         |  $sqlFeatures
+         |)
+         |SELECT user_id, string_agg(feature, ',' ORDER BY feature) AS features,
+         |  count(*) AS n_features
+         |FROM feats GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q51_user_minhash" -> {
+      // concat_ws (flat call) — a 64-term `||` chain exceeds DuckDB's
+      // binder recursion depth
+      val arr = (0 until mh.numHashes).map(i => s"m$i")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"""WITH feats AS (
+         |  $sqlFeatures
+         |), sig AS (
+         |  ${mh.sqlSignature("feats", "user_id", "feature")}
+         |)
+         |SELECT user_id, $arr AS signature FROM sig ORDER BY user_id""".stripMargin
+    },
+
+    "q52_lsh_buckets" ->
+      s"""WITH feats AS (
+         |  $sqlFeatures
+         |), sig AS (
+         |  ${mh.sqlSignature("feats", "user_id", "feature")}
+         |), bands AS (
+         |  ${mh.sqlBands("sig", "user_id")}
+         |)
+         |SELECT band, bandkey,
+         |  string_agg(user_id, ',' ORDER BY user_id) AS users, count(*) AS n
+         |FROM bands GROUP BY band, bandkey HAVING count(*) > 1
+         |ORDER BY band, bandkey""".stripMargin,
+
+    "q53_recommendations" ->
+      s"""WITH feats AS (
+         |  $sqlFeatures
+         |), sig AS (
+         |  ${mh.sqlSignature("feats", "user_id", "feature")}
+         |), bands AS (
+         |  ${mh.sqlBands("sig", "user_id")}
+         |), cand AS (
+         |  SELECT DISTINCT x.user_id AS u, y.user_id AS c
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bandkey = y.bandkey AND x.user_id <> y.user_id
+         |  WHERE abs(x.user_id - y.user_id) > $KNOWN_DIST
+         |), scored AS (
+         |  SELECT u, c, round(${mh.sqlEstSim("su", "sc")}, 4) AS est_sim
+         |  FROM cand JOIN sig su ON su.user_id = u JOIN sig sc ON sc.user_id = c
+         |), ranked AS (
+         |  SELECT u, c, est_sim,
+         |    row_number() OVER (PARTITION BY u ORDER BY est_sim DESC, c) AS rank
+         |  FROM scored WHERE est_sim >= $MIN_SIM
+         |)
+         |SELECT u AS user_id, rank, c AS rec_user_id, est_sim
+         |FROM ranked WHERE rank <= $TOP_N ORDER BY user_id, rank""".stripMargin
+  )
+}
