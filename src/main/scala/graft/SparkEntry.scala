@@ -23,7 +23,8 @@ object SparkEntry {
       (TextPack.queries, TextPack.oracle),
       (SimilarityPack.queries, SimilarityPack.oracle),
       (GraphPack.queries, GraphPack.oracle),
-      (RecommendationPack.queries, RecommendationPack.oracle)
+      (RecommendationPack.queries, RecommendationPack.oracle),
+      (ActivityPack.queries, ActivityPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

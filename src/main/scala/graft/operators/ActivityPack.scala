@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{KMeans, TextFeatures}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's Task 3 — unusual-activity detection via streaming
+  * K-means (reference: jobs/clustering/UnusualActivityDetectionJob
+  * .scala:34-136) — batch shape: text featurization (F5) → per-person
+  * frequency (A2) → K-means clustering (F14, seeded Random(137)) →
+  * nearest-centroid classification (J14).
+  *
+  * q60/q61 are fully oracle-checked. q62 embeds the seeded-K-means
+  * centroids (not SQL-expressible → driver records the weaker rows-only
+  * check; determinism is pinned by ActivityPackSpec instead, like the
+  * reference's own KMeansClusteringTestSuite fixtures).
+  *
+  * Scale: clustering runs driver-side on collected feature vectors — the
+  * reference deliberately runs it at parallelism 1 too
+  * (UnusualActivityDetectionJob.scala:367,376, citing MMDS 7.6.4 for the
+  * distributed variant); CLASSIFICATION is the distributed part: centroids
+  * are literals broadcast into a codegen'd argmin expression, one narrow
+  * pass, no shuffle (reference J14 broadcast-model semantics).
+  */
+object ActivityPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 4
+
+  /** doc_id + 3-dim text features, rounded for cross-engine parity. */
+  private def featureDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFeatures.featurize(col("text")).as("f"))
+      .select(col("doc_id"), round(element_at(col("f"), 1), 4).as("f0"),
+        round(element_at(col("f"), 2), 4).as("f1"),
+        round(element_at(col("f"), 3), 4).as("f2"))
+
+  /** Seeded deterministic model over an sf dir's documents. */
+  def model(s: SparkSession, d: String): KMeans.Model = {
+    val pts = featureDf(s, d).orderBy(col("doc_id")).collect()
+      .map(r => Vector(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    KMeans.cluster(pts, KMeans.bootstrap(pts, K, seed = 137L))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // F5 text featurization (reference tokenizer + 3 ratios,
+    // UnusualActivityDetectionJob.scala:421-450).
+    "q60_text_features" -> ((s, d) =>
+      featureDf(s, d).orderBy(col("doc_id"))),
+
+    // A2 per-person sliding event frequency, 12h window / 1h slide
+    // (reference: UnusualActivityDetectionJob.scala:274-293).
+    "q61_activity_frequency" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("frequency"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("frequency"))
+        .orderBy(col("wstart"), col("user_id"))),
+
+    // F14/J14: seeded K-means centroids embedded as literals, distributed
+    // nearest-centroid classification (argmin over K codegen'd distances).
+    "q62_classified_docs" -> ((s, d) => {
+      val m = model(s, d)
+      val dists = m.clusters.map { c =>
+        val Vector(x, y, z) = c.centroid
+        ((col("f0") - x) * (col("f0") - x) + (col("f1") - y) * (col("f1") - y)
+          + (col("f2") - z) * (col("f2") - z)).as(s"d${c.index}")
+      }
+      val withD = featureDf(s, d).select(col("doc_id") +: col("f0") +: col("f1") +: col("f2") +: dists: _*)
+      val minCol = least((0 until K).map(i => col(s"d$i")): _*)
+      // first matching index wins — same tie-break as Scala's minBy /
+      // the reference's ClusterModel.classify
+      val cluster = (1 until K).foldLeft(when(col("d0") === minCol, lit(0))) {
+        (acc, i) => acc.when(col(s"d$i") === minCol, lit(i))
+      }
+      withD
+        .withColumn("cluster", cluster)
+        .select(col("doc_id"), col("cluster"),
+          round(sqrt(minCol), 4).as("dist"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q60_text_features" ->
+      s"""SELECT doc_id, ${TextFeatures.sqlFeatures("text", 4).mkString(",\n  ")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // each event belongs to the 12 sliding windows whose start is the
+    // enclosing 1h bucket minus k slides, k = 0..11 (12h/1h)
+    "q61_activity_frequency" ->
+      """SELECT wstart, user_id, count(*) AS frequency
+        |FROM (
+        |  SELECT e.*, (CAST(floor(epoch(ts)/3600) AS BIGINT) - s.k) * 3600 AS wstart
+        |  FROM events e, generate_series(0, 11) s(k)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    // q62_classified_docs: centroids are data-dependent seeded-KMeans
+    // output — not SQL-expressible; driver records rows-only, determinism
+    // pinned in ActivityPackSpec.
+  )
+}
