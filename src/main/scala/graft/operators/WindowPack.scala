@@ -25,17 +25,26 @@ object WindowPack {
     * the Structured Streaming path (StreamOps) — DataFrame ops are
     * execution-mode agnostic, so batch/stream parity is by construction
     * (tested in StreamingSpec).
+    *
+    * `exactDistinct=true` (batch/oracle) uses `countDistinct`; streaming —
+    * and the 100 TB scale path (SURVEY §7.4.3) — uses
+    * `approx_count_distinct` (countDistinct is unsupported on streams and
+    * its state is unbounded at scale).
     */
-  def slidingStats(events: DataFrame): DataFrame =
+  def slidingStats(events: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val distinctTypes =
+      if (exactDistinct) countDistinct(col("event_type"))
+      else approx_count_distinct(col("event_type"))
     events
       .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         count(when(col("event_type") === "click", 1)).as("n_click"),
-        countDistinct(col("event_type")).as("n_types"))
+        distinctTypes.as("n_types"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
         col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
+  }
 
   /** A3 windowed collect-set transform (see slidingStats note). */
   def windowedCollectSet(events: DataFrame): DataFrame =

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.functions.KMeans
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event for streaming ops (the reference's unified `Event` shape,
+  * model/Events.scala:13, with the testdata column names). */
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** One enriched purchase (J11 output shape). */
+final case class EnrichedPurchase(event_id: Long, user_id: Long, value: Double,
+                                  prior_view_value: Double)
+
+/** As-of state: last observed view per user (reference: value state in
+  * AggregateFeaturesFunction.scala:38-45). */
+final case class AsOfState(viewTs: Long, viewValue: Double)
+
+/** Emitted cluster model row (reference: (ts, count, ClusterModel) emission,
+  * KMeansClusterFunction.scala:230-281). */
+final case class ModelRow(version: Int, n_points: Int, centroids: Seq[Seq[Double]],
+                          weights: Seq[Double])
+
+/** Clustering window state (reference: ListState buffer + previous model,
+  * KMeansClusterFunction.scala:112-196). */
+final case class ClusterState(buffer: Seq[Seq[Double]], centroids: Seq[Seq[Double]],
+                              weights: Seq[Double], version: Int)
+
+/** Structured-Streaming operators. Where the transform is shared with a
+  * batch query (sliding stats), batch/stream parity holds by construction:
+  * the SAME DataFrame function runs in both modes — Spark's incremental
+  * planner is the only difference (SURVEY §2.9).
+  */
+object StreamOps {
+
+  /** A1 sliding per-key statistics on a (possibly streaming) events frame —
+    * the reference's flagship operator. Delegates to the same transform the
+    * batch query q21 uses, with the streaming-legal (and 100 TB-scale)
+    * approx distinct count. */
+  def slidingStats(events: DataFrame): DataFrame =
+    graft.operators.WindowPack.slidingStats(events, exactDistinct = false)
+
+  /** Streaming exact dedup by content fingerprint within the watermark
+    * horizon — streaming ingest dedup for a training-data pipeline; state
+    * is bounded by the watermark (expired keys are dropped). */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type", "value")
+
+  /** J11 as-of enrichment: append to each purchase the value of the user's
+    * most recent prior view, 0.0 if none or staler than `maxAgeSec`
+    * (reference: AggregateFeaturesFunction.scala:22-66 — last-value state
+    * with staleness cutoff; like the reference, semantics are
+    * arrival-order-dependent across micro-batches: state is updated as
+    * events arrive; within a batch we sort by (ts, event_id)).
+    */
+  def asOfEnrich(events: Dataset[Ev], maxAgeSec: Long = 21600L): Dataset[EnrichedPurchase] = {
+    implicit val stateEnc = Encoders.product[AsOfState]
+    implicit val outEnc = Encoders.product[EnrichedPurchase]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[AsOfState]) => {
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedPurchase]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" =>
+                last = Some(AsOfState(e.ts.getTime, e.value))
+              case "purchase" =>
+                val prior = last match {
+                  case Some(AsOfState(vts, vv))
+                    if e.ts.getTime - vts <= maxAgeSec * 1000 => vv
+                  case _ => 0.0
+                }
+                out += EnrichedPurchase(e.event_id, user, e.value, prior)
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** A6 count-bounded clustering window: buffer feature vectors in state;
+    * when the buffer reaches `maxCount`, run seeded K-means (bootstrapped
+    * from the previous model's centroids — reference: KMeansClusterFunction
+    * "seeded by previous centroids"), decay-merge with the previous model
+    * (F15), emit the new model, clear the buffer. Runs in ONE state group —
+    * the same single-task semantics the reference enforces with
+    * parallelism 1 (UnusualActivityDetectionJob.scala:367,376).
+    * (The min-count/event-time-timer extension of the reference fires on a
+    * timer too; count-trigger is the deterministic core.)
+    */
+  def countBoundedCluster(points: Dataset[Seq[Double]], k: Int, maxCount: Int,
+                          decay: Double = 0.2): Dataset[ModelRow] = {
+    implicit val stateEnc = Encoders.product[ClusterState]
+    implicit val outEnc = Encoders.product[ModelRow]
+    implicit val keyEnc = Encoders.scalaInt
+    points.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[Seq[Double]], state: GroupState[ClusterState]) => {
+          var st = state.getOption.getOrElse(ClusterState(Nil, Nil, Nil, 0))
+          var buf = st.buffer ++ it.map(_.toSeq).toSeq
+          val out = scala.collection.mutable.ArrayBuffer.empty[ModelRow]
+          while (buf.length >= maxCount) {
+            val (window, rest) = buf.splitAt(maxCount)
+            val pts = window.map(_.toVector)
+            val init =
+              if (st.centroids.isEmpty) KMeans.bootstrap(pts, k, seed = 137L)
+              else st.centroids.map(_.toVector).toVector
+            val clustered = KMeans.cluster(pts, init)
+            val merged =
+              if (st.centroids.isEmpty) clustered
+              else KMeans.Model(st.centroids.indices.map(i =>
+                KMeans.Cluster(i, st.centroids(i).toVector, st.weights(i))).toVector)
+                .update(clustered, decay)
+            val version = st.version + 1
+            out += ModelRow(version, pts.length,
+              merged.clusters.map(_.centroid.toSeq),
+              merged.clusters.map(_.weight))
+            st = ClusterState(Nil, merged.clusters.map(_.centroid.toSeq),
+              merged.clusters.map(_.weight), version)
+            buf = rest
+          }
+          state.update(st.copy(buffer = buf))
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.KMeans
+import graft.operators.WindowPack
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming behavior: batch/stream parity for shared
+  * transforms, stateful as-of enrichment, streaming dedup, count-bounded
+  * clustering — the reference's streaming semantics (SURVEY §2.9) driven
+  * through MemoryStream micro-batches. */
+class StreamingSpec extends GraftSuite {
+
+  private def eventsTyped = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  test("sliding stats: streaming complete-mode output equals the batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.slidingStats(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_parity")
+      .outputMode("complete").start()
+    try {
+      // three out-of-order micro-batches (watermark-free complete mode)
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("sliding_parity")
+        .orderBy(col("wstart"), col("user_id")).collect()
+      val batch = WindowPack.slidingStats(
+        Tables.events(spark, sf), exactDistinct = false)
+        .orderBy(col("wstart"), col("user_id")).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated (user, type, value) rows across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sample = eventsTyped.take(100)
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedup(stream.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      stream.addData(sample); q.processAllAvailable()
+      stream.addData(sample); q.processAllAvailable() // exact replay
+      val n = spark.table("dedup_out").count()
+      val expected = sample.map(e => (e.user_id, e.event_type, e.value)).distinct.length
+      assert(n == expected, s"got $n, expected $expected")
+    } finally q.stop()
+  }
+
+  test("as-of enrichment matches the batch as-of join when fed in event order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.asOfEnrich(stream.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 4 + 1))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("asof_out")
+        .select(col("event_id"), round(col("prior_view_value"), 2).as("pv"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = WindowPack.queries("q23_asof_join")(spark, sf)
+        .select(col("event_id"), col("prior_view_value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      val diffs = batch.collect { case (id, v) if streamed(id) != v => (id, v, streamed(id)) }
+      assert(diffs.isEmpty, s"${diffs.size} mismatches, first: ${diffs.take(3)}")
+    } finally q.stop()
+  }
+
+  test("count-bounded clustering fires deterministically at the count trigger") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pts: Seq[Seq[Double]] = (0 until 250).map { i =>
+      Seq((i % 10).toDouble, (i % 7).toDouble)
+    }
+    val stream = MemoryStream[Seq[Double]]
+    val q = StreamOps.countBoundedCluster(stream.toDS(), k = 3, maxCount = 100)
+      .writeStream.format("memory").queryName("cluster_out").outputMode("append").start()
+    try {
+      stream.addData(pts.take(150)); q.processAllAvailable()   // fires v1, buffers 50
+      stream.addData(pts.drop(150)); q.processAllAvailable()   // fires v2, buffers 50
+      val rows = spark.table("cluster_out").orderBy("version").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows.forall(_.getInt(1) == 100))
+      // reproduce driver-side: window1 = pts[0:100), window2 = pts[100:200)
+      val w1 = pts.take(100).map(_.toVector)
+      val m1 = KMeans.cluster(w1, KMeans.bootstrap(w1, 3, 137L))
+      val w2 = pts.slice(100, 200).map(_.toVector)
+      val m2raw = KMeans.cluster(w2, m1.clusters.map(_.centroid))
+      val m2 = m1.update(m2raw, 0.2)
+      val got2 = rows(1).getSeq[scala.collection.Seq[Double]](2).map(_.toVector)
+      assert(got2 == m2.clusters.map(_.centroid),
+        s"v2 centroids diverge:\n got $got2\n exp ${m2.clusters.map(_.centroid)}")
+    } finally q.stop()
+  }
+}
