@@ -24,7 +24,8 @@ object SparkEntry {
       (SimilarityPack.queries, SimilarityPack.oracle),
       (GraphPack.queries, GraphPack.oracle),
       (RecommendationPack.queries, RecommendationPack.oracle),
-      (ActivityPack.queries, ActivityPack.oracle)
+      (ActivityPack.queries, ActivityPack.oracle),
+      (MultimodalPack.queries, MultimodalPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
