@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Reply-tree / transitive-chain resolution — the reference's hardest
   * operator (reference: streams/BuildReplyTreeProcessFunction.scala:28-409:
@@ -51,16 +50,21 @@ object GraphPack {
     * (BuildReplyTreeProcessFunction.scala:288-317).
     */
   def resolveRoots(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) after every round: materializes the round AND
+    // truncates lineage — without it each round replans the whole history
+    // and runtime grows combinatorially with depth. (On a production
+    // cluster with executor churn, swap for reliable checkpoint() to a
+    // checkpoint dir; semantics identical.)
+    val e = edges(s, d).localCheckpoint()
     val replies = e.filter(col("parent_id").isNotNull)
       .select(col("event_id"), col("ts"), col("parent_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // round 0: roots resolve to themselves
     var delta = e.filter(col("parent_id").isNull)
       .select(col("event_id"), col("event_id").as("root_id"),
         lit(0).as("depth"), lit(true).as("causal"), col("ts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var resolved = Vector(delta)
     var frontier = replies
     var round = 0
@@ -75,12 +79,12 @@ object GraphPack {
           (col("r.depth") + 1).as("depth"),
           (col("r.causal") && col("f.ts") >= col("r.ts")).as("causal"),
           col("f.ts"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       progressing = next.limit(1).count() > 0
       if (progressing) {
         frontier = frontier.join(next.select(col("event_id").as("done")),
           col("event_id") === col("done"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         resolved = resolved :+ next
         delta = next
       }

@@ -107,7 +107,11 @@ object SimilarityPack {
     // path at scale.
     "q41_embed_neardup" -> ((s, d) => {
       val e = vecs(s, d)
+      // repartition the streamed side: the corpus arrives as one parquet
+      // file, and a BroadcastNestedLoopJoin's parallelism = streamed-side
+      // partitions — without this the n² scan runs on one core
       val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("norm").as("na"))
+        .repartition(32)
       val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("norm").as("nb"))
       a.join(b, col("i") < col("j"))
         .withColumn("cos", cosine("va", "vb", "na", "nb"))

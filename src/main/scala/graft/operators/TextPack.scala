@@ -175,7 +175,8 @@ object TextPack {
     // and only then verifies hamming distance.
     "q34_simhash_neardup" -> ((s, d) => {
       val sh = queries("q33_simhash")(s, d)
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      // repartition: BNLJ parallelism = streamed-side partitions (see q41)
+      sh.repartition(32).as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
         .filter(col("hamming") <= 8)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
