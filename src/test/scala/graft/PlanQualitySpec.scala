@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{RelationalPack, WindowPack}
+import graft.streaming.{Ev, ProgressMonitor, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Plan-quality guards for the 100 TB design contract: filters reach the
+  * parquet scan, scans prune to the referenced columns, broadcast joins
+  * stay broadcast, and observability metrics ride the plan (W12). These
+  * are regression tests on `explain` output — if a refactor silently turns
+  * a pruned broadcast plan into a full-scan shuffle, they fail. */
+class PlanQualitySpec extends GraftSuite {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan(RelationalPack.queries("q01_agg_basic")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q01: scan reads only the six referenced lineitem columns") {
+    val plan = executedPlan(RelationalPack.queries("q01_agg_basic")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate").foreach(c =>
+      assert(readSchema.contains(c), s"$c missing from ReadSchema: $readSchema"))
+    Seq("l_orderkey", "l_comment", "l_partkey").foreach(c =>
+      assert(!readSchema.contains(c), s"$c NOT pruned: $readSchema"))
+  }
+
+  test("q03: dimension join is a broadcast hash join, fact side not shuffled for the join") {
+    val plan = executedPlan(RelationalPack.queries("q03_join_inner")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+  }
+
+  test("q21: sliding-window agg does partial (map-side) aggregation before the shuffle") {
+    val plan = executedPlan(WindowPack.queries("q21_sliding_stats")(spark, sf))
+    // HashAggregate(partial) ... Exchange ... HashAggregate(final)
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange hashpartitioning")
+    assert(firstAgg >= 0 && exchange >= 0, s"plan shape unexpected:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") > exchange,
+      s"no final agg after shuffle:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
+    val df = RelationalPack.queries("q02_filter_project")(spark, sf)
+    df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
+    val plan = executedPlan(df)
+    // codegen'd stages print as "*(n) Operator" in the plan tree
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  }
+
+  test("observe() metrics ride a streaming query (W12 progress monitor)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = ProgressMonitor.observed(stream.toDF())
+      .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+    try {
+      def ev(id: Long, t: String) =
+        Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+      stream.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("progress")
+      assert(m != null, "no observed metrics in progress")
+      assert(m.getAs[Long]("n_rows") == 2)
+      assert(m.getAs[Long]("span_sec") == 5400)
+    } finally q.stop()
+  }
+}
