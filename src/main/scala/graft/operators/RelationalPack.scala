@@ -208,6 +208,40 @@ object RelationalPack {
         .orderBy(col("user_id"))
     }),
 
+    // Extended analytic-window surface (SURVEY §2.6 "come free with Window
+    // specs"): ntile, percent_rank, nth_value with explicit full frame.
+    "q16_window_extra" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .withColumn("second_name", nth_value(col("s_name"), 2).over(full))
+        .select(col("s_nationkey"), col("s_suppkey"), col("quartile"),
+          col("pct_rank"), col("second_name"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
+    // CUBE grouping sets (absent in the reference; Catalyst expands free).
+    "q17_cube" -> ((s, d) => {
+      Tables.events(s, d)
+        .cube(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)
+    }),
+
+    // PIVOT with an explicit value list (scales: no extra pass to discover
+    // pivot values; one partial-aggregated shuffle).
+    "q18_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // F1–F4/F9 scalar function surface: timestamp extraction, regex field
     // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
     // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.
@@ -324,6 +358,32 @@ object RelationalPack {
         |  len(list_distinct(list_concat(a.a, b.b))) AS n_union
         |FROM a JOIN b ON a.user_id = b.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q16_window_extra" ->
+      """SELECT s_nationkey, s_suppkey, quartile, pct_rank, second_name FROM (
+        |  SELECT s_nationkey, s_suppkey,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 4) AS pct_rank,
+        |    nth_value(s_name, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND UNBOUNDED FOLLOWING) AS second_name
+        |  FROM supplier
+        |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |) ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q17_cube" ->
+      """SELECT event_type, cohort, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events)
+        |GROUP BY CUBE(event_type, cohort)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q15_scalar_funcs" ->
       """SELECT event_id,
