@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One edge event: a root (parent_id = None) or a reply pointing at its
+  * parent (reference: RawCommentEvent with replyToPostId/replyToCommentId,
+  * model/Events.scala:111-120). */
+final case class EdgeEvent(event_id: Long, tsec: Long, parent_id: Option[Long])
+
+/** A resolved event: its transitive root, chain depth, whole-chain
+  * causality flag. */
+final case class ResolvedEvent(event_id: Long, root_id: Long, depth: Int, causal: Boolean)
+
+/** Resolver state: resolved id → (root, depth, causal, tsec); pending
+  * parent id → waiting children. */
+final case class TreeState(resolved: Map[Long, (Long, Int, Boolean, Long)],
+                           pending: Map[Long, Seq[EdgeEvent]])
+
+/** Streaming reply-tree resolution — SURVEY §7.4 Plan A (reference:
+  * streams/BuildReplyTreeProcessFunction.scala:28-409). Events arrive in
+  * any order across micro-batches; a reply whose parent is unknown parks in
+  * pending state; when its parent resolves, the whole waiting subtree
+  * resolves recursively (the reference's getDescendants:367-393), carrying
+  * the causality check (child ts >= parent ts) down the chain. Emission is
+  * incremental (append mode): an event is emitted exactly once, in the
+  * micro-batch where its chain reaches a root.
+  *
+  * Runs as ONE state group — the reference's effective behavior too: its
+  * mapping state is replicated across all workers via broadcast
+  * (acknowledged at BuildReplyTreeProcessFunction.scala:207-214). The
+  * scale-out variant partitions by root-affinity once resolved and keeps
+  * only the unresolved frontier in the single group; eviction of stale
+  * pending entries (the reference's watermark-based dangling drop,
+  * :288-317) maps to `GroupStateTimeout.EventTimeTimeout` and is left to
+  * the batch path here (q45 drops them by construction).
+  */
+object ReplyTreeOp {
+
+  def resolve(events: Dataset[EdgeEvent]): Dataset[ResolvedEvent] = {
+    implicit val stateEnc = Encoders.product[TreeState]
+    implicit val outEnc = Encoders.product[ResolvedEvent]
+    implicit val keyEnc = Encoders.scalaInt
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[EdgeEvent], state: GroupState[TreeState]) => {
+          var st = state.getOption.getOrElse(TreeState(Map.empty, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ResolvedEvent]
+
+          // resolve `e` against parent entry `p`, then drain descendants
+          def settle(e: EdgeEvent, p: (Long, Int, Boolean, Long)): Unit = {
+            val entry = (p._1, p._2 + 1, p._3 && e.tsec >= p._4, e.tsec)
+            st = st.copy(resolved = st.resolved + (e.event_id -> entry))
+            out += ResolvedEvent(e.event_id, entry._1, entry._2, entry._3)
+            drain(e.event_id)
+          }
+
+          // recursively resolve children waiting on `parentId`
+          def drain(parentId: Long): Unit =
+            st.pending.get(parentId).foreach { children =>
+              st = st.copy(pending = st.pending - parentId)
+              val p = st.resolved(parentId)
+              // deterministic order: children settle by event id
+              children.sortBy(_.event_id).foreach(c => settle(c, p))
+            }
+
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            e.parent_id match {
+              case None =>
+                st = st.copy(resolved =
+                  st.resolved + (e.event_id -> (e.event_id, 0, true, e.tsec)))
+                out += ResolvedEvent(e.event_id, e.event_id, 0, causal = true)
+                drain(e.event_id)
+              case Some(pid) =>
+                st.resolved.get(pid) match {
+                  case Some(p) => settle(e, p)
+                  case None =>
+                    st = st.copy(pending = st.pending +
+                      (pid -> (st.pending.getOrElse(pid, Nil) :+ e)))
+                }
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}
