@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.KMeans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -147,8 +148,66 @@ object SimilarityPack {
         .select(col("qid"), col("rank"), col("vec_id").as("nid"),
           round(col("cos"), 4).as("cos"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF ANN: k-means coarse quantizer (seeded, trained like a real IVF
+    // build), every vector assigned to its nearest cell by a codegen'd
+    // argmin over centroid literals (one narrow pass), queries probe the
+    // NPROBE nearest cells, exact cosine top-k within probed cells only.
+    // Search cost: n/IVF_CELLS * NPROBE candidates per query instead of n.
+    // Centroids are data-dependent → rows-only for the driver; exactness
+    // vs a driver-side reimplementation is pinned in SimilarityPackSpec.
+    "q43_ann_ivf" -> ((s, d) => {
+      val cents = ivfCentroids(s, d)
+      val scores = cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }
+      val minScore = least((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)
+      val cellOf = (1 until IVF_CELLS).foldLeft(when(col("cs0") === minScore, lit(0))) {
+        (acc, i) => acc.when(col(s"cs$i") === minScore, lit(i))
+      }
+      val assigned = vecs(s, d)
+        .select(col("vec_id") +: col("v") +: col("norm") +: scores: _*)
+        .withColumn("cell", cellOf)
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      // queries probe their NPROBE nearest cells
+      val qscores = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid") +: col("v").as("qv") +: col("norm").as("qn")
+          +: cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }: _*)
+      val probes = qscores.select(col("qid"), col("qv"), col("qn"),
+        posexplode(array((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)).as(Seq("cell", "score")))
+      val wp = Window.partitionBy(col("qid")).orderBy(col("score"), col("cell"))
+      val probed = probes.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= NPROBE).select(col("qid"), col("qv"), col("qn"), col("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_K)
+        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+          round(col("cos"), 4).as("cos"), col("cell"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
+
+  private val IVF_CELLS = 8
+  private val NPROBE    = 2
+
+  /** Seeded coarse quantizer over an sf dir's embeddings (driver-side
+    * training like a real IVF build; assignment is distributed). */
+  def ivfCentroids(s: SparkSession, d: String): Vector[Vector[Double]] = {
+    val pts = vecs(s, d).orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toVector).toSeq
+    KMeans.cluster(pts, KMeans.bootstrap(pts, IVF_CELLS, seed = 137L))
+      .clusters.map(_.centroid)
+  }
+
+  /** −2·v·c + |c|² for literal centroid `c` — argmin of this over cells ==
+    * argmin of true squared distance (|v|² is constant per row). */
+  private def cellScore(c: Vector[Double]): Column = {
+    val arr = c.mkString("array(", "D,", "D)")
+    val dot = expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+    dot * -2.0 + lit(c.map(x => x * x).sum)
+  }
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" ->
