@@ -79,6 +79,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("session windows: streaming complete-mode output equals the batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("session_parity")
+      .outputMode("complete").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("session_parity")
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      val batch = Tables.events(spark, sf)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("count-bounded clustering fires deterministically at the count trigger") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
