@@ -92,11 +92,14 @@ object KMeans {
     var cs = clusters.sortBy(-_.weight)
     if (cs.length > k) cs = cs.take(k)
     while (cs.length < k) {
-      val big = cs.maxBy(_.weight)
-      val dim = big.centroid.length
+      // remove by POSITION — equality-based removal would drop every
+      // structurally-identical duplicate and lose weight
+      val bigIdx = cs.indices.maxBy(i => cs(i).weight)
+      val big = cs(bigIdx)
       val up = big.centroid.zipWithIndex.map { case (v, i) => v + eps * (i + 1) }
       val dn = big.centroid.zipWithIndex.map { case (v, i) => v - eps * (i + 1) }
-      cs = cs.filterNot(_ == big) :+ big.copy(centroid = up, weight = big.weight / 2) :+
+      cs = cs.patch(bigIdx, Nil, 1) :+
+        big.copy(centroid = up, weight = big.weight / 2) :+
         big.copy(centroid = dn, weight = big.weight / 2)
     }
     cs.zipWithIndex.map { case (c, i) => c.copy(index = i) }

@@ -66,13 +66,14 @@ object GraphPack {
         lit(0).as("depth"), lit(true).as("causal"), col("ts"))
       .localCheckpoint()
     var resolved = Vector(delta)
-    var frontier = replies
     var round = 0
     var progressing = delta.limit(1).count() > 0
 
     while (progressing && round < MAX_ROUNDS) {
-      // semi-naive: only the frontier joins only the delta
-      val next = frontier.as("f")
+      // semi-naive: the full reply set joins only the last delta — a reply's
+      // parent lands in exactly ONE delta round, so each reply still
+      // resolves exactly once and no frontier-shrinking anti-join is needed
+      val next = replies.as("f")
         .join(delta.as("r"), col("f.parent_id") === col("r.event_id"))
         .select(col("f.event_id"),
           col("r.root_id"),
@@ -82,9 +83,6 @@ object GraphPack {
         .localCheckpoint()
       progressing = next.limit(1).count() > 0
       if (progressing) {
-        frontier = frontier.join(next.select(col("event_id").as("done")),
-          col("event_id") === col("done"), "left_anti")
-          .localCheckpoint()
         resolved = resolved :+ next
         delta = next
       }
