@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.KMeans
+import graft.functions.{Hashes, KMeans}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -217,12 +217,12 @@ object SimilarityPack {
          |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM e WHERE vec_id % 50 = 0
          |), ranked AS (
          |  SELECT qid, e.vec_id AS nid,
-         |    round(${sqlCosine("qv", "e.v", "qn", "e.norm")}, 6) AS cos,
+         |    ${Hashes.sqlRound(sqlCosine("qv", "e.v", "qn", "e.norm"), 6)} AS cos,
          |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY round(${sqlCosine("qv", "e.v", "qn", "e.norm")}, 6) DESC, e.vec_id) AS rank
+         |      ORDER BY ${Hashes.sqlRound(sqlCosine("qv", "e.v", "qn", "e.norm"), 6)} DESC, e.vec_id) AS rank
          |  FROM e JOIN q ON e.vec_id <> q.qid
          |)
-         |SELECT qid, rank, nid, round(cos, 4) AS cos
+         |SELECT qid, rank, nid, ${Hashes.sqlRound("cos", 4)} AS cos
          |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
 
     "q41_embed_neardup" ->
@@ -230,7 +230,7 @@ object SimilarityPack {
          |  $sqlVecs
          |)
          |SELECT a.vec_id AS i, b.vec_id AS j,
-         |  round(${sqlCosine("a.v", "b.v", "a.norm", "b.norm")}, 4) AS cos
+         |  ${Hashes.sqlRound(sqlCosine("a.v", "b.v", "a.norm", "b.norm"), 4)} AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${sqlCosine("a.v", "b.v", "a.norm", "b.norm")} >= $NEARDUP_T
          |ORDER BY i, j""".stripMargin,
@@ -250,12 +250,12 @@ object SimilarityPack {
          |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
          |), ranked AS (
          |  SELECT qid, nid,
-         |    round(${sqlCosine("qv", "nv", "qn", "nn")}, 6) AS cos,
+         |    ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} AS cos,
          |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY round(${sqlCosine("qv", "nv", "qn", "nn")}, 6) DESC, nid) AS rank
+         |      ORDER BY ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} DESC, nid) AS rank
          |  FROM cand
          |)
-         |SELECT qid, rank, nid, round(cos, 4) AS cos
+         |SELECT qid, rank, nid, ${Hashes.sqlRound("cos", 4)} AS cos
          |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin
     }
   )
