@@ -33,6 +33,11 @@ object RecommendationPack {
   private val MIN_SIM = 0.2
   private val TOP_N   = 5
   private val KNOWN_DIST = 2
+  // J12 activity timeout. The reference default is 14 days
+  // (application.conf activity-timeout); the testdata's event-time span is
+  // shorter than that, so 6 h keeps the predicate discriminating here —
+  // it's a config knob, not a semantic difference.
+  private val ACTIVE_SEC = 21600L
 
   /** (user_id, feature) distinct rows: tag features "T<k mod 20>" (F4
     * prefixing, RecommendationUtils.toFeature:95) + event-type features. */
@@ -89,30 +94,54 @@ object RecommendationPack {
 
     // Full recommendation chain: per-user top-5 unknown candidates by
     // estimated Jaccard similarity >= 0.2.
-    "q53_recommendations" -> ((s, d) => {
-      val sg = sig(s, d).cache()
-      val bands = sg.select(col("user_id"),
-        posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
-            && col("x.user_id") =!= col("y.user_id"))
-        .select(col("x.user_id").as("u"), col("y.user_id").as("c"))
-        .distinct()
-        .filter(abs(col("u") - col("c")) > KNOWN_DIST) // J6 exclude known
-      val sigArr = sg.select(col("user_id"), mh.sigArray.as("sig"))
-      val w = Window.partitionBy(col("u")).orderBy(col("est_sim").desc, col("c"))
-      cand
-        .join(sigArr.select(col("user_id").as("u"), col("sig").as("sig_u")), "u")
-        .join(sigArr.select(col("user_id").as("c"), col("sig").as("sig_c")), "c")
-        .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
-        .filter(col("est_sim") >= MIN_SIM)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TOP_N)
-        .select(col("u").as("user_id"), col("rank"), col("c").as("rec_user_id"),
-          col("est_sim"))
-        .orderBy(col("user_id"), col("rank"))
+    "q53_recommendations" -> ((s, d) => rankTopN(scored(s, d))),
+
+    // J12 broadcast semi-filter to ACTIVE candidates (reference:
+    // jobs/recommendations/FilterToActivePersonsFunction.scala:38-157 —
+    // candidates kept only if their last activity is recent relative to the
+    // recommending user's; filter applied BEFORE top-N like the reference).
+    "q54_active_recommendations" -> ((s, d) => {
+      val lastAct = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(unix_timestamp(col("ts"))).as("last_ts"))
+      val active = scored(s, d)
+        .join(broadcast(lastAct.select(col("user_id").as("u"), col("last_ts").as("u_last"))), "u")
+        .join(broadcast(lastAct.select(col("user_id").as("c"), col("last_ts").as("c_last"))), "c")
+        .filter(col("c_last") >= col("u_last") - ACTIVE_SEC)
+        .select(col("u"), col("c"), col("est_sim"))
+      rankTopN(active)
     })
   )
+
+  /** Scored candidate pairs (u, c, est_sim): bands → same-bucket pairs →
+    * exclude known → estimated similarity >= MIN_SIM. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val sg = sig(s, d).cache()
+    val bands = sg.select(col("user_id"),
+      posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.user_id") =!= col("y.user_id"))
+      .select(col("x.user_id").as("u"), col("y.user_id").as("c"))
+      .distinct()
+      .filter(abs(col("u") - col("c")) > KNOWN_DIST) // J6 exclude known
+    val sigArr = sg.select(col("user_id"), mh.sigArray.as("sig"))
+    cand
+      .join(sigArr.select(col("user_id").as("u"), col("sig").as("sig_u")), "u")
+      .join(sigArr.select(col("user_id").as("c"), col("sig").as("sig_c")), "c")
+      .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
+      .filter(col("est_sim") >= MIN_SIM)
+  }
+
+  private def rankTopN(scoredDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("est_sim").desc, col("c"))
+    scoredDf
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_N)
+      .select(col("u").as("user_id"), col("rank"), col("c").as("rec_user_id"),
+        col("est_sim"))
+      .orderBy(col("user_id"), col("rank"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q50_user_features" ->
@@ -150,26 +179,49 @@ object RecommendationPack {
          |ORDER BY band, bandkey""".stripMargin,
 
     "q53_recommendations" ->
-      s"""WITH feats AS (
-         |  $sqlFeatures
-         |), sig AS (
-         |  ${mh.sqlSignature("feats", "user_id", "feature")}
-         |), bands AS (
-         |  ${mh.sqlBands("sig", "user_id")}
-         |), cand AS (
-         |  SELECT DISTINCT x.user_id AS u, y.user_id AS c
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bandkey = y.bandkey AND x.user_id <> y.user_id
-         |  WHERE abs(x.user_id - y.user_id) > $KNOWN_DIST
-         |), scored AS (
-         |  SELECT u, c, round(${mh.sqlEstSim("su", "sc")}, 4) AS est_sim
-         |  FROM cand JOIN sig su ON su.user_id = u JOIN sig sc ON sc.user_id = c
+      s"""WITH $sqlScoredCtes, ranked AS (
+         |  SELECT u, c, est_sim,
+         |    row_number() OVER (PARTITION BY u ORDER BY est_sim DESC, c) AS rank
+         |  FROM scored
+         |)
+         |SELECT u AS user_id, rank, c AS rec_user_id, est_sim
+         |FROM ranked WHERE rank <= $TOP_N ORDER BY user_id, rank""".stripMargin,
+
+    "q54_active_recommendations" ->
+      s"""WITH $sqlScoredCtes, last_act AS (
+         |  SELECT user_id, CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+         |  FROM events GROUP BY user_id
+         |), active AS (
+         |  SELECT s.u, s.c, s.est_sim
+         |  FROM scored s
+         |    JOIN last_act lu ON lu.user_id = s.u
+         |    JOIN last_act lc ON lc.user_id = s.c
+         |  WHERE lc.last_ts >= lu.last_ts - $ACTIVE_SEC
          |), ranked AS (
          |  SELECT u, c, est_sim,
          |    row_number() OVER (PARTITION BY u ORDER BY est_sim DESC, c) AS rank
-         |  FROM scored WHERE est_sim >= $MIN_SIM
+         |  FROM active
          |)
          |SELECT u AS user_id, rank, c AS rec_user_id, est_sim
          |FROM ranked WHERE rank <= $TOP_N ORDER BY user_id, rank""".stripMargin
   )
+
+  /** Shared CTE chain feats → sig → bands → cand → scored. */
+  private lazy val sqlScoredCtes: String =
+    s"""feats AS (
+       |  $sqlFeatures
+       |), sig AS (
+       |  ${mh.sqlSignature("feats", "user_id", "feature")}
+       |), bands AS (
+       |  ${mh.sqlBands("sig", "user_id")}
+       |), cand AS (
+       |  SELECT DISTINCT x.user_id AS u, y.user_id AS c
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bandkey = y.bandkey AND x.user_id <> y.user_id
+       |  WHERE abs(x.user_id - y.user_id) > $KNOWN_DIST
+       |), scored AS (
+       |  SELECT u, c, round(${mh.sqlEstSim("su", "sc")}, 4) AS est_sim
+       |  FROM cand JOIN sig su ON su.user_id = u JOIN sig sc ON sc.user_id = c
+       |  WHERE round(${mh.sqlEstSim("su", "sc")}, 4) >= $MIN_SIM
+       |)""".stripMargin
 }

@@ -242,6 +242,20 @@ object RelationalPack {
         .orderBy(col("user_id"))
     }),
 
+    // Exact percentiles (median/p90) — absent from the reference (SURVEY
+    // §2.5 "absent" list: median/percentiles) but declared-supported;
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // linear-interpolation definition. At 100 TB use approx_percentile
+    // (t-digest) — exact percentile holds per-group sorted state.
+    "q19_quantiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(avg(col("value")), 4).as("mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // F1–F4/F9 scalar function surface: timestamp extraction, regex field
     // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
     // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.
@@ -358,6 +372,13 @@ object RelationalPack {
         |  len(list_distinct(list_concat(a.a, b.b))) AS n_union
         |FROM a JOIN b ON a.user_id = b.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q19_quantiles" ->
+      s"""SELECT event_type,
+         |  ${graft.functions.Hashes.sqlRound("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${graft.functions.Hashes.sqlRound("quantile_cont(value, 0.9)", 4)} AS p90,
+         |  ${graft.functions.Hashes.sqlRound("avg(value)", 4)} AS mean
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_window_extra" ->
       """SELECT s_nationkey, s_suppkey, quartile, pct_rank, second_name FROM (
