@@ -106,6 +106,45 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (view->purchase within 1h) equals the batch join") {
+    // beyond the reference (SURVEY §2.4 "absent join kinds: theta/range/
+    // interval joins") — declared-supported: watermarked stream-stream
+    // inner join with an event-time range predicate. State on both sides
+    // is bounded by the watermark + interval bound.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val s1 = MemoryStream[Ev]
+    val s2 = MemoryStream[Ev]
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("event_id").as("pid"))
+    val joinCond = col("user_id") === col("p_user") &&
+      col("pts") >= col("vts") && col("pts") <= col("vts") + expr("interval 1 hour")
+    val streamed = views(s1.toDF().withWatermark("ts", "1 hour"))
+      .join(purchases(s2.toDF().withWatermark("ts", "1 hour")), joinCond)
+      .select(col("vid"), col("pid"))
+    val q = streamed.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(all.length / 3 + 1).foreach { c =>
+        s1.addData(c); s2.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.events(spark, sf)
+      val expected = views(ev).join(purchases(ev), joinCond)
+        .select(col("vid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty)
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("count-bounded clustering fires deterministically at the count trigger") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
