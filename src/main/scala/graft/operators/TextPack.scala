@@ -238,6 +238,38 @@ object TextPack {
         .orderBy(col("source"))
     }),
 
+    // Text normalization / cleaning: lowercase, collapse whitespace, drop
+    // stopwords — the standard pre-tokenization scrub pass (for PII/URL
+    // scrubbing the same shape swaps the token filter for regexp classes).
+    // One narrow codegen'd pass, no shuffle before the final sort.
+    "q29_normalize" -> ((s, d) => {
+      val toksNorm = split(trim(regexp_replace(lower(col("text")), " +", " ")), " ")
+      Tables.documents(s, d)
+        .withColumn("kept", expr(
+          "filter(split(trim(regexp_replace(lower(text), ' +', ' ')), ' '), t -> t NOT IN ('the', 'a', 'value'))"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("kept")).as("normalized"),
+          (size(toksNorm) - size(col("kept"))).as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document chunking: fixed-size token windows with stride — the
+    // context-window preparation step of a training pipeline. One narrow
+    // pass + explode; chunk count ~ n_tokens/stride per doc.
+    "q39_chunking" -> ((s, d) => {
+      val CHUNK = 32; val STRIDE = 16
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0),
+            greatest(ceil((size(col("t")) - lit(CHUNK)).cast("double") / STRIDE).cast("long"), lit(0))))
+            .as(Seq("chunk_id", "k")))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", slice(col("t"), col("k") * STRIDE + 1, lit(CHUNK))).as("chunk"),
+          least(size(col("t")) - col("k") * STRIDE, lit(CHUNK)).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Document fingerprinting: 60-bit content hash of whitespace-normalized
     // lowercase text + fingerprint-group size (dup-cluster cardinality).
     "q38_fingerprint" -> ((s, d) => {
@@ -379,6 +411,30 @@ object TextPack {
         |      t -> ceil(len(t) / 4.0)::BIGINT), 'sum') AS n_subwords
         |  FROM documents
         |) GROUP BY source ORDER BY source""".stripMargin,
+
+    "q29_normalize" ->
+      """SELECT doc_id,
+        |  array_to_string(kept, ' ') AS normalized,
+        |  len(t) - len(kept) AS n_removed
+        |FROM (
+        |  SELECT doc_id, t,
+        |    list_filter(t, x -> NOT list_contains(['the', 'a', 'value'], x)) AS kept
+        |  FROM (
+        |    SELECT doc_id,
+        |      str_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q39_chunking" ->
+      """SELECT doc_id, chunk_id,
+        |  array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ') AS chunk,
+        |  least(len(t) - chunk_id * 16, 32) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(ceil((len(t) - 32)::DOUBLE / 16)::BIGINT, 0) + 1)) AS chunk_id
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+        |) ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q38_fingerprint" ->
       s"""SELECT doc_id, fp60, count(*) OVER (PARTITION BY fp60) AS group_size
