@@ -242,6 +242,35 @@ object RelationalPack {
         .orderBy(col("user_id"))
     }),
 
+    // FULL OUTER join — absent from the reference (SURVEY §2.4 "absent join
+    // kinds") but declared-supported; NULL-preserving per-nation comparison
+    // of customer vs supplier account balances.
+    "q26_full_outer" -> ((s, d) => {
+      val custN = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(round(sum(col("c_acctbal")), 2).as("cust_bal"))
+      val suppN = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+        .agg(round(sum(col("s_acctbal")), 2).as("supp_bal"))
+      custN.join(suppN, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("cust_bal"), col("supp_bal"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Blocked fuzzy matching: levenshtein distance on 40-char prefixes,
+    // candidates blocked by a shared 8-char prefix (never the full n² —
+    // the blocking join IS the scale story; same shape as q31/q32).
+    "q27_fuzzy_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p40"),
+          substring(col("text"), 1, 8).as("block"))
+      docs.as("a").join(docs.as("b"),
+          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", levenshtein(col("a.p40"), col("b.p40")))
+        .filter(col("dist") <= 10)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Exact percentiles (median/p90) — absent from the reference (SURVEY
     // §2.5 "absent" list: median/percentiles) but declared-supported;
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
@@ -372,6 +401,25 @@ object RelationalPack {
         |  len(list_distinct(list_concat(a.a, b.b))) AS n_union
         |FROM a JOIN b ON a.user_id = b.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q26_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey, cust_bal, supp_bal
+        |FROM (SELECT c_nationkey AS nk, round(sum(c_acctbal),2) AS cust_bal
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk2, round(sum(s_acctbal),2) AS supp_bal
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk2
+        |ORDER BY nationkey""".stripMargin,
+
+    "q27_fuzzy_pairs" ->
+      """SELECT a.doc_id AS i, b.doc_id AS j,
+        |  levenshtein(a.p40, b.p40) AS dist
+        |FROM (SELECT doc_id, text[1:40] AS p40, text[1:8] AS block FROM documents) a
+        |JOIN (SELECT doc_id, text[1:40] AS p40, text[1:8] AS block FROM documents) b
+        |  ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p40, b.p40) <= 10
+        |ORDER BY i, j""".stripMargin,
 
     "q19_quantiles" ->
       s"""SELECT event_type,

@@ -238,6 +238,30 @@ object TextPack {
         .orderBy(col("source"))
     }),
 
+    // Keep-best dedup: within each near-dup cluster (3-gram jaccard >= 0.5,
+    // connected via the q31 pair relation's canonical = min doc id), keep
+    // the doc with the highest quality score (q36's formula) — the
+    // realistic "which duplicate survives" policy, via max_by/arg_max.
+    "q28_dedup_keep_best" -> ((s, d) => {
+      val pairs = queries("q31_ngram_jaccard")(s, d).select(col("i"), col("j"))
+      // cluster id = min doc id over the pair relation (single-hop: the
+      // planted dup pairs are disjoint edges; transitive closure is q45's
+      // machinery and overkill here)
+      val cluster = pairs.select(col("i").as("doc_id"), col("i").as("cluster"))
+        .unionByName(pairs.select(col("j").as("doc_id"), col("i").as("cluster")))
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+      val quality = queries("q36_quality_score")(s, d).select(col("doc_id"), col("quality"))
+      cluster.join(quality, "doc_id")
+        .groupBy(col("cluster"))
+        // comparator = quality*1e12 - doc_id: exact in doubles (quality has
+        // 4 decimals so the quality gap is >= 1e8 >> any doc_id), ties on
+        // quality break to the smaller doc id — same composite in the oracle
+        .agg(max_by(col("doc_id"), col("quality") * 1e12 - col("doc_id")).as("kept_doc"),
+          round(max(col("quality")), 4).as("best_quality"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster"))
+    }),
+
     // Text normalization / cleaning: lowercase, collapse whitespace, drop
     // stopwords — the standard pre-tokenization scrub pass (for PII/URL
     // scrubbing the same shape swaps the token filter for regexp classes).
@@ -411,6 +435,41 @@ object TextPack {
         |      t -> ceil(len(t) / 4.0)::BIGINT), 'sum') AS n_subwords
         |  FROM documents
         |) GROUP BY source ORDER BY source""".stripMargin,
+
+    "q28_dedup_keep_best" ->
+      s"""WITH shx AS (
+         |  $sqlShingleRows
+         |), counts AS (
+         |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT i, j FROM (
+         |    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |    FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2
+         |  ) s JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
+         |  WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
+         |), cluster AS (
+         |  SELECT doc_id, min(cluster) AS cluster FROM (
+         |    SELECT i AS doc_id, i AS cluster FROM pairs
+         |    UNION ALL SELECT j AS doc_id, i AS cluster FROM pairs
+         |  ) GROUP BY doc_id
+         |), quality AS (
+         |  SELECT doc_id,
+         |    ${Hashes.sqlRound("0.4::DOUBLE * ttr + 0.3::DOUBLE * (1.0::DOUBLE - stop_ratio) + 0.3::DOUBLE * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0::DOUBLE)", 4)} AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      round(len(list_distinct(str_split(text, ' ')))::DOUBLE / len(str_split(text, ' ')), 4) AS ttr,
+         |      round(len(list_filter(str_split(text, ' '), t -> list_contains(['the', 'a', 'value'], t)))::DOUBLE / len(str_split(text, ' ')), 4) AS stop_ratio,
+         |      len(str_split(text, ' ')) AS n_tokens
+         |    FROM documents
+         |  )
+         |)
+         |SELECT cluster,
+         |  arg_max(c.doc_id, quality * 1e12 - c.doc_id) AS kept_doc,
+         |  round(max(quality), 4) AS best_quality,
+         |  count(*) AS cluster_size
+         |FROM cluster c JOIN quality q ON q.doc_id = c.doc_id
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q29_normalize" ->
       """SELECT doc_id,
