@@ -84,6 +84,52 @@ object StreamOps {
         })
   }
 
+  /** [[asOfEnrich]] with event-time state eviction (W6/W7): a user's
+    * last-view state carries an event-time timer at viewTs + maxAge — once
+    * the watermark passes it the state is dropped (reference: state TTL +
+    * event-time timers, FlinkUtils.scala:80-87, AggregateFeaturesFunction
+    * .scala:57-65). Because the staleness cutoff already ignores views
+    * older than maxAge, eviction changes NO output — it bounds state: the
+    * store holds only users with a view inside the watermark horizon
+    * (asserted on numRowsTotal in StreamingSpec).
+    * Input must carry a watermark on `ts`.
+    */
+  def asOfEnrichTtl(events: Dataset[Ev], maxAgeSec: Long = 21600L): Dataset[EnrichedPurchase] = {
+    implicit val stateEnc = Encoders.product[AsOfState]
+    implicit val outEnc = Encoders.product[EnrichedPurchase]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[AsOfState]) => {
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed viewTs + maxAge: evict
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedPurchase]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              e.event_type match {
+                case "view" =>
+                  last = Some(AsOfState(e.ts.getTime, e.value))
+                case "purchase" =>
+                  val prior = last match {
+                    case Some(AsOfState(vts, vv))
+                      if e.ts.getTime - vts <= maxAgeSec * 1000 => vv
+                    case _ => 0.0
+                  }
+                  out += EnrichedPurchase(e.event_id, user, e.value, prior)
+                case _ => ()
+              }
+            }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.viewTs + maxAgeSec * 1000)
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** A6 count-bounded clustering window: buffer feature vectors in state;
     * when the buffer reaches `maxCount`, run seeded K-means (bootstrapped
     * from the previous model's centroids — reference: KMeansClusterFunction

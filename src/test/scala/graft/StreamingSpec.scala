@@ -106,6 +106,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("as-of with event-time TTL: same output as the untimed op, state evicted by watermark (W6/W7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.asOfEnrichTtl(
+      stream.toDF().withWatermark("ts", "10 minutes").as[Ev])
+      .writeStream.format("memory").queryName("asof_ttl_out").outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 4 + 1))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      // sentinel far in the future pushes the watermark past every timer
+      val sentinel = Ev(999999999L,
+        new java.sql.Timestamp(all.last.ts.getTime + 365L * 86400 * 1000), 1L, "signup", 0.0)
+      stream.addData(sentinel); q.processAllAvailable()
+      stream.addData(sentinel.copy(event_id = 999999998L)); q.processAllAvailable()
+      // output parity with the untimed operator (staleness rule already
+      // ignores anything the TTL would have evicted)
+      val ttl = spark.table("asof_ttl_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val batch = WindowPack.queries("q23_asof_join")(spark, sf)
+        .select(col("event_id"), col("prior_view_value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ttl.keySet == batch.keySet)
+      batch.foreach { case (id, v) =>
+        assert(math.rint(ttl(id) * 100) / 100 == v, s"mismatch at $id") }
+      // the watermark passed every viewTs + maxAge: all state evicted
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 0, s"state not evicted: $stateRows rows remain")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (view->purchase within 1h) equals the batch join") {
     // beyond the reference (SURVEY §2.4 "absent join kinds: theta/range/
     // interval joins") — declared-supported: watermarked stream-stream
