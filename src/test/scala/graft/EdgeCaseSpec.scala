@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.GraphPack
+import graft.sources.KeyedUpsertSink
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Edge-case hardening: empty/degenerate inputs and repeat-run determinism
+  * (shuffle order must never leak into results — every query ends in a
+  * total order and hash constants are seeded). */
+class EdgeCaseSpec extends GraftSuite {
+
+  test("upsert sink accepts an empty update batch (stream with an empty micro-batch)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_empty_upsert").toString + "/t"
+    val b1 = Seq((1L, 10L, 5L)).toDF("k", "v", "n")
+    KeyedUpsertSink.upsert(spark, dir, b1, Seq("k"), "v")
+    val empty = b1.filter(lit(false))
+    KeyedUpsertSink.upsert(spark, dir, empty, Seq("k"), "v")
+    val got = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 10L)))
+  }
+
+  test("upsert sink bootstraps from a non-existent directory") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_boot_upsert").toString + "/fresh/nested"
+    val b = Seq((7L, 1L, 2L)).toDF("k", "v", "n")
+    KeyedUpsertSink.upsert(spark, dir, b, Seq("k"), "v")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("reply-tree fixpoint on a reply-free input: every event is its own root") {
+    // restrict to a slice with no clicks by filtering the edge derivation
+    // upstream is not possible through the public query, so assert on the
+    // real data's roots instead: depth-0 rows are exactly the non-clicks
+    val resolved = GraphPack.queries("q45_reply_tree_roots")(spark, sf)
+    val roots = resolved.filter(col("depth") === 0).count()
+    val nonClicks = Tables.events(spark, sf).filter(col("event_type") =!= "click").count()
+    assert(roots == nonClicks)
+  }
+
+  test("hash-bearing queries are identical across repeated runs (seeded determinism)") {
+    Seq("q32_dedup_minhash_lsh", "q33_simhash", "q51_user_minhash", "q42_ann_lsh")
+      .foreach { q =>
+        val fn = SparkEntry.queries(q)
+        val a = fn(spark, sf).collect()
+        val b = fn(spark, sf).collect()
+        assert(a.sameElements(b), s"$q differs across runs")
+      }
+  }
+
+  test("sliding stats on an empty frame yields an empty result, not an error") {
+    val empty = Tables.events(spark, sf).filter(lit(false))
+    assert(graft.operators.WindowPack.slidingStats(empty).count() == 0)
+  }
+
+  test("oracle keys and query keys are mutually consistent") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
+    val rowsOnly = qs -- os
+    assert(rowsOnly == Set("q43_ann_ivf", "q62_classified_docs", "q71_media_decode"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+}
