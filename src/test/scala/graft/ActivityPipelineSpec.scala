@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.KMeans
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end Task 3 (reference: UnusualActivityDetectionJob, SURVEY §3.3):
+  * featurized text stream → count-bounded K-means window (model stream) →
+  * classification of the SAME event stream against the latest model — the
+  * reference's broadcast-model join J14 realized as the SURVEY §7.3 plan:
+  * "foreachBatch: load current model (driver var), classify". Events
+  * arriving before the first model exist are dropped (reference:
+  * ClassifyEventsFunction.scala:16-47 inner-drop semantics).
+  */
+class ActivityPipelineSpec extends GraftSuite {
+
+  test("clustering model stream + latest-model classification compose deterministically") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // featurized points from the documents table, deterministic order
+    val feats = graft.operators.ActivityPack.queries("q60_text_features")(spark, sf)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+
+    @volatile var currentModel: Option[(Int, KMeans.Model)] = None
+
+    // job 1: model stream (single state group, count trigger at 100)
+    val pointStream = MemoryStream[Seq[Double]]
+    val modelQ = StreamOps.countBoundedCluster(pointStream.toDS(), k = 3, maxCount = 100)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[graft.streaming.ModelRow], _: Long) =>
+        batch.orderBy(col("version")).collect().lastOption.foreach { m =>
+          currentModel = Some((m.version, KMeans.Model(
+            m.centroids.zipWithIndex.map { case (c, i) =>
+              KMeans.Cluster(i, c.toVector, m.weights(i))
+            }.toVector)))
+        }
+      }.start()
+
+    // job 2: classification against the latest model (J14)
+    val docStream = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val classifyQ = docStream.toDS().toDF("doc_id", "f")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        currentModel match {
+          case Some((ver, m)) =>
+            batch.collect().foreach { r =>
+              val f = r.getSeq[Double](1).toVector
+              results += ((r.getLong(0), m.classify(f).index, ver))
+            }
+          case None => () // before the first model: dropped (J14 semantics)
+        }
+      }.start()
+
+    try {
+      val chunks = feats.grouped(120).toSeq
+      chunks.foreach { c =>
+        pointStream.addData(c.map(_._2)); modelQ.processAllAvailable()
+        docStream.addData(c.map(t => (t._1, t._2))); classifyQ.processAllAvailable()
+      }
+    } finally { modelQ.stop(); classifyQ.stop() }
+
+    // model versions fired at every 100 buffered points: 500 docs -> 5 models
+    assert(currentModel.map(_._1).contains(feats.length / 100))
+    // chunk 1 (120 pts) classified under v1, later chunks under the then-latest
+    val byVersion = results.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(results.nonEmpty && byVersion.keySet.min >= 1)
+    // recompute expected: replay chunks, tracking the model the classifier saw
+    var buf = Seq.empty[Seq[Double]]
+    var model: Option[KMeans.Model] = None
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    feats.grouped(120).foreach { c =>
+      buf = buf ++ c.map(_._2)
+      while (buf.length >= 100) {
+        val (window, rest) = buf.splitAt(100)
+        val pts = window.map(_.toVector)
+        val init = model.map(_.clusters.map(_.centroid))
+          .getOrElse(KMeans.bootstrap(pts, 3, 137L))
+        val clustered = KMeans.cluster(pts, init)
+        model = Some(model.map(_.update(clustered, 0.2)).getOrElse(clustered))
+        buf = rest
+      }
+      model.foreach { m => c.foreach { t => expected += ((t._1, m.classify(t._2.toVector).index)) } }
+    }
+    val gotPairs = results.map(t => (t._1, t._2)).toSeq
+    assert(gotPairs == expected.toSeq, s"first diff: ${gotPairs.zip(expected).find(p => p._1 != p._2)}")
+  }
+}
