@@ -242,6 +242,21 @@ object RelationalPack {
         .orderBy(col("user_id"))
     }),
 
+    // Correlated scalar subquery: orders priced above their customer's own
+    // average — Catalyst decorrelates to an aggregate + join (an optimizer
+    // capability the reference has no counterpart for; SURVEY §4.1
+    // "subquery decorrelation — free once declarative").
+    "q47_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above,
+          |  round(max(o_totalprice), 2) AS max_price
+          |FROM orders_v o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
     // FULL OUTER join — absent from the reference (SURVEY §2.4 "absent join
     // kinds") but declared-supported; NULL-preserving per-nation comparison
     // of customer vs supplier account balances.
@@ -401,6 +416,14 @@ object RelationalPack {
         |  len(list_distinct(list_concat(a.a, b.b))) AS n_union
         |FROM a JOIN b ON a.user_id = b.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q47_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q26_full_outer" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey, cust_bal, supp_bal
