@@ -41,6 +41,43 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("append-mode sliding stats emit exactly the batch windows once the watermark closes them") {
+    // production mode: append + watermark — a window row is emitted exactly
+    // once, when the watermark passes its end. After a far-future sentinel
+    // closes everything, the emitted set must equal the batch computation.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("append_parity")
+      .outputMode("append").start()
+    try {
+      all.grouped(all.length / 3 + 1).foreach { c => stream.addData(c); q.processAllAvailable() }
+      val sentinelTs = new java.sql.Timestamp(all.last.ts.getTime + 30L * 86400 * 1000)
+      stream.addData(Ev(999999999L, sentinelTs, 1L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(999999998L, new java.sql.Timestamp(sentinelTs.getTime + 86400000L), 1L, "signup", 0.0))
+      q.processAllAvailable()
+      val cutoff = all.last.ts.getTime / 1000 + 86400
+      val streamed = spark.table("append_parity")
+        .filter(col("wstart") < cutoff)
+        .orderBy(col("wstart"), col("user_id")).collect()
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("n_events"))
+        .orderBy(col("wstart"), col("user_id")).collect()
+      assert(streamed.length == batch.length,
+        s"append emitted ${streamed.length}, batch has ${batch.length}")
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated (user, type, value) rows across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
