@@ -54,6 +54,10 @@ class EdgeCaseSpec extends GraftSuite {
     assert(graft.operators.WindowPack.slidingStats(empty).count() == 0)
   }
 
+  test("driver t1 smoke: SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("oracle keys and query keys are mutually consistent") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
