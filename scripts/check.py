@@ -71,6 +71,26 @@ def main():
             print(f"  FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
+        # The driver's hash compare is TYPE-FAMILY-sensitive: integer widths
+        # are interchangeable (int32 Spark vs int64 DuckDB passed in r1) but
+        # a DuckDB HUGEINT sum arrives as decimal128 and FAILS against Spark
+        # int64 even when values match (q33/q37 in r1). Mirror that: compare
+        # type families, where decimal is its own family.
+        def family(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t):
+                return "int"
+            if pt.is_floating(t):
+                return "float"
+            return str(t)
+        got_types = {f.name: f.type for f in got_t.schema}
+        exp_types = {f.name: f.type for f in exp.schema}
+        type_diff = [(c, str(got_types[c]), str(exp_types[c])) for c in got_cols
+                     if family(got_types[c]) != family(exp_types[c])]
+        if type_diff:
+            print(f"  FAIL {name}: column type-family mismatch {type_diff}")
+            n_fail += 1
+            continue
         if len(got_rows) != len(exp_rows):
             print(f"  FAIL {name}: rowcount {len(got_rows)} != {len(exp_rows)}")
             n_fail += 1

@@ -154,18 +154,24 @@ object TextPack {
     }),
 
     // SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
-    // sign of sum over tokens of ±1 by token-hash bit b. 48 bits keeps the
+    // sign of sum over tokens of ±1 by token-hash bit b. Token hash is
+    // base60 (60 bits) so all 48 sketch bits are live; 48 bits keeps the
     // value positive in a signed 64-bit integer in both engines.
+    // Plan shape: ONE shuffle (groupBy doc_id) carrying 48 partial-agg
+    // columns — no per-bit row explosion, no second aggregate; the final
+    // sketch assembly is a codegen'd 48-term projection.
     "q33_simhash" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-        .select(col("doc_id"), Hashes.base32(col("tok")).as("x"),
-          explode(sequence(lit(0), lit(47))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(expr("(x >> b) & 1") === 1, 1).otherwise(-1)).as("sgn"))
+        .select(col("doc_id"), Hashes.base60(col("tok")).as("x"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("sgn") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+        .agg(sum(when(expr("(x >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+          (1 until 48).map(b =>
+            sum(when(expr(s"(x >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+        .select(col("doc_id"),
+          (0 until 48).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -373,11 +379,11 @@ object TextPack {
          |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
          |), bits AS (
          |  SELECT doc_id, b,
-         |    sum(CASE WHEN ((${Hashes.sqlBase32("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+         |    sum(CASE WHEN ((${Hashes.sqlBase60("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
          |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
          |)
          |SELECT doc_id,
-         |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q34_simhash_neardup" ->
@@ -385,11 +391,11 @@ object TextPack {
          |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
          |), bits AS (
          |  SELECT doc_id, b,
-         |    sum(CASE WHEN ((${Hashes.sqlBase32("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+         |    sum(CASE WHEN ((${Hashes.sqlBase60("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
          |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
          |), sh AS (
          |  SELECT doc_id,
-         |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          |  FROM bits GROUP BY doc_id
          |)
          |SELECT a.doc_id AS i, b.doc_id AS j,
@@ -428,10 +434,10 @@ object TextPack {
         |) ORDER BY doc_id""".stripMargin,
 
     "q37_token_stats" ->
-      """SELECT source, count(*) AS n_docs,
-        |  sum(n_tokens) AS total_tokens,
-        |  sum(n_subwords) AS total_subwords,
-        |  round(sum(n_chars)::DOUBLE / sum(n_tokens), 4) AS chars_per_token
+      s"""SELECT source, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  sum(n_subwords)::BIGINT AS total_subwords,
+        |  ${Hashes.sqlRound("sum(n_chars)::DOUBLE / sum(n_tokens)", 4)} AS chars_per_token
         |FROM (
         |  SELECT source, n_chars,
         |    len(str_split(text, ' '))::BIGINT AS n_tokens,

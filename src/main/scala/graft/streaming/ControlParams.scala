@@ -25,13 +25,18 @@ object ControlParams {
   private val LabelRe = """\s*label\s*:\s*(\d+)\s*=\s*(.+?)\s*""".r
   private val CommentRe = """\s*(#.*)?""".r
 
-  /** line → 0..1 parsed params or an error (comments/blank → nothing). */
+  /** line → 0..1 parsed params or an error (comments/blank → nothing).
+    * Numeric conversions use `toIntOption`: an overflowing `k=99999999999`
+    * routes to [[ParseError]] (the dead-letter contract) instead of
+    * throwing inside the stream task. */
   def parse(line: String): Option[Parsed] = line match {
     case CommentRe(_)   => None
-    case KRe(v)         => Some(K(v.toInt))
+    case KRe(v)         =>
+      v.toIntOption.map(K(_)).orElse(Some(ParseError(line, "k out of range")))
     case DecayRe(v)     =>
       v.toDoubleOption.map(Decay(_)).orElse(Some(ParseError(line, "bad decay")))
-    case LabelRe(i, t)  => Some(Label(i.toInt, t))
+    case LabelRe(i, t)  =>
+      i.toIntOption.map(Label(_, t)).orElse(Some(ParseError(line, "cluster out of range")))
     case other          => Some(ParseError(other, "unrecognized parameter"))
   }
 }
