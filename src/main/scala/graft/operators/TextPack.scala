@@ -54,10 +54,16 @@ object TextPack {
   private val sqlShingles: String =
     s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
 
-  /** (doc_id, shingle) exploded rows. */
+  /** (doc_id, shingle) exploded rows — the shingle inverted index. Cached:
+    * it is the shared build artifact of q31 (both self-join sides), q28 and
+    * q32 (Spark's CacheManager matches the identical plan across calls), the
+    * same "build once, probe many times" role as the reference's persisted
+    * LSH index (LoadStaticDataJob.scala:92-105). At cluster scale this is a
+    * materialized table bucketed by shingle, not an in-memory cache. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shinglesCol).as("shingle"))
+      .cache()
 
   private val sqlShingleRows: String =
     s"""SELECT doc_id, unnest(s) AS shingle FROM (
@@ -184,7 +190,9 @@ object TextPack {
     // at sf0.1, so the scan stays. At 100 TB the choice is data-dependent;
     // both are exact, pick by a bucket-size histogram.
     "q34_simhash_neardup" -> ((s, d) => {
-      val sh = queries("q33_simhash")(s, d)
+      // cache: both self-join sides read the sketch table instead of
+      // re-deriving it from raw text (64 bits/doc — trivially resident)
+      val sh = queries("q33_simhash")(s, d).cache()
       // repartition: BNLJ parallelism = streamed-side partitions (see q41)
       sh.repartition(32).as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))

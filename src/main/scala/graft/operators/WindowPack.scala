@@ -73,19 +73,31 @@ object WindowPack {
     // A1 sliding-window per-key statistics — the reference's flagship
     // operator (PostStatisticsFunction: per-post 12h/30min counters +
     // exact distinct users; here per-user with per-type counters).
-    // Scale note: the ×24 window fan-out happens AFTER the map-side partial
-    // aggregation of (window,key) pairs; at 100 TB swap countDistinct for
+    // Two-phase plan: aggregate per (30-min BASE bucket, user, type) FIRST,
+    // then fan each counter row out to the 24 sliding windows containing
+    // its bucket and re-sum. A 12h/30min slide over window() replicates
+    // every raw event ×24 before any aggregation; here the ×24 applies to
+    // collapsed counter rows, so fan-out volume ∝ distinct keys — at 100 TB
+    // that is the difference between shuffling 24× the events and 24× the
+    // (bucket,key) summary. Exactly window()'s semantics: windows with
+    // start ∈ (t-12h, t] stepped 30 min. n_types stays exact (countDistinct
+    // over pre-bucketed type rows); unbounded domains swap in
     // approx_count_distinct (SURVEY §7.4.3) — both semantics are tested.
     "q21_sliding_stats" -> ((s, d) => {
       Tables.events(s, d)
-        .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+        .groupBy(expr("(unix_timestamp(ts) div 1800) * 1800").as("b0"),
+          col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("b0"), col("user_id"), col("event_type"), col("n"),
+          explode(sequence(lit(0), lit(23))).as("k"))
+        .select((col("b0") - col("k") * 1800).as("wstart"), col("user_id"),
+          col("event_type"), col("n"))
+        .groupBy(col("wstart"), col("user_id"))
         .agg(
-          count(lit(1)).as("n_events"),
-          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
-          count(when(col("event_type") === "click", 1)).as("n_click"),
+          sum(col("n")).as("n_events"),
+          sum(when(col("event_type") === "purchase", col("n")).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("n_click"),
           countDistinct(col("event_type")).as("n_types"))
-        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
-          col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
         .orderBy(col("wstart"), col("user_id"))
     }),
 
