@@ -25,7 +25,8 @@ object SparkEntry {
       (GraphPack.queries, GraphPack.oracle),
       (RecommendationPack.queries, RecommendationPack.oracle),
       (ActivityPack.queries, ActivityPack.oracle),
-      (MultimodalPack.queries, MultimodalPack.oracle)
+      (MultimodalPack.queries, MultimodalPack.oracle),
+      (PipelinePack.queries, PipelinePack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators beyond the dedup/similarity core:
+  * transitive dup clustering, TF-IDF term weighting, deterministic
+  * sampling, n-gram vocabulary statistics, vocabulary-coverage filtering,
+  * JSON property extraction, and skew-mitigated aggregation.
+  *
+  * The clustering fixpoint generalizes the reference's transitive
+  * reply-tree resolution (reference:
+  * streams/BuildReplyTreeProcessFunction.scala:28-409) from trees to
+  * arbitrary undirected dup graphs; everything else is new surface a
+  * 100 TB corpus pipeline needs (see SURVEY §2 "beyond the reference").
+  *
+  * Scale design:
+  *  - q44 is semi-naive min-label propagation: one shuffle per round,
+  *    rounds bounded by component diameter (dup clusters are shallow);
+  *    localCheckpoint truncates lineage like GraphPack.resolveRoots.
+  *  - q63/q66 build small corpus-level side tables (document frequencies,
+  *    top-k vocabulary) that broadcast back onto the exploded token
+  *    stream — the big table is touched in one pass.
+  *  - q64 sampling is a stateless hash predicate — no shuffle at all,
+  *    deterministic across engines and retries (the property that makes
+  *    sampled pipelines reproducible).
+  *  - q48 demonstrates the two-phase salted aggregation (Skew module):
+  *    hot keys spread over shards before the final combine, exact result.
+  */
+object PipelinePack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MAX_ROUNDS = 32
+  private val TFIDF_TOP  = 5
+  private val BIGRAM_TOP = 10
+  private val VOCAB_K    = 50
+  private val OOV_T      = 0.2
+  private val SAMPLE_PCT = 10
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Connected components of the q31 near-dup pair graph by min-label
+    * propagation to fixpoint: every node's label converges to the smallest
+    * doc_id in its component. Exact for arbitrary multi-hop dup chains —
+    * the transitive closure q28's single-hop clustering deliberately
+    * skips. */
+  def dupClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextPack.queries("q31_ngram_jaccard")(s, d)
+      .select(col("i"), col("j")).localCheckpoint()
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var round = 0
+    var changed = true
+    while (changed && round < MAX_ROUNDS) {
+      // every node has >= 1 edge (nodes are drawn from the edge list), so
+      // the neighbor-min inner join covers all ids
+      val nbrMin = edges.as("e").join(labels.as("l"), col("e.b") === col("l.id"))
+        .groupBy(col("e.a").as("id")).agg(min(col("l.lbl")).as("nlbl"))
+      val next = labels.as("cur").join(nbrMin.as("nb"), "id")
+        .select(col("id"), least(col("cur.lbl"), col("nb.nlbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count() > 0
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Transitive dup clusters: component id = min doc_id, member list in
+    // canonical sorted-CSV form.
+    "q44_dup_clusters" -> ((s, d) =>
+      dupClusterLabels(s, d)
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy(col("cluster"))),
+
+    // Skew-mitigated aggregation: two-phase salted count/sum (Skew module)
+    // over possibly-hot event_type keys. Sums integer cents
+    // (floor(value*100): exact in doubles, identical cross-engine) so the
+    // salted two-phase addition order cannot perturb the result.
+    "q48_skew_agg" -> ((s, d) => {
+      val cents = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      Skew.saltedCountSum(cents, "event_type", "cents")
+        .select(col("event_type"), col("n"), col("sum_value").as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // JSON property extraction over the semi-structured `props` column —
+    // schema-on-read for event payloads (codegen'd path, no UDF), bucketed
+    // rollup of the extracted key.
+    "q49_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket"))),
+
+    // TF-IDF top terms per document: tf = in-doc term count, idf =
+    // ln(N/df); rank on the 6-decimal rounding (collapses cross-engine
+    // ulp noise in ln) with term tiebreak, report 4 decimals — the q40
+    // ranking pattern.
+    "q63_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score6").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score6",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TFIDF_TOP)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("score6"), 4).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Deterministic stratified sampling: keep a doc iff
+    // base32(md5(doc_id)) mod 100 < SAMPLE_PCT — a pure per-row predicate
+    // (no shuffle, no RNG state) that yields the SAME sample on every
+    // engine, retry, and partitioning; the reproducibility contract a
+    // training pipeline needs from its sampler.
+    "q64_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (Hashes.base32(col("doc_id").cast("string")) % 100).as("bucket"))
+        .filter(col("bucket") < SAMPLE_PCT)
+        .orderBy(col("doc_id"))),
+
+    // Bigram vocabulary: top-10 bigrams per source by frequency —
+    // n-gram LM count tables / vocab induction. Same two-phase shape as
+    // any heavy-hitter query: explode → count → per-group top-k.
+    "q65_bigram_counts" -> ((s, d) => {
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("bigram"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(bigrams).as("bigram"))
+        .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BIGRAM_TOP)
+        .select(col("source"), col("rank"), col("bigram"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Vocabulary-coverage (OOV) filter: corpus top-50 vocabulary, per-doc
+    // out-of-vocabulary occurrence ratio, keep-decision at OOV_T. The
+    // vocab is a broadcast side table; the corpus pass is single-shuffle.
+    // (At 100 TB the top-k comes from a partial-top-k tree aggregate, not
+    // a global sort — the vocab stays driver-small either way.)
+    "q66_oov_filter" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))))
+        .filter(col("r") <= VOCAB_K)
+        .select(col("term"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_ratio",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .withColumn("kept", col("oov_ratio") <= OOV_T)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q44_dup_clusters" ->
+      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
+         |  SELECT i AS a, j AS b FROM pairs
+         |  UNION ALL
+         |  SELECT j AS a, i AS b FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT a AS id FROM edges
+         |), reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |), lab AS (
+         |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+         |)
+         |SELECT cluster, count(*) AS n_members,
+         |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+         |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q48_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q49_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_tfidf" -> {
+      val score6 = Hashes.sqlRound("tf * ln(n_docs::DOUBLE / df)", 6)
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+         |), tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+         |), dfc AS (
+         |  SELECT term, count(*) AS df FROM tfc GROUP BY term
+         |), ranked AS (
+         |  SELECT doc_id, term, $score6 AS score6,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY $score6 DESC, term) AS rank
+         |  FROM tfc JOIN dfc USING (term)
+         |    CROSS JOIN (SELECT count(*) AS n_docs FROM documents)
+         |)
+         |SELECT doc_id, rank, term, ${Hashes.sqlRound("score6", 4)} AS score
+         |FROM ranked WHERE rank <= $TFIDF_TOP ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "q64_sample_stratified" ->
+      s"""SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source,
+         |    ${Hashes.sqlBase32("doc_id::VARCHAR")} % 100 AS bucket
+         |  FROM documents
+         |) WHERE bucket < $SAMPLE_PCT ORDER BY doc_id""".stripMargin,
+
+    "q65_bigram_counts" ->
+      s"""WITH bg AS (
+         |  SELECT source,
+         |    unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS bigram
+         |  FROM (SELECT source, str_split(text, ' ') AS t FROM documents)
+         |), cnt AS (
+         |  SELECT source, bigram, count(*) AS n FROM bg GROUP BY source, bigram
+         |), ranked AS (
+         |  SELECT source, bigram, n,
+         |    row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rank
+         |  FROM cnt
+         |)
+         |SELECT source, rank, bigram, n
+         |FROM ranked WHERE rank <= $BIGRAM_TOP ORDER BY source, rank""".stripMargin,
+
+    "q66_oov_filter" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+         |), vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, row_number() OVER (
+         |      ORDER BY count(*) DESC, term) AS r
+         |    FROM tok GROUP BY term
+         |  ) WHERE r <= $VOCAB_K
+         |), scored AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (v.term IS NULL) AS n_oov
+         |  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  ${Hashes.sqlRound("n_oov::DOUBLE / n_tokens", 4)} AS oov_ratio,
+         |  ${Hashes.sqlRound("n_oov::DOUBLE / n_tokens", 4)} <= $OOV_T AS kept
+         |FROM scored ORDER BY doc_id""".stripMargin
+  )
+}

@@ -324,6 +324,24 @@ object TextPack {
     })
   )
 
+  /** CTE chain shx → counts → pairs producing q31's near-dup pair relation
+    * (i, j) — shared by the q28 oracle and PipelinePack's q44 clustering
+    * oracle (same single source of truth as the Spark side, which calls
+    * queries("q31_ngram_jaccard")). */
+  private[operators] val sqlPairCtes: String =
+    s"""shx AS (
+       |  $sqlShingleRows
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT i, j FROM (
+       |    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+       |    FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2
+       |  ) s JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
+       |  WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
+       |)""".stripMargin
+
   private val sqlEstSim: String = (0 until NUM_HASHES)
     .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
     .mkString("(", " + ", s")::DOUBLE / ${NUM_HASHES}::DOUBLE")
@@ -455,18 +473,7 @@ object TextPack {
         |) GROUP BY source ORDER BY source""".stripMargin,
 
     "q28_dedup_keep_best" ->
-      s"""WITH shx AS (
-         |  $sqlShingleRows
-         |), counts AS (
-         |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
-         |), pairs AS (
-         |  SELECT i, j FROM (
-         |    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
-         |    FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2
-         |  ) s JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
-         |  WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
-         |), cluster AS (
+      s"""WITH $sqlPairCtes, cluster AS (
          |  SELECT doc_id, min(cluster) AS cluster FROM (
          |    SELECT i AS doc_id, i AS cluster FROM pairs
          |    UNION ALL SELECT j AS doc_id, i AS cluster FROM pairs

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{PipelinePack, TextPack}
+import org.apache.spark.sql.functions._
+
+class PipelinePackSpec extends GraftSuite {
+
+  test("every pipeline query returns rows at sf0.001 with matching oracle key") {
+    PipelinePack.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(PipelinePack.oracle.contains(name), s"$name lacks oracle SQL")
+    }
+  }
+
+  test("dup clusters are the transitive closure of the pair graph") {
+    // every pair's endpoints land in the SAME cluster, and every cluster id
+    // is the min of its member list (min-label fixpoint reached)
+    val pairs = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = PipelinePack.queries("q44_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSet)
+    val memberToCluster = clusters.flatMap { case (c, ms) => ms.map(_ -> c) }.toMap
+    pairs.foreach { case (i, j) =>
+      assert(memberToCluster(i) == memberToCluster(j),
+        s"pair ($i,$j) split across clusters")
+    }
+    clusters.foreach { case (c, ms) =>
+      assert(ms.min == c, s"cluster $c is not the min of its members $ms")
+    }
+  }
+
+  test("salted skew aggregation equals the plain aggregate") {
+    val salted = PipelinePack.queries("q48_skew_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("stratified sample is deterministic and ~SAMPLE_PCT of the corpus") {
+    val a = PipelinePack.queries("q64_sample_stratified")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = PipelinePack.queries("q64_sample_stratified")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash sampling must be repartition/retry-stable")
+    val total = Tables.documents(spark, sf).count()
+    // md5 is uniform: expect ~10% +- a generous binomial margin
+    assert(a.size > total * 0.03 && a.size < total * 0.25,
+      s"sample ${a.size}/$total far from 10%")
+  }
+
+  test("tfidf ranks at most TOP terms per doc with distinct ranks 1..k") {
+    val rows = PipelinePack.queries("q63_tfidf")(spark, sf)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val ranks = rs.map(_._2).sorted.toList
+      assert(ranks == (1 to ranks.size).toList,
+        s"doc $doc ranks $ranks not 1..k")
+      assert(ranks.size <= 5)
+    }
+  }
+
+  test("oov filter: kept iff rounded ratio <= threshold; token counts add up") {
+    val bad = PipelinePack.queries("q66_oov_filter")(spark, sf)
+      .filter((col("oov_ratio") <= 0.2) =!= col("kept") ||
+        col("n_oov") > col("n_tokens"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("common-token bigrams dominate per-source top lists deterministically") {
+    val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      // counts must be non-increasing in rank, ties broken by bigram asc
+      byRank.sliding(2).foreach {
+        case Array(x, y) =>
+          val (nx, ny) = (x.getLong(3), y.getLong(3))
+          assert(nx > ny || (nx == ny && x.getString(2) < y.getString(2)))
+        case _ => ()
+      }
+    }
+  }
+}
