@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.KMeans
 import graft.operators.WindowPack
-import graft.streaming.{Ev, StreamOps}
+import graft.streaming.{Ev, ProgressMonitor, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -240,5 +240,80 @@ class StreamingSpec extends GraftSuite {
       assert(got2 == m2.clusters.map(_.centroid),
         s"v2 centroids diverge:\n got $got2\n exp ${m2.clusters.map(_.centroid)}")
     } finally q.stop()
+  }
+
+  test("append-mode session windows emit exactly the batch sessions once the watermark closes them") {
+    // production form of q24's sessionization: append + watermark — a
+    // session row is emitted exactly once, when the watermark passes its
+    // close. After a far-future sentinel, emitted set == batch computation.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("session_append")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      val sentinelTs = new java.sql.Timestamp(all.last.ts.getTime + 30L * 86400 * 1000)
+      stream.addData(Ev(999999999L, sentinelTs, 1L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(999999998L, new java.sql.Timestamp(sentinelTs.getTime + 86400000L), 1L, "signup", 0.0))
+      q.processAllAvailable()
+      val cutoff = all.last.ts.getTime / 1000 + 86400
+      val streamed = spark.table("session_append")
+        .filter(col("sess_start") < cutoff)
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      val batch = Tables.events(spark, sf)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      assert(streamed.length == batch.length,
+        s"append emitted ${streamed.length}, batch has ${batch.length}")
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("lateness listener collects per-batch observed counters and the watermark (W12)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val listener = new ProgressMonitor.LatenessListener("observed_stream")
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[Ev]
+    val q = ProgressMonitor.observed(
+        stream.toDF().withWatermark("ts", "30 minutes"))
+      .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("observed_stream")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      // listener delivery is async: poll until all rows are accounted for
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (listener.snapshots.map(_.nRows).sum < all.length
+             && System.nanoTime() < deadline) Thread.sleep(50)
+      val snaps = listener.snapshots
+      assert(snaps.map(_.nRows).sum == all.length,
+        s"listener saw ${snaps.map(_.nRows).sum} of ${all.length} rows")
+      snaps.foreach { s =>
+        assert(s.spanSec == s.maxEventSec - s.minEventSec)
+        assert(s.maxBehindWatermarkSec >= 0)
+      }
+      // watermark must have advanced off the epoch after the first batch
+      assert(snaps.drop(1).forall(_.watermarkSec > 0),
+        s"watermark never advanced: $snaps")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 }
