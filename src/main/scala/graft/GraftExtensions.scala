@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.MinHashSig
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native expressions with the
+  * session so they are callable from SQL text as well as the DataFrame API
+  * (`spark.sql.extensions=graft.GraftExtensions`; Verify/Bench/test
+  * sessions set it). The injection shape follows the public
+  * `SparkSessionExtensions.injectFunction` contract. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.minhashSigFunction)
+}
+
+object GraftExtensions {
+  /** `minhash_sig(array<string>)` → 64-slot seed-42 signature — the
+    * TextPack configuration; positional (n, seed) overloads would go
+    * through the same builder. */
+  val minhashSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(arr) => MinHashSig(arr, numHashes = 64, seed = 42L)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig expects 1 argument, got ${other.length}")
+    })
+}

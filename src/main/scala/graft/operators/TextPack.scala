@@ -70,15 +70,21 @@ object TextPack {
        |    SELECT doc_id, $sqlShingles AS s
        |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))""".stripMargin
 
-  /** MinHash signature table: doc_id, m0..m63 (min of h_i over shingles). */
-  private def sigDf(s: SparkSession, d: String): DataFrame = {
-    val hx = shingleRows(s, d)
-      .select(col("doc_id"), Hashes.base32(col("shingle")).as("x"))
-    hx.groupBy(col("doc_id"))
-      .agg(min(Hashes.minhashSlot(col("x"), fam(0))).as("m0"),
-        (1 until NUM_HASHES).map(i =>
-          min(Hashes.minhashSlot(col("x"), fam(i))).as(s"m$i")): _*)
-  }
+  /** MinHash signature table: doc_id, m0..m63 (min of h_i over shingles).
+    *
+    * Built with the native [[graft.functions.MinHashSig]] expression: the
+    * shingle set sits in one row, so the signature is a per-row codegen'd
+    * scalar — a MAP-ONLY pass, no explode and no shuffle (the relational
+    * explode → 64-min-agg build this replaces is [[MinHash.signature]],
+    * still used where elements arrive as rows). Same hash constants, same
+    * output schema, oracle-checked by q32's gate. */
+  private def sigDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.of(shinglesCol, NUM_HASHES, SEED).as("sigarr"))
+      .filter(col("sigarr").isNotNull)
+      .select(col("doc_id") +:
+        (0 until NUM_HASHES).map(i => col("sigarr")(i).as(s"m$i")): _*)
 
   private val sqlSig: String = {
     val mins = fam.zipWithIndex
