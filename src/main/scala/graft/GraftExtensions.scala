@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.MinHashSig
+import graft.functions.{MinHashSig, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * sessions set it). The injection shape follows the public
   * `SparkSessionExtensions.injectFunction` contract. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
+    ext.injectFunction(GraftExtensions.vecDotFunction)
+  }
 }
 
 object GraftExtensions {
@@ -26,5 +28,15 @@ object GraftExtensions {
       case Seq(arr) => MinHashSig(arr, numHashes = 64, seed = 42L)
       case other => throw new IllegalArgumentException(
         s"minhash_sig expects 1 argument, got ${other.length}")
+    })
+
+  /** `vec_dot(array<double>, array<double>)` → double (sequential fold). */
+  val vecDotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => VecDot(a, b)
+      case other => throw new IllegalArgumentException(
+        s"vec_dot expects 2 arguments, got ${other.length}")
     })
 }

@@ -51,8 +51,7 @@ object SimilarityPack {
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p))"))
+      .withColumn("norm", sqrt(graft.functions.VecDot.of(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
 
   private val sqlVecs: String =
@@ -63,14 +62,16 @@ object SimilarityPack {
 
   /** cosine of two (pre-normed) vector columns.
     *
-    * Deliberately `aggregate(zip_with(...))`, NOT a 64-term unrolled
-    * `v[0]*c[0] + ...` sum: the unroll was measured 4-7× SLOWER end-to-end
-    * (deep Add trees explode Catalyst planning + janino compile, overflow
-    * codegen method limits, and ship MiB-sized task binaries) while the
-    * higher-order form evaluates over primitive arrays at ~memory speed. */
+    * Dot product = the native [[graft.functions.VecDot]] kernel: same
+    * sequential fold (bit-identical to `aggregate(zip_with(...))` and the
+    * oracle's `list_dot_product`) but reading both arrays in place — no
+    * per-pair intermediate array in the n² scan. A 64-term unrolled
+    * `v[0]*c[0] + ...` sum was also tried and measured 4-7× SLOWER
+    * end-to-end (deep Add trees explode Catalyst planning + janino
+    * compile and ship MiB-sized task binaries) — kernel > higher-order
+    * form > unrolled literals. */
   private def cosine(va: String, vb: String, na: String, nb: String): Column =
-    expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") /
-      (col(na) * col(nb))
+    graft.functions.VecDot.of(col(va), col(vb)) / (col(na) * col(nb))
 
   private def sqlCosine(va: String, vb: String, na: String, nb: String): String =
     s"list_dot_product($va, $vb) / ($na * $nb)"
@@ -80,7 +81,7 @@ object SimilarityPack {
   private def sigCol(t: Int): Column =
     (0 until BITS).map { b =>
       val plane = planes(t * BITS + b).mkString("array(", "D,", "D)")
-      when(expr(s"aggregate(zip_with(v, $plane, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") > 0,
+      when(graft.functions.VecDot.of(col("v"), expr(plane)) > 0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -217,7 +218,7 @@ object SimilarityPack {
     * argmin of true squared distance (|v|² is constant per row). */
   private def cellScore(c: Vector[Double]): Column = {
     val arr = c.mkString("array(", "D,", "D)")
-    val dot = expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+    val dot = graft.functions.VecDot.of(col("v"), expr(arr))
     dot * -2.0 + lit(c.map(x => x * x).sum)
   }
 
