@@ -36,12 +36,18 @@ object ActivityPack {
         round(element_at(col("f"), 2), 4).as("f1"),
         round(element_at(col("f"), 3), 4).as("f2"))
 
-  /** Seeded deterministic model over an sf dir's documents. */
-  def model(s: SparkSession, d: String): KMeans.Model = {
-    val pts = featureDf(s, d).orderBy(col("doc_id")).collect()
-      .map(r => Vector(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
-    KMeans.cluster(pts, KMeans.bootstrap(pts, K, seed = 137L))
-  }
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, KMeans.Model]()
+
+  /** Seeded deterministic model over an sf dir's documents. Memoized per
+    * directory — a model is trained once and classified with many times
+    * (same policy as SimilarityPack's IVF centroid cache). */
+  def model(s: SparkSession, d: String): KMeans.Model =
+    modelCache.computeIfAbsent(d, _ => {
+      val pts = featureDf(s, d).orderBy(col("doc_id")).collect()
+        .map(r => Vector(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      KMeans.cluster(pts, KMeans.bootstrap(pts, K, seed = 137L))
+    })
 
   val queries: Map[String, Q] = Map(
     // F5 text featurization (reference tokenizer + 3 ratios,

@@ -48,7 +48,7 @@ object PipelinePack {
     * the transitive closure q28's single-hop clustering deliberately
     * skips. */
   def dupClusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = TextPack.queries("q31_ngram_jaccard")(s, d)
+    val pairs = TextPack.pairsDf(s, d)
       .select(col("i"), col("j")).localCheckpoint()
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))

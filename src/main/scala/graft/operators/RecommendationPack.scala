@@ -155,7 +155,9 @@ object RecommendationPack {
       .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
       .filter(col("est_sim") >= MIN_SIM)
       .select(col("ucls"), col("ccls"), col("est_sim"))
-    // expand class pairs to user pairs; J6 exclude known
+    // expand class pairs to user pairs; J6 exclude known. Cached: q53 and
+    // q54 rank the SAME scored relation (q54 adds the activity filter) —
+    // the persisted scored-candidate table of the reference's pipeline.
     clsSims
       .join(broadcast(members.select(col("cls").as("ucls"), col("ms").as("us"))), "ucls")
       .join(broadcast(members.select(col("cls").as("ccls"), col("ms").as("cs"))), "ccls")
@@ -163,6 +165,7 @@ object RecommendationPack {
       .select(col("est_sim"), col("u"), explode(col("cs")).as("c"))
       .filter(col("u") =!= col("c") && abs(col("u") - col("c")) > KNOWN_DIST)
       .select(col("u"), col("c"), col("est_sim"))
+      .cache()
   }
 
   /** Top-N per user WITHOUT a sort-based window: hash-aggregate a per-user

@@ -54,6 +54,28 @@ object TextPack {
   private val sqlShingles: String =
     s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
 
+  /** q31's near-dup pair relation (i, j, shared, jac) — cached: it is the
+    * edge input of q28's clustering and q44's connected components as well
+    * as q31's own output (tiny: pairs that cleared the jaccard threshold).
+    * At cluster scale this is the persisted candidate-pair table every
+    * dedup pass downstream reads. */
+  private[operators] def pairsDf(s: SparkSession, d: String): DataFrame = {
+    val shx = shingleRows(s, d)
+    val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    shx.as("a")
+      .join(shx.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jac", round(col("shared").cast("double")
+        / (col("ni") + col("nj") - col("shared")), 4))
+      .filter(col("jac") >= JACC_T)
+      .select(col("i"), col("j"), col("shared"), col("jac"))
+      .cache()
+  }
+
   /** (doc_id, shingle) exploded rows — the shingle inverted index. Cached:
     * it is the shared build artifact of q31 (both self-join sides), q28 and
     * q32 (Spark's CacheManager matches the identical plan across calls), the
@@ -115,23 +137,8 @@ object TextPack {
     // A5 shape, LoadStaticDataJob.scala:99-105), count shared, then
     // |A∩B| / (|A|+|B|-|A∩B|). Quadratic only within a shingle's posting
     // list, never across the corpus.
-    "q31_ngram_jaccard" -> ((s, d) => {
-      val shx = shingleRows(s, d)
-      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = shx.as("a")
-        .join(shx.as("b"), col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-        .withColumn("jac", round(col("shared").cast("double")
-          / (col("ni") + col("nj") - col("shared")), 4))
-        .filter(col("jac") >= JACC_T)
-        .select(col("i"), col("j"), col("shared"), col("jac"))
-        .orderBy(col("i"), col("j"))
-    }),
+    "q31_ngram_jaccard" -> ((s, d) =>
+      pairsDf(s, d).orderBy(col("i"), col("j"))),
 
     // MinHash + LSH near-dup detection — the scale path: 64-slot signatures,
     // 16 bands x 4 rows, candidates = docs sharing any band bucket, then
@@ -267,7 +274,7 @@ object TextPack {
     // the doc with the highest quality score (q36's formula) — the
     // realistic "which duplicate survives" policy, via max_by/arg_max.
     "q28_dedup_keep_best" -> ((s, d) => {
-      val pairs = queries("q31_ngram_jaccard")(s, d).select(col("i"), col("j"))
+      val pairs = pairsDf(s, d).select(col("i"), col("j"))
       // cluster id = min doc id over the pair relation (single-hop: the
       // planted dup pairs are disjoint edges; transitive closure is q45's
       // machinery and overkill here)
