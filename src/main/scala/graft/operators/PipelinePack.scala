@@ -39,6 +39,7 @@ object PipelinePack {
   private val VOCAB_K    = 50
   private val OOV_T      = 0.2
   private val SAMPLE_PCT = 10
+  private val CONTAIN_T  = 0.8
 
   private def toks: Column = split(col("text"), " ")
 
@@ -161,6 +162,51 @@ object PipelinePack {
         .orderBy(col("source"), col("rank"))
     }),
 
+    // Batch interval join: views joined to the same user's purchases
+    // within the following hour — the batch twin of the stream-stream
+    // interval join (StreamingSpec). Plan shape is the scalable one: hash
+    // equi-join on user_id, the time-range predicate applied as a
+    // post-join filter (at 100 TB pair with date-partition pruning so
+    // only adjacent partitions co-shuffle).
+    "q67_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      // the range predicate runs at SECOND granularity on both engines
+      // (DuckDB reads the raw nano timestamps; comparing truncated values
+      // keeps the row sets identical)
+      v.join(p, "user_id")
+        .withColumn("gap_sec",
+          unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
+        .filter(col("gap_sec") >= 0 && col("gap_sec") <= 3600)
+        .select(col("view_id"), col("purchase_id"), col("user_id"), col("gap_sec"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
+    // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over shingle
+    // multisets — catches SUBSET duplicates (a document embedded inside a
+    // longer one) that symmetric Jaccard misses; the standard complement
+    // to q31 in a training-pipeline dedup stack. Same inverted-index
+    // block join, different score.
+    "q69_containment_dedup" -> ((s, d) => {
+      val shx = TextPack.shingleRows(s, d)
+      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      shx.as("a")
+        .join(shx.as("b"), col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("containment",
+          round(col("shared").cast("double") / least(col("ni"), col("nj")), 4))
+        .filter(col("containment") >= CONTAIN_T)
+        .select(col("i"), col("j"), col("shared"), col("containment"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Vocabulary-coverage (OOV) filter: corpus top-50 vocabulary, per-doc
     // out-of-vocabulary occurrence ratio, keep-decision at OOV_T. The
     // vocab is a broadcast side table; the corpus pass is single-shuffle.
@@ -257,6 +303,32 @@ object PipelinePack {
          |)
          |SELECT source, rank, bigram, n
          |FROM ranked WHERE rank <= $BIGRAM_TOP ORDER BY source, rank""".stripMargin,
+
+    "q67_interval_join" ->
+      """SELECT view_id, purchase_id, user_id, gap_sec FROM (
+        |  SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |    CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = v.user_id
+        |) WHERE gap_sec >= 0 AND gap_sec <= 3600
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "q69_containment_dedup" ->
+      s"""WITH shx AS (
+         |  ${TextPack.sqlShingleRows}
+         |), counts AS (
+         |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i, j, shared,
+         |  ${Hashes.sqlRound("shared::DOUBLE / least(ci.n, cj.n)", 4)} AS containment
+         |FROM shared JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
+         |WHERE ${Hashes.sqlRound("shared::DOUBLE / least(ci.n, cj.n)", 4)} >= $CONTAIN_T
+         |ORDER BY i, j""".stripMargin,
 
     "q66_oov_filter" ->
       s"""WITH tok AS (

@@ -77,17 +77,18 @@ object TextPack {
   }
 
   /** (doc_id, shingle) exploded rows — the shingle inverted index. Cached:
+    * (also the input of PipelinePack's q69 containment dedup.)
     * it is the shared build artifact of q31 (both self-join sides), q28 and
     * q32 (Spark's CacheManager matches the identical plan across calls), the
     * same "build once, probe many times" role as the reference's persisted
     * LSH index (LoadStaticDataJob.scala:92-105). At cluster scale this is a
     * materialized table bucketed by shingle, not an in-memory cache. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shinglesCol).as("shingle"))
       .cache()
 
-  private val sqlShingleRows: String =
+  private[operators] val sqlShingleRows: String =
     s"""SELECT doc_id, unnest(s) AS shingle FROM (
        |    SELECT doc_id, $sqlShingles AS s
        |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))""".stripMargin

@@ -40,7 +40,8 @@ class EdgeCaseSpec extends GraftSuite {
   }
 
   test("hash-bearing queries are identical across repeated runs (seeded determinism)") {
-    Seq("q32_dedup_minhash_lsh", "q33_simhash", "q51_user_minhash", "q42_ann_lsh")
+    Seq("q32_dedup_minhash_lsh", "q33_simhash", "q51_user_minhash", "q42_ann_lsh",
+        "q44_dup_clusters", "q63_tfidf", "q64_sample_stratified", "q66_oov_filter")
       .foreach { q =>
         val fn = SparkEntry.queries(q)
         val a = fn(spark, sf).collect()

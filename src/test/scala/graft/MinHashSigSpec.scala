@@ -47,6 +47,23 @@ class MinHashSigSpec extends GraftSuite {
     }
   }
 
+  test("unicode elements hash identically to the relational md5 path") {
+    import spark.implicits._
+    // multi-byte UTF-8: the kernel hashes UTF8String bytes, Spark's md5()
+    // hashes the same bytes — slot 0 must agree exactly
+    val words = Seq("héllo wörld", "日本語", "emoji 🚀 test")
+    val viaExpr = words.map { w =>
+      Seq(Seq(w)).toDF("arr")
+        .select(MinHashSig.of(col("arr"), 64, 42L)).collect()(0).getSeq[Long](0).head
+    }
+    val fam = Hashes.family(64, 42L)
+    val viaBuiltin = words.map { w =>
+      val x = Seq(w).toDF("s").select(Hashes.base32(col("s"))).collect()(0).getLong(0)
+      (fam.head._1 * x + fam.head._2) % Hashes.P
+    }
+    assert(viaExpr == viaBuiltin)
+  }
+
   test("empty and all-null element sets yield NULL (filtered like the agg path)") {
     import spark.implicits._
     val df = Seq(
