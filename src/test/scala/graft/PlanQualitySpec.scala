@@ -46,6 +46,34 @@ class PlanQualitySpec extends GraftSuite {
       s"no final agg after shuffle:\n$plan")
   }
 
+  test("rank<=k queries plan a WindowGroupLimit (per-partition top-k before the shuffle)") {
+    // Spark 4's WindowGroupLimit pushes the rank filter below the window:
+    // each partition keeps only its k best rows per key BEFORE the range
+    // shuffle — the per-partition-heap refinement SCALE.md relies on at
+    // 100 TB. Guard it so a query refactor doesn't silently lose it.
+    Seq("q09_topn" -> RelationalPack.queries("q09_topn"),
+        "q63_tfidf" -> graft.operators.PipelinePack.queries("q63_tfidf"))
+      .foreach { case (name, fn) =>
+        val plan = executedPlan(fn(spark, sf))
+        assert(plan.contains("WindowGroupLimit"),
+          s"$name lost the WindowGroupLimit pushdown:\n$plan")
+      }
+  }
+
+  test("q64: deterministic sampling is shuffle-free up to the presentation sort") {
+    val plan = executedPlan(
+      graft.operators.PipelinePack.queries("q64_sample_stratified")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // exactly one Exchange: the rangepartitioning of the final orderBy
+    assert(exchanges <= 1, s"sampling must not shuffle:\n$plan")
+  }
+
+  test("q66: vocabulary side table broadcasts back onto the token stream") {
+    val plan = executedPlan(
+      graft.operators.PipelinePack.queries("q66_oov_filter")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast vocab:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
