@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
     ext.injectFunction(GraftExtensions.vecDotFunction)
+    // whole-operator extension: AS-OF JOIN logical node → sort-merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

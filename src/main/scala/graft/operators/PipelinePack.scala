@@ -185,6 +185,28 @@ object PipelinePack {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // AS-OF enrichment through the custom operator stack (logical node →
+    // strategy → sort-merge exec, graft.plans.AsOfJoin): every purchase
+    // gets the latest strictly-prior view's value of the same user within
+    // 6h, else 0 — q23's semantics family executed in one forward merge
+    // pass instead of an unbounded-preceding window sort.
+    "q68_asof_custom" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          unix_timestamp(col("ts")).as("v_tsec"),
+          col("value").as("v_value"), col("event_id").as("v_eid"))
+      graft.plans.AsOfJoinOp.asof(purchases, views,
+          "user_id", "tsec", "v_user", "v_tsec", "v_eid", toleranceSec = 21600L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          coalesce(round(col("v_value"), 2), lit(0.0)).as("prior_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over shingle
     // multisets — catches SUBSET duplicates (a document embedded inside a
     // longer one) that symmetric Jaccard misses; the standard complement
@@ -313,6 +335,20 @@ object PipelinePack {
         |    ON p.user_id = v.user_id
         |) WHERE gap_sec >= 0 AND gap_sec <= 3600
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "q68_asof_custom" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |  coalesce(round(pv_val, 2), 0.0) AS prior_view_value
+        |FROM (
+        |  SELECT p.event_id, p.user_id, p.value, (
+        |    SELECT v.value FROM events v
+        |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |      AND floor(epoch(v.ts)) < floor(epoch(p.ts))
+        |      AND floor(epoch(p.ts)) - floor(epoch(v.ts)) <= 21600
+        |    ORDER BY floor(epoch(v.ts)) DESC, v.event_id DESC LIMIT 1
+        |  ) AS pv_val
+        |  FROM events p WHERE p.event_type = 'purchase'
+        |) ORDER BY event_id""".stripMargin,
 
     "q69_containment_dedup" ->
       s"""WITH shx AS (
