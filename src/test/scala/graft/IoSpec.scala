@@ -65,4 +65,25 @@ class IoSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(again == got)
   }
+
+  test("ORC round-trip preserves the events table (columnar sink beyond parquet)") {
+    val dir = tmpDir("graft_orc") + "/events"
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("JSON-lines round-trip with explicit schema (semi-structured interchange)") {
+    val dir = tmpDir("graft_json") + "/events"
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "props")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }
