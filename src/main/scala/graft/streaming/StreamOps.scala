@@ -3,7 +3,7 @@ package graft.streaming
 import graft.functions.KMeans
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event for streaming ops (the reference's unified `Event` shape,
   * model/Events.scala:13, with the testdata column names). */
@@ -128,6 +128,56 @@ object StreamOps {
             out.iterator
           }
         })
+  }
+
+  /** [[asOfEnrich]] on Spark 4's `transformWithState` API — the modern
+    * stateful-processor form (arbitrary state via the handle, declarative
+    * per-state TTL, RocksDB-backed). Semantics identical to
+    * [[asOfEnrich]] (asserted in StreamingSpec); state is one
+    * [[AsOfState]] value per user with a processing-time TTL as the
+    * belt-and-braces state bound (the staleness cutoff already ignores
+    * old views, so TTL eviction never changes output — the same argument
+    * as [[asOfEnrichTtl]]'s event-time timers).
+    * Requires the RocksDB state store provider (Spark's TWS contract).
+    */
+  class AsOfProcessor(maxAgeSec: Long)
+    extends StatefulProcessor[Long, Ev, EnrichedPurchase] {
+    @transient private var lastView: ValueState[AsOfState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastView = getHandle.getValueState[AsOfState]("lastView",
+        Encoders.product[AsOfState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[EnrichedPurchase] = {
+      var last = if (lastView.exists()) Some(lastView.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedPurchase]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" =>
+            last = Some(AsOfState(e.ts.getTime, e.value))
+          case "purchase" =>
+            val prior = last match {
+              case Some(AsOfState(vts, vv))
+                if e.ts.getTime - vts <= maxAgeSec * 1000 => vv
+              case _ => 0.0
+            }
+            out += EnrichedPurchase(e.event_id, user, e.value, prior)
+          case _ => ()
+        }
+      }
+      last.foreach(lastView.update)
+      out.iterator
+    }
+  }
+
+  /** J11 as-of enrichment via [[AsOfProcessor]]/`transformWithState`. */
+  def asOfEnrichTws(events: Dataset[Ev], maxAgeSec: Long = 21600L): Dataset[EnrichedPurchase] = {
+    implicit val outEnc = Encoders.product[EnrichedPurchase]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new AsOfProcessor(maxAgeSec),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** A6 count-bounded clustering window: buffer feature vectors in state;

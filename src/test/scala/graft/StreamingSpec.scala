@@ -242,6 +242,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("transformWithState as-of enrichment equals the flatMapGroupsWithState op") {
+    // Spark 4's stateful-processor API (RocksDB-backed) must produce the
+    // SAME enrichment as the classic flatMapGroupsWithState form when fed
+    // the same micro-batches in the same order
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.asOfEnrichTws(stream.toDS())
+        .writeStream.format("memory").queryName("asof_tws_out")
+        .outputMode("append").start()
+      try {
+        all.grouped(math.max(1, all.length / 4 + 1))
+          .foreach { c => stream.addData(c); q.processAllAvailable() }
+        val tws = spark.table("asof_tws_out").collect()
+          .map(r => (r.getLong(0), r.getDouble(3))).toMap
+        // classic op fed identically
+        val stream2 = MemoryStream[Ev]
+        val q2 = StreamOps.asOfEnrich(stream2.toDS())
+          .writeStream.format("memory").queryName("asof_classic_out")
+          .outputMode("append").start()
+        try {
+          all.grouped(math.max(1, all.length / 4 + 1))
+            .foreach { c => stream2.addData(c); q2.processAllAvailable() }
+          val classic = spark.table("asof_classic_out").collect()
+            .map(r => (r.getLong(0), r.getDouble(3))).toMap
+          assert(tws.nonEmpty && tws == classic,
+            s"tws=${tws.size} classic=${classic.size} diverge")
+        } finally q2.stop()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("append-mode session windows emit exactly the batch sessions once the watermark closes them") {
     // production form of q24's sessionization: append + watermark — a
     // session row is emitted exactly once, when the watermark passes its
