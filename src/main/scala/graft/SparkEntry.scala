@@ -33,8 +33,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.iterator.map(_._1).reduce(_ ++ _)
 
+  /** When set (by Verify, which knows the sf dir), data-dependent oracles
+    * — the trained IVF/K-means centroids embedded as literals — join the
+    * static map, upgrading q43/q62 from rows-only to hash-checked. */
+  @volatile var oracleContext: Option[(SparkSession, String)] = None
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    packs.iterator.map(_._2).reduce(_ ++ _)
+    packs.iterator.map(_._2).reduce(_ ++ _) ++
+      oracleContext.map { case (s, d) =>
+        SimilarityPack.dynamicOracle(s, d) ++ ActivityPack.dynamicOracle(s, d)
+      }.getOrElse(Map.empty)
 }

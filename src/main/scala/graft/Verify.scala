@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the sf dir is known here: enable the data-dependent oracles
+    // (centroid literals) so q43/q62 get full hash checks
+    SparkEntry.oracleContext = Some((spark, sfDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -222,6 +222,57 @@ object SimilarityPack {
     dot * -2.0 + lit(c.map(x => x * x).sum)
   }
 
+  /** Data-dependent oracle for q43: the trained IVF centroids are embedded
+    * as DOUBLE literals (Double.toString round-trips exactly through the
+    * DuckDB parser), making the whole probe/assign/rank pipeline
+    * hash-checkable — called by Verify once the sf dir is known
+    * (SparkEntry.oracleContext). */
+  def dynamicOracle(s: SparkSession, d: String): Map[String, String] = {
+    val cents = ivfCentroids(s, d)
+    def cellScoreSql(c: Vector[Double]): String = {
+      val arr = c.map(x => s"($x)::DOUBLE").mkString("[", ",", "]")
+      s"(list_dot_product(v, $arr) * -2.0 + (${c.map(x => x * x).sum})::DOUBLE)"
+    }
+    val csCols = cents.zipWithIndex
+      .map { case (c, i) => s"${cellScoreSql(c)} AS cs$i" }.mkString(",\n    ")
+    val minCs = (0 until IVF_CELLS).map(i => s"cs$i").mkString("least(", ", ", ")")
+    val cellCase = (0 until IVF_CELLS - 1)
+      .map(i => s"WHEN cs$i = m THEN $i").mkString("CASE ", " ", s" ELSE ${IVF_CELLS - 1} END")
+    val qsc = (0 until IVF_CELLS)
+      .map(i => s"SELECT vec_id AS qid, v AS qv, norm AS qn, $i AS cell, cs$i AS score FROM scored WHERE vec_id % 50 = 0")
+      .mkString("\n  UNION ALL\n  ")
+    val cos6 = Hashes.sqlRound(sqlCosine("qv", "av", "qn", "anorm"), 6)
+    Map("q43_ann_ivf" ->
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), scored AS (
+         |  SELECT vec_id, v, norm,
+         |    $csCols
+         |  FROM e
+         |), assigned AS (
+         |  SELECT vec_id, v, norm, $cellCase AS cell
+         |  FROM (SELECT *, $minCs AS m FROM scored)
+         |), qsc AS (
+         |  $qsc
+         |), probes AS (
+         |  SELECT qid, qv, qn, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, cell) AS pr
+         |    FROM qsc
+         |  ) WHERE pr <= $NPROBE
+         |), ranked AS (
+         |  SELECT qid, nid, cell, cos6,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
+         |  FROM (
+         |    SELECT p.qid, a.vec_id AS nid, a.cell, p.qv, p.qn,
+         |      a.v AS av, a.norm AS anorm, $cos6 AS cos6
+         |    FROM probes p JOIN assigned a ON a.cell = p.cell
+         |    WHERE a.vec_id <> p.qid
+         |  )
+         |)
+         |SELECT qid, rank, nid, ${Hashes.sqlRound("cos6", 4)} AS cos, cell
+         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" ->
       s"""WITH e AS (

@@ -61,10 +61,20 @@ class EdgeCaseSpec extends GraftSuite {
 
   test("oracle keys and query keys are mutually consistent") {
     val qs = SparkEntry.queries.keySet
+    // static oracles (no sf dir known): q43/q62/q71 are rows-only
+    SparkEntry.oracleContext = None
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
-    val rowsOnly = qs -- os
-    assert(rowsOnly == Set("q43_ann_ivf", "q62_classified_docs", "q71_media_decode"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(qs -- os == Set("q43_ann_ivf", "q62_classified_docs", "q71_media_decode"),
+      s"unexpected rows-only set: ${qs -- os}")
+    // with the Verify context set, the data-dependent oracles join in and
+    // only the stubbed media decode stays rows-only
+    SparkEntry.oracleContext = Some((spark, sf))
+    try {
+      val osDyn = SparkEntry.oracleSql.keySet
+      assert(osDyn.subsetOf(qs))
+      assert(qs -- osDyn == Set("q71_media_decode"),
+        s"unexpected rows-only set with context: ${qs -- osDyn}")
+    } finally SparkEntry.oracleContext = None
   }
 }
