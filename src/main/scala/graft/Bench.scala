@@ -20,7 +20,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // best-of-2 at the target SF: the first pass pays residual JIT/codegen
+    // best-of-3 at the target SF: the first pass pays residual JIT/codegen
     // compilation and page-cache faults; the min is the steady-state number
     // (single runs varied ±30% run-to-run on identical code).
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -32,7 +32,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      name -> Seq.fill(3)(timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

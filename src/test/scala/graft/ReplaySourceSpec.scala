@@ -23,6 +23,28 @@ class ReplaySourceSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("replayed stream through sliding stats equals the batch computation (reference replay contract)") {
+    // the reference's core invariant: a replayed stream fed through the
+    // windowed pipeline produces the batch answer (README.md:112's
+    // determinism contract) — here: ReplaySource → slidingStats ==
+    // batch slidingStats
+    val q = graft.streaming.StreamOps.slidingStats(
+        spark.readStream.format(fmt)
+          .option("path", sf).option("speedup", "1e15").load())
+      .writeStream.format("memory").queryName("replay_sliding")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_sliding")
+        .orderBy(col("wstart"), col("user_id")).collect()
+      val batch = graft.operators.WindowPack.slidingStats(
+          Tables.events(spark, sf), exactDistinct = false)
+        .orderBy(col("wstart"), col("user_id")).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("moderate speedup paces the release: partial early, complete later, ts-ordered") {
     // choose speedup so the full replay takes ~4s of wall clock
     val bounds = Tables.events(spark, sf)
