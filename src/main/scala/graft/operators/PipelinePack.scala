@@ -48,9 +48,15 @@ object PipelinePack {
     * doc_id in its component. Exact for arbitrary multi-hop dup chains —
     * the transitive closure q28's single-hop clustering deliberately
     * skips. */
-  def dupClusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = TextPack.pairsDf(s, d)
-      .select(col("i"), col("j")).localCheckpoint()
+  def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    labelPropagation(TextPack.pairsDf(s, d).select(col("i"), col("j")))
+
+  /** Min-label propagation to fixpoint over an undirected pair relation
+    * (i, j): every node's label converges to the smallest id in its
+    * connected component within diameter rounds. Exposed for direct
+    * multi-hop testing (PipelinePackSpec chains). */
+  def labelPropagation(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.localCheckpoint()
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .localCheckpoint()

@@ -90,6 +90,33 @@ class AsOfJoinSpec extends GraftSuite {
     assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3).map(k => (k, custom(k), expected(k)))}")
   }
 
+  test("randomized as-of join matches a brute-force reference (3 seeds, dense key collisions)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // few keys + coarse times force heavy same-key/same-second collisions
+      val lefts = (1 to 200).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(300).toLong))
+      val rights = (1 to 300).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(300).toLong, rnd.nextInt(1000) / 10.0, i.toLong))
+      val tol = 50L
+      val got = AsOfJoinOp.asof(
+          lefts.toDF("id", "k", "t"), rights.toDF("rk", "rt", "v", "ri"),
+          "k", "t", "rk", "rt", "ri", tol)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val exp = lefts.map { case (id, k, t) =>
+        val cands = rights.filter(r => r._1 == k && r._2 < t && t - r._2 <= tol)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._2, r._4))._3))
+      }.toMap
+      assert(got.size == exp.size)
+      val bad = exp.keySet.filter(k => got(k) != exp(k))
+      assert(bad.isEmpty,
+        s"seed $seed: ${bad.size} diverge, e.g. ${bad.take(3).map(k => (k, got(k), exp(k)))}")
+    }
+  }
+
   test("planner inserts exchanges and per-partition sorts around AsOfJoinExec") {
     val l = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
     val r = Seq((1L, 90L, 7.0, 1L)).toDF("rk", "rt", "v", "ri")

@@ -30,6 +30,20 @@ class PipelinePackSpec extends GraftSuite {
     }
   }
 
+  test("label propagation converges on multi-hop chains and rings (diameter > 1)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, ring 10-11-12-10, isolated pair 20-21: the real
+    // data's planted dups are mostly diameter-1, so pin the multi-round
+    // fixpoint explicitly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val got = PipelinePack.labelPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain labels: $got")
+    assert((10L to 12L).forall(got(_) == 10L), s"ring labels: $got")
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+
   test("salted skew aggregation equals the plain aggregate") {
     val salted = PipelinePack.queries("q48_skew_agg")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
