@@ -82,6 +82,16 @@ def main():
                 return "int"
             if pt.is_floating(t):
                 return "float"
+            # string vs large_string and timestamp unit/tz vary by
+            # DuckDB/pyarrow version; values are what the row compare checks
+            if pt.is_string(t) or pt.is_large_string(t):
+                return "str"
+            if pt.is_timestamp(t):
+                return "ts"
+            if pt.is_boolean(t):
+                return "bool"
+            if pt.is_list(t) or pt.is_large_list(t):
+                return ("list", family(t.value_type))
             return str(t)
         got_types = {f.name: f.type for f in got_t.schema}
         exp_types = {f.name: f.type for f in exp.schema}

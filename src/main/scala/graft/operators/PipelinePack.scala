@@ -77,6 +77,13 @@ object PipelinePack {
       labels = next
       round += 1
     }
+    // Propagation needs one round per hop from each node to its component's
+    // min node, so a component with >MAX_ROUNDS eccentricity would exit the
+    // loop with stale labels. Fail loudly rather than return wrong clusters.
+    if (changed)
+      throw new IllegalStateException(
+        s"labelPropagation did not converge within $MAX_ROUNDS rounds; " +
+          "component diameter exceeds the bound — raise MAX_ROUNDS")
     labels
   }
 

@@ -103,24 +103,39 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var cand: InternalRow = null
 
       lIter.map { l =>
-        val lk = l.getLong(lkOrd)
-        val lt = l.getLong(ltOrd)
-        // advance right over every row strictly before (lk, lt); the last
-        // one advanced is the best candidate (sorted by key, ts, tie)
-        var continue = rBuf.hasNext
-        while (continue) {
-          val h = rBuf.head
-          val hk = h.getLong(rkOrd)
-          if (hk < lk || (hk == lk && h.getLong(rtOrd) < lt)) {
-            val r = rBuf.next()
-            candKey = hk
-            candTs = r.getLong(rtOrd)
-            cand = r.copy() // iterator reuses its row buffer
-            continue = rBuf.hasNext
-          } else continue = false
+        // NULL key/ts can't match anything: SQL comparison semantics, not
+        // "reads as epoch 0" (getLong on a null slot returns 0). NULLs sort
+        // first under the required Ascending ordering, so skipping them here
+        // (left: emit unmatched; right: consume without becoming candidate)
+        // keeps the two-pointer merge correct.
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          proj(joined(l, nulls))
+        } else {
+          val lk = l.getLong(lkOrd)
+          val lt = l.getLong(ltOrd)
+          // advance right over every row strictly before (lk, lt); the last
+          // non-null one advanced is the best candidate (sorted by key, ts,
+          // tie)
+          var continue = rBuf.hasNext
+          while (continue) {
+            val h = rBuf.head
+            if (h.isNullAt(rkOrd) || h.isNullAt(rtOrd)) {
+              rBuf.next() // ineligible row: consume, never a candidate
+              continue = rBuf.hasNext
+            } else {
+              val hk = h.getLong(rkOrd)
+              if (hk < lk || (hk == lk && h.getLong(rtOrd) < lt)) {
+                val r = rBuf.next()
+                candKey = hk
+                candTs = r.getLong(rtOrd)
+                cand = r.copy() // iterator reuses its row buffer
+                continue = rBuf.hasNext
+              } else continue = false
+            }
+          }
+          val matched = cand != null && candKey == lk && lt - candTs <= tol
+          proj(joined(l, if (matched) cand else nulls))
         }
-        val matched = cand != null && candKey == lk && lt - candTs <= tol
-        proj(joined(l, if (matched) cand else nulls))
       }
     }
   }
@@ -133,7 +148,10 @@ object AsOfJoinOp {
     * Key/ts/tie columns must be LongType (callers project
     * `unix_timestamp(...)` seconds — keeping the comparison at second
     * granularity is also the cross-engine parity contract). Column names
-    * of the two sides should be disjoint (rename before joining). */
+    * of the two sides should be disjoint (rename before joining).
+    * NULL semantics: a NULL left key/ts row emits with NULL right columns;
+    * NULL right key/ts rows never match — SQL comparison semantics, checked
+    * per-row in the exec rather than by rejecting nullable inputs. */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, leftTs: String,
            rightKey: String, rightTs: String, rightTie: String,

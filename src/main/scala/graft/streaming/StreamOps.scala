@@ -134,10 +134,13 @@ object StreamOps {
     * stateful-processor form (arbitrary state via the handle, declarative
     * per-state TTL, RocksDB-backed). Semantics identical to
     * [[asOfEnrich]] (asserted in StreamingSpec); state is one
-    * [[AsOfState]] value per user with a processing-time TTL as the
-    * belt-and-braces state bound (the staleness cutoff already ignores
-    * old views, so TTL eviction never changes output — the same argument
-    * as [[asOfEnrichTtl]]'s event-time timers).
+    * [[AsOfState]] value per user (fixed-size last-value state — it never
+    * grows per key, so no TTL is configured; the API's declarative
+    * `TTLConfig` is the knob a deployment whose KEY SPACE grows unboundedly
+    * would turn on, at the cost of per-batch TTL-index maintenance in every
+    * RocksDB commit — measured pathological on this workload's many tiny
+    * micro-batches, and output-neutral anyway since the staleness cutoff
+    * already ignores old views).
     * Requires the RocksDB state store provider (Spark's TWS contract).
     */
   class AsOfProcessor(maxAgeSec: Long)
