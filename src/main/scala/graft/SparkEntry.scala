@@ -26,7 +26,8 @@ object SparkEntry {
       (RecommendationPack.queries, RecommendationPack.oracle),
       (ActivityPack.queries, ActivityPack.oracle),
       (MultimodalPack.queries, MultimodalPack.oracle),
-      (PipelinePack.queries, PipelinePack.oracle)
+      (PipelinePack.queries, PipelinePack.oracle),
+      (CurationPack.queries, CurationPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

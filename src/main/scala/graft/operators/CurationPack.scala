@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators — the filtering/splitting/packing layer a
+  * training-data pipeline runs between dedup (TextPack/PipelinePack) and
+  * shard writing. All are new surface beyond the reference (the brief's
+  * "operations a large-scale training-data pipeline would need"); the
+  * n-gram machinery grows from the same shingle index the dedup stack
+  * already builds (reference seed: RecommendationUtils.scala:16-49).
+  *
+  * Like TextPack, everything is built-in-expression level — md5/conv
+  * hashing, higher-order array functions — so the whole pack stays inside
+  * whole-stage codegen and every query is exactly DuckDB-oracle-checkable.
+  *
+  * Scale design (100 TB):
+  *  - q55 decontamination probes the big test-shingle stream against the
+  *    distinct train-shingle relation — one shuffle join on the shingle;
+  *    at scale the train set is a bucketed/bloom-filtered table, and
+  *    ultra-common shingles get a document-frequency cap (the q31 note).
+  *  - q56 boilerplate detection is the C4 rule: the chunk→doc-frequency
+  *    side table is corpus-small (only chunks seen ≥2×) and broadcasts
+  *    back onto the exploded chunk stream — one wide pass, one narrow one.
+  *  - q57 repetition stats are per-document map-side aggregations; no
+  *    cross-document state at all, so the pass is embarrassingly parallel.
+  *  - q58 packing windows over (source, doc_id) — per-shard prefix sums,
+  *    the sharded "concatenate then chunk into context windows" layout;
+  *    no global ordering is ever materialized.
+  *  - q59 rebalancing folds per-source token totals (tiny side table) and
+  *    keeps/drops rows with the q64 stateless hash predicate — the sample
+  *    is reproducible across engines, retries, and repartitioning.
+  */
+object CurationPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TEST_MOD    = 5     // 1-in-5 docs land in the eval split
+  private val CONTAM_T    = 0.6   // flag: ≥60% of eval shingles seen in train
+  private val CHUNK       = 10    // boilerplate chunk width (tokens)
+  private val BOILER_DF   = 2     // chunk in ≥2 distinct docs = boilerplate
+  private val TOP_TOK_T   = 0.12  // Gopher-style: max single-token mass
+  private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
+  private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
+  private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Deterministic eval-split membership: base32(md5(doc_id)) mod 5 == 0 —
+    * the q64 stateless-hash predicate, so the split is identical across
+    * engines, retries, and scale factors. */
+  private def isTest: Column =
+    Hashes.base32(col("doc_id").cast("string")) % TEST_MOD === 0
+  private val sqlIsTest =
+    s"${Hashes.sqlBase32("doc_id::VARCHAR")} % $TEST_MOD = 0"
+
+  val queries: Map[String, Q] = Map(
+    // Train/eval decontamination: fraction of each eval doc's distinct
+    // 3-gram shingles that appear anywhere in the train split. The
+    // standard n-gram-overlap contamination check run before training —
+    // an eval doc whose shingles are mostly covered by train text leaks.
+    // Reuses the dedup stack's shingle inverted index (TextPack W=3).
+    "q55_decontaminate" -> ((s, d) => {
+      val sp = Tables.documents(s, d).select(col("doc_id"), isTest.as("is_test"))
+      val shx = TextPack.shingleRows(s, d).join(sp, "doc_id")
+      val train = shx.filter(!col("is_test")).select(col("shingle")).distinct()
+        .withColumn("hit", lit(1))
+      shx.filter(col("is_test"))
+        .join(train, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+        .withColumn("contamination",
+          round(col("n_hit").cast("double") / col("n_shingles"), 4))
+        .withColumn("flagged", col("contamination") >= CONTAM_T)
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style boilerplate removal: split every doc into consecutive
+    // 10-token chunks; a chunk text occurring in ≥2 distinct docs is
+    // boilerplate; report per-doc chunk counts and the cleaned token
+    // count (tokens surviving boilerplate removal).
+    "q56_boilerplate" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ((size(col("t")) - 1) / CHUNK).cast("long"))).as("k"),
+          col("t"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("t"), col("k") * CHUNK + 1, lit(CHUNK))).as("chunk"),
+          least(size(col("t")) - col("k") * CHUNK, lit(CHUNK)).as("ntok"))
+      val boiler = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= BOILER_DF)
+        .select(col("chunk"), lit(1).as("boiler"))
+      chunks.join(broadcast(boiler), Seq("chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("boiler")).as("n_boiler"),
+          sum(when(col("boiler").isNull, col("ntok")).otherwise(0)).cast("long")
+            .as("clean_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition filter: per-doc mass of the most frequent
+    // token and of duplicated bigrams; a doc dominated by repeats fails.
+    // Pure per-document aggregation — no cross-doc state.
+    "q57_repetition_filter" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val bc = Tables.documents(s, d)
+        .select(col("doc_id"), bigrams.as("bg"))
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("d_bigrams"))
+      tc.join(bc, "doc_id")
+        .withColumn("top_tok_ratio",
+          round(col("max_tok").cast("double") / col("n_tokens"), 4))
+        .withColumn("dup_bigram_ratio",
+          round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4))
+        .withColumn("kept",
+          col("top_tok_ratio") <= TOP_TOK_T && col("dup_bigram_ratio") <= DUP_BG_T)
+        .select(col("doc_id"), col("n_tokens"), col("max_tok"),
+          col("top_tok_ratio"), col("dup_bigram_ratio"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing ("concatenate then chunk"): per-source token-stream
+    // prefix sums assign every doc its token interval
+    // [start_pos, start_pos+n_tokens) and the 128-token training sequences
+    // it spans. Per-source = per-shard: the prefix sum never needs a
+    // global ordering, only a per-partition window.
+    "q58_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start_pos", col("cum") - col("n_tokens"))
+        .withColumn("first_seq", (col("start_pos") / SEQ_LEN).cast("long"))
+        .withColumn("last_seq", ((col("cum") - 1) / SEQ_LEN).cast("long"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("start_pos"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Domain rebalancing: downsample every source to the smallest source's
+    // token volume. keep-rate (basis points) = ⌊10000·min_tokens/tokens⌋,
+    // membership by the stateless hash predicate — all-integer arithmetic,
+    // so the sample is exactly reproducible on any engine or partitioning.
+    "q59_domain_rebalance" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), size(toks).cast("long").as("ntok"),
+          (Hashes.base32(col("doc_id").cast("string")) % RATE_DENOM).as("bucket"))
+      val totals = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("tot_tokens"))
+      val mn = totals.agg(min(col("tot_tokens")).as("min_tokens"))
+      perDoc.join(broadcast(totals), "source")
+        .crossJoin(broadcast(mn))
+        .withColumn("rate_bp",
+          floor(lit(RATE_DENOM) * col("min_tokens") / col("tot_tokens")).cast("long"))
+        .groupBy(col("source"), col("n_docs"), col("tot_tokens"), col("rate_bp"))
+        .agg(count(when(col("bucket") < col("rate_bp"), 1)).as("n_kept"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q55_decontaminate" ->
+      s"""WITH shx AS (
+         |  ${TextPack.sqlShingleRows}
+         |), sp AS (
+         |  SELECT doc_id, $sqlIsTest AS is_test FROM documents
+         |), tagged AS (
+         |  SELECT shx.doc_id, shingle, is_test FROM shx JOIN sp USING (doc_id)
+         |), tr AS (
+         |  SELECT DISTINCT shingle FROM tagged WHERE NOT is_test
+         |), sc AS (
+         |  SELECT te.doc_id, count(*) AS n_shingles, count(tr.shingle) AS n_hit
+         |  FROM (SELECT doc_id, shingle FROM tagged WHERE is_test) te
+         |  LEFT JOIN tr ON te.shingle = tr.shingle
+         |  GROUP BY te.doc_id
+         |)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  ${Hashes.sqlRound("n_hit::DOUBLE / n_shingles", 4)} AS contamination,
+         |  ${Hashes.sqlRound("n_hit::DOUBLE / n_shingles", 4)} >= $CONTAM_T AS flagged
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q56_boilerplate" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id,
+         |    array_to_string(t[k*$CHUNK+1 : k*$CHUNK+$CHUNK], ' ') AS chunk,
+         |    least(len(t) - k*$CHUNK, $CHUNK) AS ntok
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |       LATERAL unnest(range(0, (len(t)-1)//$CHUNK + 1)) AS u(k)
+         |), boiler AS (
+         |  SELECT chunk FROM (
+         |    SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk
+         |  ) WHERE df >= $BOILER_DF
+         |)
+         |SELECT doc_id, count(*) AS n_chunks, count(b.chunk) AS n_boiler,
+         |  sum(CASE WHEN b.chunk IS NULL THEN ntok ELSE 0 END)::BIGINT AS clean_tokens
+         |FROM ch LEFT JOIN boiler b USING (chunk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q57_repetition_filter" -> {
+      val topR = Hashes.sqlRound("max_tok::DOUBLE / n_tokens", 4)
+      val dupR = Hashes.sqlRound("1.0 - d_bigrams::DOUBLE / n_bigrams", 4)
+      s"""WITH tc AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS max_tok FROM (
+         |    SELECT doc_id, tok, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |    GROUP BY doc_id, tok
+         |  ) GROUP BY doc_id
+         |), bc AS (
+         |  SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+         |    len(list_distinct(bg))::BIGINT AS d_bigrams
+         |  FROM (
+         |    SELECT doc_id,
+         |      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] AS bg
+         |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+         |  )
+         |)
+         |SELECT doc_id, n_tokens, max_tok,
+         |  $topR AS top_tok_ratio, $dupR AS dup_bigram_ratio,
+         |  ($topR <= $TOP_TOK_T AND $dupR <= $DUP_BG_T) AS kept
+         |FROM tc JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "q58_pack_sequences" ->
+      s"""SELECT source, doc_id, n_tokens, start_pos,
+         |  start_pos // $SEQ_LEN AS first_seq,
+         |  (cum - 1) // $SEQ_LEN AS last_seq,
+         |  (cum - 1) // $SEQ_LEN - start_pos // $SEQ_LEN + 1 AS n_seqs
+         |FROM (
+         |  SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_pos
+         |  FROM (SELECT source, doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens
+         |        FROM documents)
+         |) ORDER BY source, doc_id""".stripMargin,
+
+    "q59_domain_rebalance" ->
+      s"""WITH perdoc AS (
+         |  SELECT source, doc_id, len(str_split(text, ' '))::BIGINT AS ntok,
+         |    ${Hashes.sqlBase32("doc_id::VARCHAR")} % $RATE_DENOM AS bucket
+         |  FROM documents
+         |), totals AS (
+         |  SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS tot_tokens
+         |  FROM perdoc GROUP BY source
+         |), mn AS (SELECT min(tot_tokens) AS min_tokens FROM totals)
+         |SELECT source, n_docs, tot_tokens,
+         |  ($RATE_DENOM * min_tokens) // tot_tokens AS rate_bp,
+         |  count(CASE WHEN bucket < ($RATE_DENOM * min_tokens) // tot_tokens
+         |    THEN 1 END) AS n_kept
+         |FROM perdoc JOIN totals USING (source) CROSS JOIN mn
+         |GROUP BY source, n_docs, tot_tokens, min_tokens
+         |ORDER BY source""".stripMargin
+  )
+}

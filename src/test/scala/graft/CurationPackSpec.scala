@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.CurationPack
+import org.apache.spark.sql.functions._
+
+class CurationPackSpec extends GraftSuite {
+
+  test("every curation query returns rows at sf0.001 with matching oracle key") {
+    CurationPack.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(CurationPack.oracle.contains(name), s"$name lacks oracle SQL")
+    }
+  }
+
+  test("decontamination ratios are bounded and the split is disjoint") {
+    val rows = CurationPack.queries("q55_decontaminate")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val hit = r.getAs[Long]("n_hit")
+      val c = r.getAs[Double]("contamination")
+      assert(hit >= 0 && hit <= n)
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("flagged") == (c >= 0.6))
+    }
+    // eval docs are a strict subset: every doc_id here must hash into the split
+    val testIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val allTest = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        (graft.functions.Hashes.base32(col("doc_id").cast("string")) % 5 === 0)
+          .as("t"))
+      .collect().filter(_.getAs[Boolean]("t")).map(_.getAs[Long]("doc_id")).toSet
+    assert(testIds.subsetOf(allTest))
+  }
+
+  test("boilerplate accounting: chunks partition the doc, clean <= total") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CurationPack.queries("q56_boilerplate")(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nChunks = r.getAs[Long]("n_chunks")
+      val clean = r.getAs[Long]("clean_tokens")
+      assert(nChunks == (docs(id) - 1) / 10 + 1, s"doc $id chunk count")
+      assert(clean <= docs(id) && clean >= 0)
+      assert(r.getAs[Long]("n_boiler") <= nChunks)
+    }
+  }
+
+  test("repetition filter: a pathological repeat doc fails, varied doc passes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ham"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationPack.queries("q57_repetition_filter")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(!out(1L), "repeat-dominated doc must be filtered")
+    assert(out(2L), "all-distinct doc must be kept")
+  }
+
+  test("sequence packing: per-source intervals are contiguous and seq spans consistent") {
+    val rows = CurationPack.queries("q58_pack_sequences")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var pos = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_pos") == pos, "gap in packed token stream")
+        pos += r.getAs[Long]("n_tokens")
+        val first = r.getAs[Long]("first_seq"); val last = r.getAs[Long]("last_seq")
+        assert(first == r.getAs[Long]("start_pos") / 128)
+        assert(last == (pos - 1) / 128)
+        assert(r.getAs[Long]("n_seqs") == last - first + 1 && first <= last)
+      }
+    }
+  }
+
+  test("domain rebalance: rates are exact integer floors and kept <= docs") {
+    val rows = CurationPack.queries("q59_domain_rebalance")(spark, sf).collect()
+    val minTok = rows.map(_.getAs[Long]("tot_tokens")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_bp") == 10000L * minTok / r.getAs[Long]("tot_tokens"))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the smallest source keeps everything it hashes under 10000 — i.e. all
+    assert(rows.exists(r => r.getAs[Long]("rate_bp") == 10000L))
+  }
+}
