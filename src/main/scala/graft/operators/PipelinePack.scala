@@ -234,6 +234,46 @@ object PipelinePack {
         .select(col("i"), col("j"), col("shared"), col("containment"))
         .orderBy(col("i"), col("j"))),
 
+    // Point-in-interval attribution through the SAME custom as-of operator
+    // stack as q68: purchase sessions (30-min-gap split) become per-user
+    // non-overlapping intervals; each view event is assigned its containing
+    // session — the as-of merge finds the latest session start ≤ ts (one
+    // forward pass), and the interval's end bound is a post-join filter.
+    // Disjointness makes that exactly the containment join; at 100 TB this
+    // replaces an unbounded range-predicate join with shuffle + linear
+    // merge. session_id = min purchase event_id (engine-independent).
+    "q73_session_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("psec"), col("event_id"))
+      val sess = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("psec"))
+        .withColumn("prev", lag(col("psec"), 1).over(w))
+        .withColumn("news",
+          when(col("prev").isNull || col("psec") - col("prev") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("news")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id").as("s_user"), col("sid"))
+        .agg(min(col("psec")).as("st"), max(col("psec")).as("en"),
+          min(col("event_id")).as("session_id"))
+        .select(col("s_user"), col("st"), col("en"), col("session_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("vsec"),
+          // +1 turns the exec's strict `st < ts` into `st <= ts`
+          (unix_timestamp(col("ts")) + 1).as("vsec1"))
+      graft.plans.AsOfJoinOp.asof(views, sess,
+          "user_id", "vsec1", "s_user", "st", "session_id",
+          toleranceSec = 10000000000L)
+        .withColumn("in_session", col("en").isNotNull && col("vsec") <= col("en"))
+        .select(col("event_id"), col("user_id"),
+          when(col("in_session"), col("session_id")).as("session_id"),
+          when(col("in_session"), col("vsec") - col("st")).as("sec_into_session"))
+        .orderBy(col("event_id"))
+    }),
+
     // Vocabulary-coverage (OOV) filter: corpus top-50 vocabulary, per-doc
     // out-of-vocabulary occurrence ratio, keep-decision at OOV_T. The
     // vocab is a broadcast side table; the corpus pass is single-shuffle.
@@ -370,6 +410,33 @@ object PipelinePack {
          |FROM shared JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
          |WHERE ${Hashes.sqlRound("shared::DOUBLE / least(ci.n, cj.n)", 4)} >= $CONTAIN_T
          |ORDER BY i, j""".stripMargin,
+
+    "q73_session_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        |  FROM events WHERE event_type = 'purchase'
+        |), s0 AS (
+        |  SELECT *, CASE WHEN lag(psec) OVER w IS NULL
+        |                   OR psec - lag(psec) OVER w > 1800
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY psec, event_id)
+        |), s1 AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id
+        |    ORDER BY psec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s0
+        |), sess AS (
+        |  SELECT user_id, sid, min(psec) AS st, max(psec) AS en,
+        |    min(event_id) AS session_id
+        |  FROM s1 GROUP BY user_id, sid
+        |), v AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vsec
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT v.event_id, v.user_id, s.session_id,
+        |  v.vsec - s.st AS sec_into_session
+        |FROM v LEFT JOIN sess s
+        |  ON s.user_id = v.user_id AND s.st <= v.vsec AND v.vsec <= s.en
+        |ORDER BY v.event_id""".stripMargin,
 
     "q66_oov_filter" ->
       s"""WITH tok AS (

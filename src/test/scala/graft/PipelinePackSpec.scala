@@ -86,6 +86,36 @@ class PipelinePackSpec extends GraftSuite {
     assert(bad == 0)
   }
 
+  test("session attribution equals a brute-force containment join") {
+    // the custom as-of operator (latest start <= ts, then end-bound filter)
+    // must agree with the direct range-predicate join on every view event —
+    // valid because gap-split sessions are disjoint per user
+    val ev = Tables.events(spark, sf)
+    val got = PipelinePack.queries("q73_session_attribution")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("psec"), col("event_id"))
+    val sess = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("psec"))
+      .withColumn("prev", lag(col("psec"), 1).over(w))
+      .withColumn("news", when(col("prev").isNull || col("psec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("news")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id").as("su"), col("sid"))
+      .agg(min(col("psec")).as("st"), max(col("psec")).as("en"),
+        min(col("event_id")).as("session_id"))
+    val brute = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("vsec"))
+      .join(sess, col("su") === col("user_id")
+        && col("st") <= col("vsec") && col("vsec") <= col("en"), "left")
+      .select(col("event_id"), col("session_id"),
+        (col("vsec") - col("st")).as("into"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (id, v) => assert(v == brute(id), s"view $id mismatch") }
+  }
+
   test("common-token bigrams dominate per-source top lists deterministically") {
     val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
