@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.KafkaIO
+import graft.streaming.Ev
+import org.apache.spark.sql.functions._
+
+/** The Kafka wiring's codec and key layout, tested without a broker: the
+  * `format("kafka")` load/sink binds at runtime, but every column
+  * expression between it and the engine — JSON encode, decode, key
+  * choice, millisecond timestamps — is plain Catalyst and must round-trip
+  * exactly (the reference's serialization determinism contract,
+  * utils/avro/Avro4sSerializationSchema.scala:30-47, in JSON form). */
+class KafkaCodecSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val evs = Seq(
+    Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123"), 7L, "view", 1.5),
+    Ev(2L, java.sql.Timestamp.valueOf("2024-01-02 23:59:59.999"), 8L, "purchase", -0.25),
+    Ev(3L, java.sql.Timestamp.valueOf("2024-06-15 00:00:00"), 7L, "click", 0.0))
+
+  test("wire round-trip: encode -> decode is the identity on events") {
+    val wire = KafkaIO.wireColumns(evs.toDF())
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val back = KafkaIO.decodedTyped(wire.select(col("key"), col("value")))
+      .collect().sortBy(_.event_id)
+    assert(back.toSeq == evs.sortBy(_.event_id),
+      s"round-trip drift: ${back.toSeq} vs $evs")
+  }
+
+  test("key is the partitioning entity id (per-user ordering on the wire)") {
+    val keys = KafkaIO.wireColumns(evs.toDF())
+      .select(col("key")).collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("7", "7", "8"))
+  }
+
+  test("corrupt wire rows are dropped, not crashed on (side-output split point)") {
+    val raw = Seq("""{"event_id":9,"ts_ms":1700000000000,"user_id":1,"event_type":"view","value":2.0}""",
+      "not json at all", """{"half": true}""").toDF("value")
+    val out = KafkaIO.decoded(raw).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 9L)
+  }
+}
