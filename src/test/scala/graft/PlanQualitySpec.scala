@@ -84,6 +84,20 @@ class PlanQualitySpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast vocab:\n$plan")
   }
 
+  test("q56: boilerplate chunk set broadcasts back onto the chunk stream") {
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q56_boilerplate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast boilerplate set:\n$plan")
+  }
+
+  test("q58: packing plan is per-shard — one hash exchange for the window, one range sort") {
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q58_pack_sequences")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"packing must not need a global ordering:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
