@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericI
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftglue.ColumnGlue
 import org.apache.spark.sql.types.LongType
 
@@ -62,6 +63,12 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // UI/observability parity with built-in joins: row counts + how many
+  // left rows actually found an in-tolerance match
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   // SortMergeJoin's contract: both sides clustered on the key —
   // EnsureRequirements inserts compatible hash exchanges, AQE treats it
   // like any shuffled binary node
@@ -91,6 +98,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightWidth = right.output.size
     val tol = toleranceSec
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -109,6 +118,7 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // (left: emit unmatched; right: consume without becoming candidate)
         // keeps the two-pointer merge correct.
         if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          numOutputRows += 1
           proj(joined(l, nulls))
         } else {
           val lk = l.getLong(lkOrd)
@@ -134,6 +144,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           }
           val matched = cand != null && candKey == lk && lt - candTs <= tol
+          numOutputRows += 1
+          if (matched) numMatched += 1
           proj(joined(l, if (matched) cand else nulls))
         }
       }

@@ -34,6 +34,17 @@ final case class TreeState(resolved: Map[Long, (Long, Int, Boolean, Long)],
   * pending entries (the reference's watermark-based dangling drop,
   * :288-317) maps to `GroupStateTimeout.EventTimeTimeout` and is left to
   * the batch path here (q45 drops them by construction).
+  *
+  * NOTE on the fully-partitioned form: a reply resolved in this batch must
+  * be able to resolve ITS children, which wait under a different key —
+  * that feedback edge cannot exist inside one streaming stateful operator
+  * (no cycles in a streaming plan). The production-scale answer is the
+  * per-micro-batch fixpoint against a persisted mapping store partitioned
+  * by comment id — exactly PipelineSpec's end-to-end resolution job
+  * (`foreachBatch` + GraphPack fixpoint + KeyedUpsertSink), which has no
+  * single-group bottleneck; THIS operator is the reference-faithful
+  * in-graph form (the reference replicates its mapping state to every
+  * worker too, BuildReplyTreeProcessFunction.scala:207-214).
   */
 object ReplyTreeOp {
 

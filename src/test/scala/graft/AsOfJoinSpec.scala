@@ -128,4 +128,27 @@ class AsOfJoinSpec extends GraftSuite {
     assert(plan.contains("Exchange hashpartitioning"), s"no co-partitioning:\n$plan")
     assert(plan.contains("Sort ["), s"no per-partition sort:\n$plan")
   }
+
+  test("exec reports SQL metrics: output rows and matched rows") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 500L), (3L, 2L, 100L))
+      .toDF("id", "k", "t")
+    val r = Seq((1L, 90L, 7.0, 1L)).toDF("rk", "rt", "v", "ri")
+    val df = AsOfJoinOp.asof(l, r, "k", "t", "rk", "rt", "ri", 100L)
+    df.collect()
+    // AQE hides the operator tree behind leaf QueryStageExec wrappers —
+    // descend through them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExec(p: SparkPlan): Option[graft.plans.AsOfJoinExec] = p match {
+      case e: graft.plans.AsOfJoinExec => Some(e)
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case q: QueryStageExec => findExec(q.plan)
+      case other => other.children.view.flatMap(findExec(_)).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not found in executed plan"))
+    assert(exec.metrics("numOutputRows").value == 3L)
+    // only (id=1) matches: id=2 is beyond tolerance, id=3 is another key
+    assert(exec.metrics("numMatched").value == 1L)
+  }
 }
