@@ -41,7 +41,7 @@ object RecommendationPack {
 
   /** (user_id, feature) distinct rows: tag features "T<k mod 20>" (F4
     * prefixing, RecommendationUtils.toFeature:95) + event-type features. */
-  private def features(s: SparkSession, d: String): DataFrame = {
+  private[graft] def features(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val tags = ev.select(col("user_id"),
       concat(lit("T"), regexp_extract(col("props"), "(\\d+)", 1).cast("long") % 20).as("feature"))
@@ -59,8 +59,13 @@ object RecommendationPack {
       |    SELECT user_id, 'E' || event_type AS feature FROM events
       |  )""".stripMargin
 
-  private def sig(s: SparkSession, d: String): DataFrame =
+  private[graft] def sig(s: SparkSession, d: String): DataFrame =
     mh.signature(features(s, d), "user_id", "feature")
+
+  /** Band-key columns over a sig() frame — exposed for the feature-store
+    * prep job (PrepJob) so store and online pipeline share one band
+    * construction (the reference's shared-MinHasher invariant). */
+  private[graft] def bandKeyCols: Seq[org.apache.spark.sql.Column] = mh.bandKeys
 
   val queries: Map[String, Q] = Map(
     // User feature sets (reference: person features A4/U2 — sorted list
