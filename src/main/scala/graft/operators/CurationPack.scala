@@ -126,8 +126,11 @@ object CurationPack {
       tc.join(bc, "doc_id")
         .withColumn("top_tok_ratio",
           round(col("max_tok").cast("double") / col("n_tokens"), 4))
+        // a single-token doc has no bigrams: its duplicated-bigram mass is
+        // 0 by definition (not NULL/÷0) — keeps the operator total
         .withColumn("dup_bigram_ratio",
-          round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4))
+          when(col("n_bigrams") === 0, 0.0).otherwise(
+            round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4)))
         .withColumn("kept",
           col("top_tok_ratio") <= TOP_TOK_T && col("dup_bigram_ratio") <= DUP_BG_T)
         .select(col("doc_id"), col("n_tokens"), col("max_tok"),
@@ -216,7 +219,8 @@ object CurationPack {
 
     "q57_repetition_filter" -> {
       val topR = Hashes.sqlRound("max_tok::DOUBLE / n_tokens", 4)
-      val dupR = Hashes.sqlRound("1.0 - d_bigrams::DOUBLE / n_bigrams", 4)
+      val dupR = s"CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+        s"${Hashes.sqlRound("1.0 - d_bigrams::DOUBLE / n_bigrams", 4)} END"
       s"""WITH tc AS (
          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS max_tok FROM (
          |    SELECT doc_id, tok, count(*) AS c

@@ -303,6 +303,29 @@ object RelationalPack {
         .orderBy(col("event_type"))
     }),
 
+    // TPC-H Q5-shaped 5-way star join: region ⋈ nation ⋈ customer ⋈
+    // orders ⋈ lineitem with a region filter and a date range — the
+    // multi-join planning surface (join reordering, broadcast cascade of
+    // the dimension chain onto the lineitem fact scan) the 2-way joins
+    // don't exercise. Revenue sums integer cents (floor of a per-row
+    // deterministic double product) so the aggregation is addition-order
+    // exact across engines and AQE re-plans.
+    "q74_star_join" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     // F1–F4/F9 scalar function surface: timestamp extraction, regex field
     // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
     // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.
@@ -446,6 +469,21 @@ object RelationalPack {
         |  ON a.block = b.block AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p40, b.p40) <= 10
         |ORDER BY i, j""".stripMargin,
+
+    "q74_star_join" ->
+      """SELECT n_name,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q19_quantiles" ->
       s"""SELECT event_type,

@@ -50,14 +50,19 @@ class CurationPackSpec extends GraftSuite {
     import spark.implicits._
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam ham"),
-      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "solo") // single token: no bigrams — ratio must be 0, not NULL
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("curation").toString
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = CurationPack.queries("q57_repetition_filter")(spark, dir)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    val rows = CurationPack.queries("q57_repetition_filter")(spark, dir).collect()
+    val out = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
     assert(!out(1L), "repeat-dominated doc must be filtered")
     assert(out(2L), "all-distinct doc must be kept")
+    val solo = rows.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(solo.getAs[Double]("dup_bigram_ratio") == 0.0,
+      "no-bigram doc must score 0, not NULL")
+    assert(!solo.isNullAt(solo.fieldIndex("kept")))
   }
 
   test("sequence packing: per-source intervals are contiguous and seq spans consistent") {
