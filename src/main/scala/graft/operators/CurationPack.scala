@@ -45,6 +45,7 @@ object CurationPack {
   private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
   private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
+  private val SPAN        = 6     // span-dedup width (tokens)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -176,6 +177,41 @@ object CurationPack {
         .groupBy(col("source"), col("n_docs"), col("tot_tokens"), col("rate_bp"))
         .agg(count(when(col("bucket") < col("rate_bp"), 1)).as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // Cross-corpus span dedup (C4/RefinedWeb line-dedup analogue on
+    // whitespace corpora): split every doc into consecutive 6-token spans,
+    // keep only the FIRST occurrence of each span text corpus-wide (first =
+    // smallest (doc_id, span_idx) — engine-independent), and reassemble each
+    // document from its surviving spans in order. Differs from q56: that
+    // drops EVERY copy of high-DF chunks; this keeps one canonical copy.
+    // Scale: the only wide op is one shuffle clustered on the span — at
+    // 100 TB shuffle a 64-bit span hash instead of the text (collision-safe
+    // for dedup-keep-first) and the reassembly agg is per-doc (narrow after
+    // a doc_id shuffle). No driver-side state anywhere.
+    "q77_span_dedup" -> ((s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0),
+            ((size(col("t")) - 1) / SPAN).cast("long"))).as("k"))
+        .select(col("doc_id"), col("k"),
+          concat_ws(" ", slice(col("t"), col("k") * SPAN + 1, lit(SPAN))).as("span"),
+          least(size(col("t")) - col("k") * SPAN, lit(SPAN)).as("ntok"))
+      val w = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("k"))
+      spans.withColumn("kept", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), col("ntok")).otherwise(0L)).cast("long")
+            .as("kept_tokens"),
+          // surviving spans, original order; collect_list drops the
+          // non-kept NULLs, array_sort orders the (k, span) structs by k
+          array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("k"), col("span"))))),
+            x => x.getField("span")), " ").as("new_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -272,6 +308,24 @@ object CurationPack {
          |    THEN 1 END) AS n_kept
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mn
          |GROUP BY source, n_docs, tot_tokens, min_tokens
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    "q77_span_dedup" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, k,
+         |    array_to_string(t[k*$SPAN+1 : k*$SPAN+$SPAN], ' ') AS span,
+         |    least(len(t) - k*$SPAN, $SPAN) AS ntok
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |       LATERAL unnest(range(0, (len(t)-1)//$SPAN + 1)) AS u(k)
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, k) = 1 AS kept
+         |  FROM sp
+         |)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  count(*) FILTER (kept)::BIGINT AS n_kept,
+         |  sum(CASE WHEN kept THEN ntok ELSE 0 END)::BIGINT AS kept_tokens,
+         |  coalesce(string_agg(span, ' ' ORDER BY k) FILTER (kept), '') AS new_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

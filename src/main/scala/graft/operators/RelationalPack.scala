@@ -326,6 +326,76 @@ object RelationalPack {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q3 shape: selective dim filter + 3-way join + grouped revenue
+    // + top-10. customer (filtered to one segment) broadcasts into orders,
+    // the orders date filter is pushed to the parquet scan, and only the
+    // surviving o_orderkeys shuffle against lineitem — the classic
+    // "filter early, broadcast small, shuffle late" OLAP plan. Revenue in
+    // integer cents (floor(price*(1-disc)*100): per-row double math is
+    // IEEE-identical cross-engine, and BIGINT addition is order-free so
+    // the parallel sum cannot drift from the oracle's sequential one).
+    "q75_shipping_priority" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents).cast("long").as("revenue_cents"))
+        .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"),
+          col("o_orderpriority"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q18 shape: HAVING-filtered aggregate re-joined to its detail
+    // rows (large-order customers). The qualifying-orders relation after
+    // the HAVING is tiny → broadcast semi-filter back onto orders, then
+    // one broadcast join to customer; lineitem is scanned once for the
+    // aggregate and once for nothing (the semi side reuses the agg) —
+    // total one shuffle on l_orderkey. Quantities are integral doubles
+    // (exact under BIGINT cast), so the sum is order-free.
+    "q76_big_orders" -> ((s, d) => {
+      val qual = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d)
+        .join(broadcast(qual), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("odate"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    // A7's 100 TB path, sketch form: per-type DataSketches HLL of distinct
+    // users + a reaggregatable union ('ALL' row merges the per-type
+    // sketches — the property exact distinct lacks). This is the operator
+    // a 1000-executor rollup actually runs: partial sketches merge
+    // associatively, so distinct-user counts compose across partitions,
+    // days, and re-groupings without ever reshuffling raw user_ids.
+    // Estimates are deterministic (fixed lgK) but not DuckDB-reproducible
+    // (different sketch impl) → no oracle entry (driver records rows-only);
+    // the ≤3% error vs exact is pinned in RelationalPackSpec.
+    "q79_hll_distinct" -> ((s, d) => {
+      val sk = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val perType = sk.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("est_users"))
+      val all = sk
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"))
+        .select(lit("ALL").as("event_type"), col("est_users"))
+      perType.unionByName(all).orderBy(col("event_type"))
+    }),
+
     // F1–F4/F9 scalar function surface: timestamp extraction, regex field
     // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
     // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.
@@ -484,6 +554,33 @@ object RelationalPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q75_shipping_priority" ->
+      """SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate,
+        |  o_orderpriority,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents
+        |FROM customer
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q76_big_orders" ->
+      """WITH qual AS (
+        |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity)::BIGINT > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate, total_qty
+        |FROM qual
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
 
     "q19_quantiles" ->
       s"""SELECT event_type,

@@ -166,15 +166,7 @@ object SimilarityPack {
     // vs a driver-side reimplementation is pinned in SimilarityPackSpec.
     "q43_ann_ivf" -> ((s, d) => {
       val cents = ivfCentroids(s, d)
-      val scores = cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }
-      val minScore = least((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)
-      val cellOf = (1 until IVF_CELLS).foldLeft(when(col("cs0") === minScore, lit(0))) {
-        (acc, i) => acc.when(col(s"cs$i") === minScore, lit(i))
-      }
-      val assigned = vecs(s, d)
-        .select(col("vec_id") +: col("v") +: col("norm") +: scores: _*)
-        .withColumn("cell", cellOf)
-        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      val assigned = assignedCells(s, d)
       // queries probe their NPROBE nearest cells
       val qscores = assigned.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid") +: col("v").as("qv") +: col("norm").as("qn")
@@ -193,11 +185,57 @@ object SimilarityPack {
         .select(col("qid"), col("rank"), col("vec_id").as("nid"),
           round(col("cos"), 4).as("cos"), col("cell"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means-cluster the embedding space, then compare pairs only WITHIN
+    // a cluster — pairwise cost collapses from n² to Σ cell², the same
+    // move the IVF index makes for search. Verdict per vector: dropped iff
+    // some smaller-id vector in the same cell has cosine ≥ 0.35 (keep-first
+    // is engine- and order-independent). Reuses q43's trained quantizer
+    // (memoized — cluster once, dedup + search off the same index); the
+    // centroid literals make the whole thing hash-checkable via the
+    // data-dependent oracle. At 100 TB: cells ≫ cores so the equi-join on
+    // cell is an even shuffle, and an oversized cell (≫ mean) gets split by
+    // re-clustering within — same skew discipline as q48.
+    "q78_semantic_dedup" -> ((s, d) => {
+      val a = assignedCells(s, d)
+      val b = a.select(col("vec_id").as("j"), col("v").as("vj"),
+        col("norm").as("nj"), col("cell"))
+      val dup = a.join(b, Seq("cell"))
+        .filter(col("j") < col("vec_id"))
+        .withColumn("cos6", round(cosine("v", "vj", "norm", "nj"), 6))
+        .filter(col("cos6") >= SEMDEDUP_T)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dups"), max(col("cos6")).as("max_cos"))
+      a.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_dups"), lit(0L)).cast("long").as("n_dups"),
+          coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+          col("n_dups").isNotNull.as("dropped"))
+        .orderBy(col("vec_id"))
     })
   )
 
   private val IVF_CELLS = 8
   private val NPROBE    = 2
+  private val SEMDEDUP_T = 0.35
+
+  /** Every vector assigned to its nearest trained cell by a codegen'd
+    * argmin over centroid literals — one narrow pass, shared by the IVF
+    * search (q43) and semantic dedup (q78). */
+  private def assignedCells(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfCentroids(s, d)
+    val scores = cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }
+    val minScore = least((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)
+    val cellOf = (1 until IVF_CELLS).foldLeft(when(col("cs0") === minScore, lit(0))) {
+      (acc, i) => acc.when(col(s"cs$i") === minScore, lit(i))
+    }
+    vecs(s, d)
+      .select(col("vec_id") +: col("v") +: col("norm") +: scores: _*)
+      .withColumn("cell", cellOf)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+  }
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[Vector[Double]]]()
@@ -270,7 +308,33 @@ object SimilarityPack {
          |  )
          |)
          |SELECT qid, rank, nid, ${Hashes.sqlRound("cos6", 4)} AS cos, cell
-         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin)
+         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
+
+    "q78_semantic_dedup" -> {
+      val pcos6 = Hashes.sqlRound(sqlCosine("a.v", "b.v", "a.norm", "b.norm"), 6)
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), scored AS (
+         |  SELECT vec_id, v, norm,
+         |    $csCols
+         |  FROM e
+         |), assigned AS (
+         |  SELECT vec_id, v, norm, $cellCase AS cell
+         |  FROM (SELECT *, $minCs AS m FROM scored)
+         |), pairs AS (
+         |  SELECT a.vec_id, $pcos6 AS cos6
+         |  FROM assigned a JOIN assigned b
+         |    ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |), dup AS (
+         |  SELECT vec_id, count(*) AS n_dups, max(cos6) AS max_cos
+         |  FROM pairs WHERE cos6 >= $SEMDEDUP_T GROUP BY vec_id
+         |)
+         |SELECT s.vec_id, s.cell, coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+         |  coalesce(d.max_cos, CAST(0 AS DOUBLE)) AS max_cos,
+         |  d.vec_id IS NOT NULL AS dropped
+         |FROM assigned s LEFT JOIN dup d ON d.vec_id = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    })
   }
 
   val oracle: Map[String, String] = Map(

@@ -46,6 +46,38 @@ class CurationPackSpec extends GraftSuite {
     }
   }
 
+  test("span dedup keeps exactly one copy of every span and reassembles in order") {
+    import spark.implicits._
+    val rows = CurationPack.queries("q77_span_dedup")(spark, sf).collect()
+    // corpus-wide: kept spans across all docs == distinct span texts
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val spansOf = docs.map { case (id, t) =>
+      id -> t.grouped(6).map(_.mkString(" ")).toVector
+    }
+    val distinctSpans = spansOf.values.flatten.toSet
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctSpans.size,
+      "total kept == corpus-distinct spans")
+    // per doc: first corpus occurrence (min doc_id, then position) survives,
+    // later copies don't; new_text is the kept spans joined in order
+    val firstOwner = spansOf.toSeq.sortBy(_._1)
+      .flatMap { case (id, sp) => sp.zipWithIndex.map { case (s, k) => (s, id, k) } }
+      .groupBy(_._1).map { case (s, occ) => s -> occ.minBy(o => (o._2, o._3)) }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sp = spansOf(id)
+      val kept = sp.zipWithIndex.filter { case (s, k) =>
+        firstOwner(s)._2 == id && firstOwner(s)._3 == k
+      }.map(_._1)
+      assert(r.getAs[Long]("n_spans") == sp.size, s"doc $id span count")
+      assert(r.getAs[Long]("n_kept") == kept.size, s"doc $id kept count")
+      assert(r.getAs[String]("new_text") == kept.mkString(" "), s"doc $id text")
+    }
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_spans")),
+      "the corpus contains at least one removed duplicate span")
+  }
+
   test("repetition filter: a pathological repeat doc fails, varied doc passes") {
     import spark.implicits._
     val df = Seq(

@@ -5,10 +5,66 @@ import graft.operators.RelationalPack
 class RelationalPackSpec extends GraftSuite {
 
   test("every query returns rows at sf0.001 with matching oracle key") {
+    // q79's HLL estimates are deterministic but not DuckDB-reproducible
+    // (different sketch impl) — error bound pinned below instead
+    val rowsOnly = Set("q79_hll_distinct")
     RelationalPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0 || name == "q06_join_anti", s"$name returned no rows")
-      assert(RelationalPack.oracle.contains(name), s"$name lacks oracle SQL")
+      assert(RelationalPack.oracle.contains(name) || rowsOnly(name),
+        s"$name lacks oracle SQL")
+    }
+  }
+
+  test("q75 top-10 revenue orders are the true argmax set") {
+    import org.apache.spark.sql.functions._
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
+    val truth = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .join(Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, sf)
+          .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey")).agg(sum(cents).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy { case (k, r) => (-r, k) }.take(10)
+    val got = RelationalPack.queries("q75_shipping_priority")(spark, sf)
+      .select(col("o_orderkey"), col("revenue_cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == truth.toSeq)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("q76 returns exactly the orders whose quantity sum exceeds the cut") {
+    import org.apache.spark.sql.functions._
+    val expect = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+      .filter(col("q") > 250)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = RelationalPack.queries("q76_big_orders")(spark, sf)
+      .select(col("o_orderkey"), col("total_qty")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q79 HLL estimates land within 3% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val got = RelationalPack.queries("q79_hll_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet + "ALL")
+    (exact + ("ALL" -> exactAll)).foreach { case (k, n) =>
+      val est = got(k)
+      assert(math.abs(est - n) <= math.max(1L, (0.03 * n).toLong),
+        s"$k: est $est vs exact $n")
     }
   }
 

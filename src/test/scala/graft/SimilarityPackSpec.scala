@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 class SimilarityPackSpec extends GraftSuite {
 
   test("every similarity query returns rows at sf0.001 with matching oracle key") {
-    val rowsOnly = Set("q43_ann_ivf") // data-dependent centroids, pinned below
+    // data-dependent centroids: upgraded to hash checks by
+    // SimilarityPack.dynamicOracle at Verify time, pinned below here
+    val rowsOnly = Set("q43_ann_ivf", "q78_semantic_dedup")
     SimilarityPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
@@ -73,6 +75,39 @@ class SimilarityPackSpec extends GraftSuite {
       .select(col("qid"), col("rank"), col("nid")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == expected, s"diff: ${(got -- expected).take(5)} / ${(expected -- got).take(5)}")
+  }
+
+  test("q78 semantic dedup equals a driver-side reimplementation") {
+    import graft.functions.KMeans
+    import graft.operators.SimilarityPack.ivfCentroids
+    val cents = ivfCentroids(spark, sf)
+    val vecsLocal = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector).toMap
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // same rounding Spark's round() applies: HALF_UP at 6 decimals
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cellsOf = vecsLocal.map { case (id, v) =>
+      id -> cents.indices.minBy(i => KMeans.sqDist(cents(i), v))
+    }
+    val expected = vecsLocal.keys.map { id =>
+      val dups = vecsLocal.keys.filter(j => j < id && cellsOf(j) == cellsOf(id) &&
+        r6(cos(vecsLocal(j), vecsLocal(id))) >= 0.35)
+      id -> dups.size.toLong
+    }.toMap
+    val got = SimilarityPack.queries("q78_semantic_dedup")(spark, sf)
+      .select(col("vec_id"), col("n_dups"), col("dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == vecsLocal.size, "one verdict row per vector")
+    got.foreach { case (id, n, dropped) =>
+      assert(n == expected(id), s"vec $id: n_dups $n vs ${expected(id)}")
+      assert(dropped == (n > 0), s"vec $id: dropped flag inconsistent")
+    }
+    assert(got.exists(_._3), "threshold chosen so the dup set is non-empty")
   }
 
   test("q40 plan broadcasts the query side (no shuffle of the corpus)") {
