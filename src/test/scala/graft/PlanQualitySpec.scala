@@ -98,6 +98,36 @@ class PlanQualitySpec extends GraftSuite {
     assert(exchanges <= 2, s"packing must not need a global ordering:\n$plan")
   }
 
+  test("q75: pushed date filter, broadcast dim, and top-10 without a global sort") {
+    val plan = executedPlan(RelationalPack.queries("q75_shipping_priority")(spark, sf))
+    assert(plan.contains("LessThan(o_orderdate"), s"date filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim:\n$plan")
+    // limit-10 must plan as TakeOrderedAndProject (per-partition heaps),
+    // never Sort-then-Limit over the full aggregate
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TOP heap:\n$plan")
+  }
+
+  test("q76: the only hash shuffle is the lineitem rollup; rejoin sides broadcast") {
+    val plan = executedPlan(RelationalPack.queries("q76_big_orders")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"HAVING-rejoin must not reshuffle the detail side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"qualifying set must broadcast:\n$plan")
+  }
+
+  test("q77: span dedup is two hash shuffles (span window, doc rollup) + final sort") {
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q77_span_dedup")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"span dedup grew extra shuffles:\n$plan")
+  }
+
+  test("q78: the within-cell pair compare stays an equi-join (never a cross product)") {
+    val plan = executedPlan(
+      graft.operators.SimilarityPack.queries("q78_semantic_dedup")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"semantic dedup regressed to an all-pairs scan:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
