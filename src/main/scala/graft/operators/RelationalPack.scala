@@ -396,6 +396,22 @@ object RelationalPack {
       perType.unionByName(all).orderBy(col("event_type"))
     }),
 
+    // q19's 100 TB path: Greenwald-Khanna approximate percentiles. Exact
+    // per-group percentiles hold sorted state linear in the group; the GK
+    // sketch is a bounded-size mergeable summary, so the plan keeps
+    // map-side partial aggregation and the shuffle carries summaries, not
+    // values. Deterministic but (like q79) not DuckDB-reproducible →
+    // rows-only gate; ε-error vs the exact quantiles pinned in spec.
+    "q80_quantile_sketch" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // F1–F4/F9 scalar function surface: timestamp extraction, regex field
     // parse (the reference's tag-literal parse, utils/ParseUtils.scala:18-26),
     // prefixing (RecommendationUtils.toFeature:95), nullif, md5 fingerprint.

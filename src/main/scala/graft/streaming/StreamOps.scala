@@ -42,6 +42,20 @@ object StreamOps {
   def slidingStats(events: DataFrame): DataFrame =
     graft.operators.WindowPack.slidingStats(events, exactDistinct = false)
 
+  /** Windowed distinct-user counts as DataSketches HLL — q79's streaming
+    * twin. Sketch state is fixed-size per (window, type) group regardless
+    * of cardinality (vs collect_set's linear state), and the stored
+    * register state is a max-merge, so partial sketches from any partition
+    * or micro-batch order converge to the same state — the property that
+    * makes the estimate reaggregatable across a 1000-executor topology. */
+  def sketchDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "4 hours"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est_users"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("est_users"))
+
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon — streaming ingest dedup for a training-data pipeline; state
     * is bounded by the watermark (expired keys are dropped). */

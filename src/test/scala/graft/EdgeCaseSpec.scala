@@ -61,19 +61,23 @@ class EdgeCaseSpec extends GraftSuite {
 
   test("oracle keys and query keys are mutually consistent") {
     val qs = SparkEntry.queries.keySet
-    // static oracles (no sf dir known): q43/q62/q71 are rows-only
+    // permanently rows-only: the stubbed media decode and the two sketch
+    // operators (HLL distinct, GK quantiles — not DuckDB-reproducible)
+    val sketchy = Set("q71_media_decode", "q79_hll_distinct", "q80_quantile_sketch")
+    // static oracles (no sf dir known): the data-dependent q43/q62/q78
+    // are additionally rows-only until Verify provides the sf context
     SparkEntry.oracleContext = None
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
-    assert(qs -- os == Set("q43_ann_ivf", "q62_classified_docs", "q71_media_decode"),
+    assert(qs -- os == sketchy ++ Set("q43_ann_ivf", "q62_classified_docs",
+      "q78_semantic_dedup"),
       s"unexpected rows-only set: ${qs -- os}")
-    // with the Verify context set, the data-dependent oracles join in and
-    // only the stubbed media decode stays rows-only
+    // with the Verify context set, the data-dependent oracles join in
     SparkEntry.oracleContext = Some((spark, sf))
     try {
       val osDyn = SparkEntry.oracleSql.keySet
       assert(osDyn.subsetOf(qs))
-      assert(qs -- osDyn == Set("q71_media_decode"),
+      assert(qs -- osDyn == sketchy,
         s"unexpected rows-only set with context: ${qs -- osDyn}")
     } finally SparkEntry.oracleContext = None
   }

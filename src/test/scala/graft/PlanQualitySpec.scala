@@ -128,6 +128,34 @@ class PlanQualitySpec extends GraftSuite {
       s"semantic dedup regressed to an all-pairs scan:\n$plan")
   }
 
+  test("runtime bloom filter from a selective dim reaches the fact scan (100 TB knob)") {
+    // When a shuffle join's build side is selective, Catalyst can inject a
+    // bloom filter of its join keys into the fact side's scan — at 100 TB
+    // that's the difference between shuffling the full fact table and
+    // shuffling only rows that can match. Local inputs are far below the
+    // default size thresholds, so lower the application-side threshold to
+    // make the local plan show the same shape a cluster plan would.
+    val conf = spark.conf
+    val savedB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedT = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val plan = fact.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", savedT)
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE

@@ -5,9 +5,9 @@ import graft.operators.RelationalPack
 class RelationalPackSpec extends GraftSuite {
 
   test("every query returns rows at sf0.001 with matching oracle key") {
-    // q79's HLL estimates are deterministic but not DuckDB-reproducible
-    // (different sketch impl) — error bound pinned below instead
-    val rowsOnly = Set("q79_hll_distinct")
+    // q79/q80 sketches are deterministic but not DuckDB-reproducible
+    // (different sketch impls) — error bounds pinned below instead
+    val rowsOnly = Set("q79_hll_distinct", "q80_quantile_sketch")
     RelationalPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0 || name == "q06_join_anti", s"$name returned no rows")
@@ -48,6 +48,30 @@ class RelationalPackSpec extends GraftSuite {
       .select(col("o_orderkey"), col("total_qty")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
+  }
+
+  test("q80 approximate percentiles respect the GK rank-error bound") {
+    import org.apache.spark.sql.functions._
+    // accuracy=1000 guarantees rank error <= n/1000: the returned value's
+    // true rank must sit within q ± 0.001 (plus one-element slack)
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted
+      }
+    val got = RelationalPack.queries("q80_quantile_sketch")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val vals = byType(r.getString(0)); val n = vals.length
+      def rankOk(v: Double, q: Double): Boolean = {
+        val lo = vals.count(_ < v); val hi = vals.count(_ <= v)
+        val tol = n / 1000.0 + 1
+        q * n >= lo - tol && q * n <= hi + tol
+      }
+      assert(rankOk(r.getDouble(1), 0.5), s"${r.getString(0)} p50 outside bound")
+      assert(rankOk(r.getDouble(2), 0.9), s"${r.getString(0)} p90 outside bound")
+      assert(r.getLong(3) == n)
+    }
   }
 
   test("q79 HLL estimates land within 3% of exact distinct counts") {

@@ -78,6 +78,40 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sketch distinct: streaming HLL windows equal the batch sketch and exact counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sketchDistinct(stream.toDF())
+      .writeStream.format("memory").queryName("sketch_parity")
+      .outputMode("complete").start()
+    try {
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("sketch_parity")
+        .orderBy(col("wstart"), col("event_type")).collect()
+      // same transform in batch: HLL register merge is a max — any
+      // partition/micro-batch arrival order converges to the same state
+      val batch = StreamOps.sketchDistinct(Tables.events(spark, sf))
+        .orderBy(col("wstart"), col("event_type")).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+      // and the estimates track the exact distinct counts (tiny per-window
+      // cardinalities: the sketch is still in its exact list mode)
+      val exact = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "4 hours"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      streamed.foreach { r =>
+        val key = (r.getLong(0), r.getString(1))
+        assert(r.getLong(2) == exact(key), s"window $key estimate drifted")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated (user, type, value) rows across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
