@@ -78,6 +78,39 @@ class CurationPackSpec extends GraftSuite {
       "the corpus contains at least one removed duplicate span")
   }
 
+  test("span dedup matches a reference implementation on a randomized corpus") {
+    import spark.implicits._
+    // tiny vocab + short docs: guaranteed duplicate spans, ragged tails,
+    // docs shorter than one span, within-doc repeats
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0L until 60L).map { id =>
+      id -> Vector.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spansOf = docs.map { case (id, t) =>
+      id -> t.grouped(6).map(_.mkString(" ")).toVector
+    }.toMap
+    val firstOwner = spansOf.toSeq.sortBy(_._1)
+      .flatMap { case (id, sp) => sp.zipWithIndex.map { case (s, k) => (s, id, k) } }
+      .groupBy(_._1).map { case (s, occ) => s -> occ.minBy(o => (o._2, o._3)) }
+    val rows = CurationPack.queries("q77_span_dedup")(spark, dir).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val kept = spansOf(id).zipWithIndex.filter { case (s, k) =>
+        firstOwner(s)._2 == id && firstOwner(s)._3 == k
+      }.map(_._1)
+      assert(r.getAs[Long]("n_spans") == spansOf(id).size)
+      assert(r.getAs[Long]("n_kept") == kept.size, s"doc $id kept count")
+      assert(r.getAs[String]("new_text") == kept.mkString(" "), s"doc $id text")
+    }
+    assert(rows.map(_.getAs[Long]("n_kept")).sum < rows.map(_.getAs[Long]("n_spans")).sum,
+      "vocab chosen so duplicates must exist")
+  }
+
   test("repetition filter: a pathological repeat doc fails, varied doc passes") {
     import spark.implicits._
     val df = Seq(
