@@ -44,6 +44,47 @@ class PipelinePackSpec extends GraftSuite {
     assert(got(20L) == 20L && got(21L) == 20L)
   }
 
+  test("star contraction equals label propagation on real and adversarial graphs") {
+    import spark.implicits._
+    // the q44 pair graph at sf0.001 (via the public q69 projection)
+    val real = PipelinePack.queries("q69_containment_dedup")(spark, sf)
+      .select(col("i"), col("j"))
+    // adversarial shapes: chain, ring, star-from-the-top, random graph
+    val rnd = new scala.util.Random(77)
+    val shapes = Seq(
+      (0L until 25L).sliding(2).map(w => (w(0), w(1))).toSeq,
+      Seq((100L, 101L), (101L, 102L), (102L, 100L)),
+      (1L to 10L).map(i => (200L, 200L + i)),
+      Seq.fill(60)((300L + rnd.nextInt(30), 300L + rnd.nextInt(30)))
+        .filter(p => p._1 != p._2))
+    (shapes.map(_.toDF("i", "j")) :+ real).foreach { pairs =>
+      val lp = PipelinePack.labelPropagation(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sc = PipelinePack.ccStarContraction(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sc == lp, s"diff: ${sc.toSet -- lp.toSet}")
+    }
+  }
+
+  test("star contraction closes a 200-hop chain in O(log) rounds (the 100 TB case)") {
+    import spark.implicits._
+    // label propagation needs 199 rounds here (and our bound rightly
+    // throws); star contraction must stay logarithmic
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("i", "j")
+    val got = PipelinePack.ccStarContraction(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 200L).forall(got(_) == 0L))
+    assert(PipelinePack.lastStarRounds <= 12,
+      s"expected O(log n) rounds, took ${PipelinePack.lastStarRounds}")
+    assertThrows[IllegalStateException] {
+      PipelinePack.labelPropagation(chain).collect()
+    }
+    // the adaptive front door survives the same chain by escalating
+    val adaptive = PipelinePack.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive == got, "escalated path must produce identical labels")
+  }
+
   test("salted skew aggregation equals the plain aggregate") {
     val salted = PipelinePack.queries("q48_skew_agg")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
