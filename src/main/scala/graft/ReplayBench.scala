@@ -67,6 +67,11 @@ object ReplayBench {
     // timed drains measure ingest, as the reference's warm-Kafka read does
     run("warmup_drain")(replay().select(col("event_id")))
     run("raw_drain")(replay().select(col("event_id")))
+    // SPARK_GRAFT_STATE=rocksdb switches the state backend (the
+    // reference's optional RocksDB checkpointing, application.conf:106-114)
+    if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     run("sliding_job")(graft.streaming.StreamOps.slidingStats(replay()))
 
     spark.stop()
