@@ -14,6 +14,9 @@ run / fork := true
 // Forward the forked process's stdout verbatim (no "[info] " prefix) so
 // Bench's one-line JSON output is machine-parseable from the sbt log.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line so the Bench JSON
+// line is the LAST line of stdout (a last-line parser must see the JSON).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

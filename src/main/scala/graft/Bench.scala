@@ -47,7 +47,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Print the JSON line LAST: silence the loggers and stop Spark first so
+    // no shutdown chatter can land after (or interleave into) the line a
+    // last-line parser reads.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
