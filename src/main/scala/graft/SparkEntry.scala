@@ -27,7 +27,8 @@ object SparkEntry {
       (ActivityPack.queries, ActivityPack.oracle),
       (MultimodalPack.queries, MultimodalPack.oracle),
       (PipelinePack.queries, PipelinePack.oracle),
-      (CurationPack.queries, CurationPack.oracle)
+      (CurationPack.queries, CurationPack.oracle),
+      (SamplingPack.queries, SamplingPack.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

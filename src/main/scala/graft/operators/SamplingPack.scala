@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{FreqSketch, Hashes}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus statistics & sampling operators — the frequency/probability layer
+  * of a training-data pipeline: heavy hitters, weighted reservoir sampling,
+  * LM-probability quality scoring, temperature-based mixture rebalancing,
+  * and Bloom-pruned decontamination. All new surface beyond the reference
+  * (the brief's "operations a large-scale training-data pipeline would
+  * need"); grows from the same hash/shingle primitives as TextPack and
+  * CurationPack (reference seed: RecommendationUtils.scala:16-49).
+  *
+  * Scale design (100 TB):
+  *  - q81 global top-k never materializes a global sort: Spark plans
+  *    `orderBy(...).limit(k)` as TakeOrderedAndProject — per-partition
+  *    top-k heaps merged on the driver, O(k) memory per partition. The
+  *    streaming/mergeable twin is [[graft.functions.FreqSketch]] (q86).
+  *  - q82 weighted sampling is the Efraimidis–Spirakis one-pass reservoir
+  *    (key = ln(u)/w, keep k largest) with u derived from a hash of the
+  *    row id — stateless, shuffle-free scoring + the same TakeOrdered
+  *    top-k; identical sample on any engine, partitioning, or retry.
+  *  - q83 LM scoring builds a corpus-small unigram table that broadcasts
+  *    back onto the exploded token stream (one wide pass); per-token
+  *    log-probs are quantized to integer micro-nats so the per-doc sum is
+  *    addition-order exact under any partial-aggregation tree.
+  *  - q84 mixture weights fold per-source totals (tiny side table) and
+  *    keep/drop rows with the q64 stateless hash predicate; sqrt/division
+  *    are IEEE correctly-rounded, so rates are bit-identical cross-engine.
+  *  - q85 decontamination is the bloom-prune + exact-confirm pattern: a
+  *    driver-built Bloom filter over train span hashes prunes the test
+  *    span stream BEFORE the shuffle join (no false negatives, FPs removed
+  *    by the exact confirm), so the join's left side shrinks from |test
+  *    spans| to |contaminated ∪ FP| — the standard way a 100 TB semi-join
+  *    avoids shuffling the big side.
+  */
+object SamplingPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HH_K      = 20      // heavy hitters reported (q81)
+  private val WS_K      = 20      // weighted sample size (q82)
+  private val U_DENOM   = 1000000L // hash→uniform granularity (q82)
+  private val LP_SCALE  = 1000000L // micro-nat quantization (q83)
+  private val LM_KEEP_T = -8.0    // avg-logprob keep threshold (q83)
+  private val RATE_DENOM = 10000  // keep-rate granularity, basis points (q84)
+  private val TEST_MOD  = 5       // q55's eval-split modulus (q85)
+  private val SPAN      = 6       // q77's span width, tokens (q85)
+  private val BLOOM_FPP = 0.01    // q85 prune-stage false-positive rate
+  private val MG_K      = 8       // Misra-Gries counter budget (q86)
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** q55's deterministic eval-split membership (same constant, so q85's
+    * decontamination is consistent with q55's). */
+  private def isTest: Column =
+    Hashes.base32(col("doc_id").cast("string")) % TEST_MOD === 0
+  private val sqlIsTest =
+    s"${Hashes.sqlBase32("doc_id::VARCHAR")} % $TEST_MOD = 0"
+
+  /** (doc_id, h) span-hash rows: consecutive SPAN-token spans fingerprinted
+    * with the 60-bit hash (q77's span definition, hashed — at scale the
+    * hash, not the text, is what shuffles). */
+  private def spanHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          ((size(col("t")) - 1) / SPAN).cast("long"))).as("k"))
+      .select(col("doc_id"),
+        Hashes.base60(
+          concat_ws(" ", slice(col("t"), col("k") * SPAN + 1, lit(SPAN)))).as("h"))
+
+  private val sqlSpanHashes =
+    s"""SELECT doc_id,
+       |  ${Hashes.sqlBase60(s"array_to_string(t[k*$SPAN+1 : k*$SPAN+$SPAN], ' ')")} AS h
+       |FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+       |     LATERAL unnest(range(0, (len(t)-1)//$SPAN + 1)) AS u(k)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Corpus-wide heavy hitters: exact top-k token frequencies + corpus
+    // share. groupBy gives the map-side partial count; orderBy+limit plans
+    // as TakeOrderedAndProject (distributed top-k heaps, no global sort).
+    // The re-rank window runs over k rows, not the corpus.
+    "q81_heavy_hitters" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = tc.agg(sum(col("n")).cast("long").as("tot"))
+      tc.orderBy(col("n").desc, col("tok")).limit(HH_K)
+        .crossJoin(broadcast(tot))
+        .withColumn("share", round(col("n").cast("double") / col("tot"), 6))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .select(col("rank"), col("tok"), col("n"), col("share"))
+        .orderBy(col("rank"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis, IPL 2006):
+    // key_i = ln(u_i)/w_i with u_i ∈ (0,1] uniform and w_i = n_chars; the
+    // k largest keys ARE a weight-proportional sample. u_i comes from the
+    // q64 hash (not an RNG), so the sample is reproducible across engines,
+    // retries, and partitionings. Rank on the 8-decimal rounding (q63's
+    // rank-on-rounded pattern: collapses cross-engine ulp noise in ln).
+    "q82_weighted_sample" -> ((s, d) => {
+      val u = (Hashes.base32(col("doc_id").cast("string")) % U_DENOM + 1L)
+        .cast("double") / lit(U_DENOM.toDouble)
+      val key = log(u) / col("n_chars")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(key, 8).as("key8"))
+        .orderBy(col("key8").desc, col("doc_id")).limit(WS_K)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("key8").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"), col("n_chars"),
+          round(col("key8"), 6).as("es_key"))
+        .orderBy(col("rank"))
+    }),
+
+    // LM-probability quality scoring (the CCNet/Gopher "perplexity filter"
+    // with the corpus itself as the unigram LM): p(tok) = (c+1)/(T+V)
+    // add-one smoothed; per-doc mean log-prob decides keep/drop. Per-token
+    // log-probs are quantized to integer micro-nats (floor(ln·1e6)) so the
+    // per-doc SUM is exact integer arithmetic — addition-order independent
+    // under any combine tree, hence bit-identical to the oracle.
+    "q83_lm_quality" -> ((s, d) => {
+      val dtok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val tc = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = tc.agg(sum(col("c")).cast("long").as("t_tokens"),
+        count(lit(1)).as("v_size"))
+      val lp = tc.crossJoin(broadcast(stats))
+        .select(col("tok"),
+          floor(log((col("c") + 1).cast("double")
+            / (col("t_tokens") + col("v_size")).cast("double")) * LP_SCALE)
+            .cast("long").as("lp_micro"))
+      dtok.join(broadcast(lp), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp_micro")).cast("long").as("sum_lp_micro"))
+        .withColumn("avg_logprob",
+          round(col("sum_lp_micro").cast("double")
+            / (col("n_tokens") * LP_SCALE), 4))
+        .withColumn("kept", col("avg_logprob") >= LM_KEEP_T)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-based mixture rebalancing (multilingual-LM sampling,
+    // α = 0.5): keep-rate ∝ tokens^α/max(tokens^α) flattens the source
+    // distribution without equalizing it (q59 equalizes to the minimum —
+    // this is the gentler standard knob). sqrt and division are IEEE
+    // correctly-rounded, so rate_bp is bit-identical cross-engine;
+    // membership is the q64 stateless hash predicate.
+    "q84_mix_temperature" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("ntok"),
+          (Hashes.base32(col("doc_id").cast("string")) % RATE_DENOM).as("bucket"))
+      val totals = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("tot_tokens"))
+      val mx = totals.agg(max(col("tot_tokens")).as("max_tokens"))
+      perDoc.join(broadcast(totals), "source")
+        .crossJoin(broadcast(mx))
+        .withColumn("rate_bp",
+          floor(lit(RATE_DENOM) * sqrt(col("tot_tokens").cast("double"))
+            / sqrt(col("max_tokens").cast("double"))).cast("long"))
+        .groupBy(col("source"), col("n_docs"), col("tot_tokens"), col("rate_bp"))
+        .agg(count(when(col("bucket") < col("rate_bp"), 1)).as("n_kept"),
+          sum(when(col("bucket") < col("rate_bp"), col("ntok")).otherwise(0L))
+            .cast("long").as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Bloom-pruned train/eval decontamination: test-doc spans whose text
+    // appears anywhere in the train split (q55's check at q77's span
+    // granularity, on 60-bit hashes). The Bloom filter over train hashes
+    // prunes the test span stream BEFORE the shuffle join; the exact
+    // confirm join removes its false positives, so the OUTPUT is exactly
+    // the no-bloom semi-join (what the oracle computes) while the join
+    // input shrinks by ~(1 - contamination - fpp).
+    "q85_bloom_decontam" -> ((s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"), isTest.as("is_test"))
+      val tagged = spanHashes(s, d).join(split, "doc_id")
+      val trainH = tagged.filter(!col("is_test")).select(col("h")).distinct()
+      val testSpans = tagged.filter(col("is_test"))
+      val nTrain = math.max(1000L, trainH.count())
+      val bf = trainH.stat.bloomFilter("h", nTrain, BLOOM_FPP)
+      val mightContain = udf((h: Long) => bf.mightContainLong(h))
+      val totals = testSpans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      val hits = testSpans.filter(mightContain(col("h")))
+        .join(trainH.withColumn("hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("doc_id")).agg(count(col("hit")).as("nh"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("nh"), lit(0L)).as("n_hit"))
+        .withColumn("contaminated", col("n_hit") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mergeable frequent-items sketch (Misra-Gries) per source — q81's
+    // one-pass bounded-memory twin for streams/hierarchical rollups, the
+    // third classic sketch beside q79's HLL and q80's GK quantiles.
+    // Candidate SETS are order-sensitive (any MG run is); the guarantees
+    // (superset of true heavy hitters, undercount ≤ N/(k+1)) are pinned in
+    // FreqSketchSpec, so like q79/q80 this is a rows-only gate.
+    "q86_freq_sketch" -> ((s, d) => {
+      import s.implicits._
+      val mg = udaf(new FreqSketch(MG_K))
+      Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"))
+        .agg(mg(col("tok")).as("sk"), count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          size(col("sk")).as("n_candidates"),
+          array_join(sort_array(map_keys(col("sk"))), ",").as("candidates"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q81_heavy_hitters" ->
+      s"""WITH tc AS (
+         |  SELECT tok, count(*) AS n
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok
+         |), tot AS (SELECT sum(n)::BIGINT AS tot FROM tc)
+         |SELECT row_number() OVER (ORDER BY n DESC, tok) AS rank, tok, n,
+         |  ${Hashes.sqlRound("n::DOUBLE / tot", 6)} AS share
+         |FROM tc CROSS JOIN tot
+         |ORDER BY n DESC, tok LIMIT $HH_K""".stripMargin,
+
+    "q82_weighted_sample" -> {
+      val key = s"ln((${Hashes.sqlBase32("doc_id::VARCHAR")} % $U_DENOM + 1)" +
+        s"::DOUBLE / $U_DENOM.0) / n_chars"
+      val key8 = Hashes.sqlRound(key, 8)
+      s"""SELECT row_number() OVER (ORDER BY key8 DESC, doc_id) AS rank,
+         |  doc_id, source, n_chars, ${Hashes.sqlRound("key8", 6)} AS es_key
+         |FROM (SELECT doc_id, source, n_chars, $key8 AS key8 FROM documents)
+         |ORDER BY key8 DESC, doc_id LIMIT $WS_K""".stripMargin
+    },
+
+    "q83_lm_quality" -> {
+      val avg = Hashes.sqlRound(s"sum(lp_micro)::DOUBLE / (count(*) * $LP_SCALE)", 4)
+      s"""WITH dtok AS (
+         |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+         |), tc AS (SELECT tok, count(*) AS c FROM dtok GROUP BY tok),
+         |st AS (SELECT sum(c)::BIGINT AS t_tokens, count(*)::BIGINT AS v_size FROM tc),
+         |lp AS (
+         |  SELECT tok, floor(ln((c+1)::DOUBLE / (t_tokens+v_size)::DOUBLE)
+         |    * $LP_SCALE)::BIGINT AS lp_micro
+         |  FROM tc CROSS JOIN st
+         |)
+         |SELECT doc_id, count(*) AS n_tokens, sum(lp_micro)::BIGINT AS sum_lp_micro,
+         |  $avg AS avg_logprob, $avg >= $LM_KEEP_T AS kept
+         |FROM dtok JOIN lp USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q84_mix_temperature" ->
+      s"""WITH perdoc AS (
+         |  SELECT source, doc_id, len(str_split(text, ' '))::BIGINT AS ntok,
+         |    ${Hashes.sqlBase32("doc_id::VARCHAR")} % $RATE_DENOM AS bucket
+         |  FROM documents
+         |), totals AS (
+         |  SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS tot_tokens
+         |  FROM perdoc GROUP BY source
+         |), mx AS (SELECT max(tot_tokens) AS max_tokens FROM totals)
+         |SELECT source, n_docs, tot_tokens,
+         |  floor($RATE_DENOM * sqrt(tot_tokens::DOUBLE) / sqrt(max_tokens::DOUBLE))
+         |    ::BIGINT AS rate_bp,
+         |  count(CASE WHEN bucket < floor($RATE_DENOM * sqrt(tot_tokens::DOUBLE)
+         |    / sqrt(max_tokens::DOUBLE)) THEN 1 END) AS n_kept,
+         |  sum(CASE WHEN bucket < floor($RATE_DENOM * sqrt(tot_tokens::DOUBLE)
+         |    / sqrt(max_tokens::DOUBLE)) THEN ntok ELSE 0 END)::BIGINT AS kept_tokens
+         |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
+         |GROUP BY source, n_docs, tot_tokens, max_tokens
+         |ORDER BY source""".stripMargin,
+
+    "q85_bloom_decontam" ->
+      s"""WITH sp AS (
+         |  $sqlSpanHashes
+         |), tag AS (
+         |  SELECT sp.doc_id, h, m.is_test
+         |  FROM sp JOIN (SELECT doc_id, $sqlIsTest AS is_test FROM documents) m
+         |    USING (doc_id)
+         |), tr AS (SELECT DISTINCT h FROM tag WHERE NOT is_test)
+         |SELECT te.doc_id, count(*) AS n_spans, count(tr.h) AS n_hit,
+         |  count(tr.h) > 0 AS contaminated
+         |FROM (SELECT doc_id, h FROM tag WHERE is_test) te
+         |LEFT JOIN tr ON te.h = tr.h
+         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin
+    // q86_freq_sketch: rows-only (sketch candidate sets are order-sensitive
+    // and not DuckDB-reproducible — guarantees pinned in FreqSketchSpec,
+    // same gate shape as q79/q80).
+  )
+}

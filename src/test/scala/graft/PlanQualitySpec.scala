@@ -156,6 +156,42 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("q81: global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val plan = executedPlan(
+      graft.operators.SamplingPack.queries("q81_heavy_hitters")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"heavy hitters must use per-partition top-k heaps:\n$plan")
+  }
+
+  test("q82: weighted-sample scoring is shuffle-free before the top-k heap") {
+    val plan = executedPlan(
+      graft.operators.SamplingPack.queries("q82_weighted_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    // scoring is a per-row projection: the only exchanges allowed are the
+    // top-k single-partition gather and the 20-row re-rank/present stages
+    val before = plan.substring(0, plan.indexOf("TakeOrderedAndProject"))
+    assert(!before.contains("Exchange hashpartitioning"),
+      s"scoring stage must not shuffle:\n$plan")
+  }
+
+  test("q83: unigram LM table broadcasts back onto the token stream") {
+    val plan = executedPlan(
+      graft.operators.SamplingPack.queries("q83_lm_quality")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast unigram table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token-stream join regressed to SMJ:\n$plan")
+  }
+
+  test("q85: bloom prune filters the test span stream before the confirm join") {
+    val df = graft.operators.SamplingPack.queries("q85_bloom_decontam")(spark, sf)
+    val plan = executedPlan(df)
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt >= 0, s"no confirm join:\n$plan")
+    assert(plan.contains("UDF"), s"bloom prune UDF missing from plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.SamplingPack
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the statistics/sampling pack (q81-q86). The DuckDB
+  * oracle gate re-checks SQL parity; these tests pin the math against
+  * independent in-JVM recomputation and the bloom-prune no-op contract. */
+class SamplingPackSpec extends GraftSuite {
+
+  private def q(name: String): DataFrame =
+    SamplingPack.queries(name)(spark, sf)
+
+  /** base32 reimplemented independently (same construction as Hashes). */
+  private def base32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("q81: top-1 matches an independent exact count; shares consistent") {
+    val rows = q("q81_heavy_hitters").collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 20))
+    // independent recomputation off the raw text, driver-side
+    val counts = Tables.documents(spark, sf).select(col("text")).collect()
+      .iterator.flatMap(_.getString(0).split(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTop = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq === expTop)
+    val tot = counts.values.sum.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / tot) < 1e-6)
+    }
+  }
+
+  test("q82: selected set equals brute-force Efraimidis-Spirakis keys") {
+    val rows = q("q82_weighted_sample").collect()
+    assert(rows.length === 20)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = docs.map { case (id, w) =>
+      val u = (base32(id.toString) % 1000000L + 1L).toDouble / 1000000.0
+      val key8 = BigDecimal(math.log(u) / w)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, key8)
+    }.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
+    assert(rows.map(_.getLong(1)).toSeq === exp)
+  }
+
+  test("q83: per-doc score matches driver-side recomputation; sums exact") {
+    val rows = q("q83_lm_quality").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val t = counts.values.sum
+    val v = counts.size
+    val lp = counts.map { case (tok, c) =>
+      tok -> math.floor(math.log((c + 1).toDouble / (t + v)) * 1e6).toLong
+    }
+    val exp = docs.map { case (id, ts) => id -> ts.map(lp).sum }.toMap
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("sum_lp_micro")) === exp(id), s"doc $id")
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      val avg = exp(id).toDouble / (n * 1e6)
+      assert(math.abs(r.getDouble(r.fieldIndex("avg_logprob")) - avg) < 1e-3)
+    }
+  }
+
+  test("q84: largest source keeps everything; rates match sqrt recomputation") {
+    val rows = q("q84_mix_temperature").collect()
+    val tot = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val mx = tot.values.max
+    rows.foreach { r =>
+      val expRate =
+        math.floor(10000 * math.sqrt(r.getLong(2).toDouble) / math.sqrt(mx.toDouble)).toLong
+      assert(r.getLong(r.fieldIndex("rate_bp")) === expRate)
+      assert(r.getLong(r.fieldIndex("n_kept")) <= r.getLong(1))
+      assert(r.getLong(r.fieldIndex("kept_tokens")) <= r.getLong(2))
+    }
+    assert(rows.filter(_.getLong(2) == mx)
+      .forall(r => r.getLong(r.fieldIndex("rate_bp")) == 10000L))
+  }
+
+  test("q85: bloom prune is a no-op on the output (exact-confirm contract)") {
+    // exact recomputation with NO bloom stage, same span/hash/split defs
+    val toks = split(col("text"), " ")
+    val spans = Tables.documents(spark, sf)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), ((size(col("t")) - 1) / 6).cast("long"))).as("k"))
+      .select(col("doc_id"),
+        graft.functions.Hashes.base60(
+          concat_ws(" ", slice(col("t"), col("k") * 6 + 1, lit(6)))).as("h"))
+    val split5 = Tables.documents(spark, sf).select(col("doc_id"),
+      (graft.functions.Hashes.base32(col("doc_id").cast("string")) % 5 === 0).as("is_test"))
+    val tagged = spans.join(split5, "doc_id")
+    val train = tagged.filter(!col("is_test")).select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    val exp = tagged.filter(col("is_test"))
+      .join(train, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+      .select("doc_id", "n_spans", "n_hit", "contaminated")
+      .orderBy("doc_id").collect().toSeq
+    val got = q("q85_bloom_decontam")
+      .select("doc_id", "n_spans", "n_hit", "contaminated")
+      .orderBy("doc_id").collect().toSeq
+    assert(got === exp)
+    assert(got.exists(_.getLong(2) > 0), "corpus should have some contamination")
+  }
+
+  test("q86: one row per source, candidate sets within the counter budget") {
+    val rows = q("q86_freq_sketch").collect()
+    val nSources = Tables.documents(spark, sf)
+      .select(countDistinct(col("source"))).head().getLong(0)
+    assert(rows.length.toLong === nSources)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("n_candidates")) <= 8)
+      assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
+    }
+  }
+}
