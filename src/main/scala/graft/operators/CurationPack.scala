@@ -116,11 +116,14 @@ object CurationPack {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
+      // into the lambda body would re-split the doc per element (O(n²))
+      val bigrams = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2)))))
         .otherwise(array().cast("array<string>"))
       val bc = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"), bigrams.as("bg"))
         .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
           size(array_distinct(col("bg"))).cast("long").as("d_bigrams"))

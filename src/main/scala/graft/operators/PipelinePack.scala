@@ -259,13 +259,16 @@ object PipelinePack {
     // n-gram LM count tables / vocab induction. Same two-phase shape as
     // any heavy-hitter query: explode → count → per-group top-k.
     "q65_bigram_counts" -> ((s, d) => {
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
+      // into the lambda body would re-split the doc per element (O(n²))
+      val bigrams = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2)))))
         .otherwise(array().cast("array<string>"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("n").desc, col("bigram"))
       Tables.documents(s, d)
+        .select(col("source"), toks.as("t"))
         .select(col("source"), explode(bigrams).as("bigram"))
         .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("n"))
         .withColumn("rank", row_number().over(w))

@@ -44,13 +44,19 @@ object TextPack {
   private def toks: Column = split(col("text"), " ")
 
   /** Distinct W-gram word shingles of `text` (empty when too short). */
-  private def shinglesCol: Column =
-    when(size(toks) >= W,
-      array_distinct(transform(sequence(lit(1), size(toks) - lit(W - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(W))))))
+  /** Distinct W-token shingles of a PRE-PROJECTED token-array column.
+    * `t` must be an attribute, not the `split(...)` expression itself:
+    * higher-order functions are CodegenFallback, so any non-attribute the
+    * lambda body references is RE-EVALUATED per element — with `toks`
+    * inlined, every shingle re-split the whole document (O(n²·len) per
+    * doc; measured ~3× slower on the shingle build at sf0.1). */
+  private def shinglesOf(t: Column): Column =
+    when(size(t) >= W,
+      array_distinct(transform(sequence(lit(1), size(t) - lit(W - 1)),
+        i => concat_ws(" ", slice(t, i, lit(W))))))
       .otherwise(array().cast("array<string>"))
 
-  /** DuckDB equivalent of [[shinglesCol]] (1-based inclusive slices). */
+  /** DuckDB equivalent of [[shinglesOf]] (1-based inclusive slices). */
   private val sqlShingles: String =
     s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
 
@@ -92,7 +98,8 @@ object TextPack {
     * materialized table bucketed by shingle, not an in-memory cache. */
   private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shinglesCol).as("shingle"))
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(shinglesOf(col("t"))).as("shingle"))
       .cache()
 
   private[operators] val sqlShingleRows: String =
@@ -110,8 +117,9 @@ object TextPack {
     * output schema, oracle-checked by q32's gate. */
   private def sigDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
-        graft.functions.MinHashSig.of(shinglesCol, NUM_HASHES, SEED).as("sigarr"))
+        graft.functions.MinHashSig.of(shinglesOf(col("t")), NUM_HASHES, SEED).as("sigarr"))
       .filter(col("sigarr").isNotNull)
       .select(col("doc_id") +:
         (0 until NUM_HASHES).map(i => col("sigarr")(i).as(s"m$i")): _*)
@@ -165,7 +173,9 @@ object TextPack {
         .distinct()
       val sigArr = sig.select(col("doc_id"),
         array((0 until NUM_HASHES).map(i => col(s"m$i")): _*).as("sig"))
-      val shArr = Tables.documents(s, d).select(col("doc_id"), shinglesCol.as("sh"))
+      val shArr = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
       cand
         .join(sigArr.select(col("doc_id").as("i"), col("sig").as("sig_a")), "i")
         .join(sigArr.select(col("doc_id").as("j"), col("sig").as("sig_b")), "j")
