@@ -56,6 +56,25 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("est_users"))
 
+  /** Windowed frequent-items census as a Misra-Gries sketch — q86's
+    * streaming twin (the third sketch beside the HLL above and q80's GK).
+    * State per window is O(k) counters regardless of key cardinality, and
+    * the Aggregator's merge is the Mergeable-Summaries combine, so
+    * micro-batch partials fold into the running state with the same
+    * heavy-hitter-completeness / N/(k+1)-undercount bounds as one pass
+    * (FreqSketchSpec pins the bounds; StreamingSpec pins them END-TO-END
+    * through micro-batched arrival). Candidate SETS are arrival-order
+    * sensitive — bounds, not byte-parity, are the stream/batch contract. */
+  def freqSketch(events: DataFrame, k: Int = 8): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.FreqSketch(k))
+    events
+      .groupBy(window(col("ts"), "4 hours"))
+      .agg(mg(col("event_type")).as("sk"), count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("n"), map_keys(col("sk")).as("candidates"))
+  }
+
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon — streaming ingest dedup for a training-data pipeline; state
     * is bounded by the watermark (expired keys are dropped). */

@@ -112,6 +112,39 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("freq sketch: streaming MG windows keep every true heavy hitter with bounded undercount") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.freqSketch(stream.toDF(), k = 3)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("mg_stream").collect()
+      // exact per-window event_type counts for the guarantee check
+      val exact = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "4 hours"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("c"))
+        .collect().groupBy(_.getLong(0))
+      assert(streamed.nonEmpty)
+      streamed.foreach { r =>
+        val w = r.getLong(0)
+        val n = r.getLong(1)
+        val cands = r.getSeq[String](2).toSet
+        assert(cands.size <= 3)
+        // every type with count > N/(k+1) must survive micro-batched merges
+        exact(w).filter(_.getLong(2) > n / 4).map(_.getString(1)).foreach { t =>
+          assert(cands.contains(t), s"window $w lost heavy hitter $t")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated (user, type, value) rows across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
