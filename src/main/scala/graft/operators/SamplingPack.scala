@@ -50,6 +50,9 @@ object SamplingPack {
   private val SPAN      = 6       // q77's span width, tokens (q85)
   private val BLOOM_FPP = 0.01    // q85 prune-stage false-positive rate
   private val MG_K      = 8       // Misra-Gries counter budget (q86)
+  private val Z_T       = 3.0     // outlier |z| threshold (q87)
+  private val TS_MIN    = 1704067200L // 2024-01-01 UTC (q88 event-time bounds)
+  private val TS_MAX    = 1735689600L // 2025-01-01 UTC
 
   private def toks: Column = split(col("text"), " ")
 
@@ -202,6 +205,48 @@ object SamplingPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-type z-score outlier detection — the numeric-column cleaning
+    // pass of a data-quality pipeline. Moments are exact integer sums of
+    // cents (Σx ≤ 6e9, Σx² ≤ 6e13: both far inside Int64), so mean and
+    // variance derive from exact integers through a fixed sequence of
+    // IEEE-correctly-rounded double ops — bit-identical cross-engine, no
+    // addition-order dependence anywhere.
+    "q87_outlier_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("s1"),
+          sum(col("cents") * col("cents")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n"))
+            / (col("n") - 1)))
+        .filter(col("sigma") > 0)
+      ev.join(broadcast(stats.select(col("event_type"), col("mu"), col("sigma"))),
+          "event_type")
+        .withColumn("z", round((col("cents") - col("mu")) / col("sigma"), 4))
+        .filter(abs(col("z")) > Z_T)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Single-pass schema/quality audit — per-column integrity counters
+    // (nulls, JSON extraction failures, value-range violations, event-time
+    // bounds, cardinalities) a pipeline gates ingestion on. One map-side
+    // pass, all-integer output: exact on any engine and any combine tree.
+    "q88_schema_audit" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("props").isNull, 1)).as("null_props"),
+        count(when(get_json_object(col("props"), "$.k").isNull, 1)).as("bad_json"),
+        count(when(col("value") < 0 || isnan(col("value")), 1)).as("bad_value"),
+        count(when(unix_timestamp(col("ts")) < TS_MIN
+          || unix_timestamp(col("ts")) >= TS_MAX, 1)).as("ts_oob"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"))),
+
     // Mergeable frequent-items sketch (Misra-Gries) per source — q81's
     // one-pass bounded-memory twin for streams/hierarchical rollups, the
     // third classic sketch beside q79's HLL and q80's GK quantiles.
@@ -280,6 +325,40 @@ object SamplingPack {
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
          |ORDER BY source""".stripMargin,
+
+    "q87_outlier_events" -> {
+      val z = Hashes.sqlRound("(cents - mu) / sigma", 4)
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, value,
+         |    floor(value * 100)::BIGINT AS cents
+         |  FROM events
+         |), st AS (
+         |  SELECT event_type, count(*) AS n, sum(cents)::BIGINT AS s1,
+         |    sum(cents * cents)::BIGINT AS s2
+         |  FROM ev GROUP BY event_type
+         |), mus AS (
+         |  SELECT event_type, s1::DOUBLE / n AS mu,
+         |    sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1)) AS sigma
+         |  FROM st WHERE sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1)) > 0
+         |)
+         |SELECT event_id, event_type,
+         |  ${Hashes.sqlRound("value", 2)} AS value, $z AS z
+         |FROM ev JOIN mus USING (event_type)
+         |WHERE abs($z) > $Z_T
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "q88_schema_audit" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(CASE WHEN props IS NULL THEN 1 END) AS null_props,
+         |  count(CASE WHEN json_extract_string(props, '$$.k') IS NULL THEN 1 END)
+         |    AS bad_json,
+         |  count(CASE WHEN value < 0 OR isnan(value) THEN 1 END) AS bad_value,
+         |  count(CASE WHEN floor(epoch(ts))::BIGINT < $TS_MIN
+         |    OR floor(epoch(ts))::BIGINT >= $TS_MAX THEN 1 END) AS ts_oob,
+         |  count(DISTINCT event_type) AS n_types,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events""".stripMargin,
 
     "q85_bloom_decontam" ->
       s"""WITH sp AS (

@@ -117,6 +117,46 @@ class SamplingPackSpec extends GraftSuite {
     assert(got.exists(_.getLong(2) > 0), "corpus should have some contamination")
   }
 
+  test("q87: outlier set matches an exact-integer-moments recomputation") {
+    val rows = q("q87_outlier_events").collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val expected = ev.filter { case (_, t, v) =>
+      val cents = byType(t).map(x => math.floor(x._3 * 100).toLong)
+      val n = cents.length.toLong
+      val s1 = cents.sum
+      val s2 = cents.map(c => c * c).sum
+      val mu = s1.toDouble / n
+      val sigma = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / (n - 1))
+      val c = math.floor(v * 100).toLong
+      sigma > 0 && math.abs(BigDecimal((c - mu) / sigma)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) > 3.0
+    }.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+    assert(expected.nonEmpty, "fixture should contain some |z|>3 outliers")
+  }
+
+  test("q88: audit counters match driver-side recomputation") {
+    val r = q("q88_schema_audit").head()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("props"), col("value"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"), col("user_id"))
+      .collect()
+    assert(r.getLong(r.fieldIndex("n_rows")) === ev.length.toLong)
+    assert(r.getLong(r.fieldIndex("null_props")) ===
+      ev.count(_.isNullAt(1)).toLong)
+    assert(r.getLong(r.fieldIndex("bad_value")) ===
+      ev.count(x => x.getDouble(2) < 0 || x.getDouble(2).isNaN).toLong)
+    assert(r.getLong(r.fieldIndex("ts_oob")) ===
+      ev.count(x => x.getLong(3) < 1704067200L || x.getLong(3) >= 1735689600L).toLong)
+    assert(r.getLong(r.fieldIndex("n_types")) ===
+      ev.map(_.getString(4)).distinct.length.toLong)
+    assert(r.getLong(r.fieldIndex("n_users")) ===
+      ev.map(_.getLong(5)).distinct.length.toLong)
+  }
+
   test("q86: one row per source, candidate sets within the counter budget") {
     val rows = q("q86_freq_sketch").collect()
     val nSources = Tables.documents(spark, sf)
