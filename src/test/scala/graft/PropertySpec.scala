@@ -60,6 +60,44 @@ class PropertySpec extends AnyFunSuite {
     }, n = 50)
   }
 
+  test("Misra-Gries: bounds hold on arbitrary streams and arbitrary chunked merges") {
+    val itemGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(0, 4).map(i => s"hot$i"),      // skewed head
+      Gen.choose(0, 500).map(i => s"cold$i")))  // long tail
+    check(Prop.forAll(itemGen, Gen.choose(2, 12), Gen.choose(1, 7)) { (items, k, chunks) =>
+      val sk = new graft.functions.FreqSketch(k)
+      val bufs = items.grouped(math.max(1, items.length / chunks + 1))
+        .map(c => c.foldLeft(sk.zero)(sk.reduce)).toSeq
+      val m = if (bufs.isEmpty) sk.zero else bufs.reduceLeft(sk.merge)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.length.toLong
+      val bound = n / (k + 1)
+      m.n == n && m.counts.size <= k &&
+        truth.filter(_._2 > bound).keys.forall(m.counts.contains) &&
+        m.counts.forall { case (t, est) =>
+          est <= truth(t) && truth(t) - est <= bound
+        }
+    }, n = 200)
+  }
+
+  test("Efraimidis-Spirakis keys: weight scaling never changes the selected set") {
+    // key = ln(u)/w is order-equivariant under w -> c*w (all keys scale by
+    // 1/c > 0), so the top-k sample depends only on RELATIVE weights — the
+    // property that makes the sampler unit-free.
+    val rowGen = Gen.listOf(for {
+      id <- Gen.choose(0L, 100000L)
+      w <- Gen.chooseNum(1.0, 5000.0)
+      u <- Gen.chooseNum(1e-6, 1.0)
+    } yield (id, w, u)).map(_.distinctBy(_._1))
+    check(Prop.forAll(rowGen, Gen.chooseNum(0.001, 1000.0), Gen.choose(1, 10)) {
+      (rows, c, k) =>
+        def top(scale: Double): Seq[Long] =
+          rows.map { case (id, w, u) => (id, math.log(u) / (w * scale)) }
+            .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+        top(1.0) == top(c)
+    }, n = 200)
+  }
+
   test("control-param parse: k/decay round-trip, '='-free garbage errors, comments nothing") {
     check(Prop.forAll(Gen.choose(1, 999)) { k =>
       ControlParams.parse(s"k=$k").contains(ControlParams.K(k))
