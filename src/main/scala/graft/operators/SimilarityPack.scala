@@ -40,6 +40,9 @@ object SimilarityPack {
   private val NEARDUP_T = 0.4
   private val TABLES   = 4   // LSH tables (L)
   private val BITS     = 8   // sign-projection bits per table (k)
+  private val HYB_QMOD = 100 // hybrid-search query set: doc_id % 100 == 0
+  private val HYB_RRF  = 60  // RRF constant (standard k=60)
+  private val HYB_TOP  = 5   // fused results per query
 
   /** Seeded ±1 projection planes: TABLES*BITS planes × DIM entries. */
   private val planes: IndexedSeq[IndexedSeq[Int]] = {
@@ -214,6 +217,50 @@ object SimilarityPack {
           coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
           col("n_dups").isNotNull.as("dropped"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion: candidates sharing ≥1
+    // distinct token with the query doc are ranked lexically (shared-token
+    // count) and semantically (embedding cosine), then fused by RRF
+    // (1/(60+r_lex) + 1/(60+r_vec)) — the standard lexical+vector fusion a
+    // retrieval-augmented data pipeline runs. All ranks are integers with
+    // id tiebreaks and the RRF sum has exactly two IEEE terms, so the
+    // fused ordering is bit-identical cross-engine. Scale: the query-token
+    // side broadcasts (queries ≪ corpus); the candidate relation shuffles
+    // once on (qid, cid); both rank windows ride the same partitioning.
+    "q89_hybrid_search" -> ((s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val shared = dt.filter(col("doc_id") % HYB_QMOD === 0)
+        .select(col("doc_id").as("qid"), col("tok")).as("q")
+        .join(dt.as("c"), col("q.tok") === col("c.tok")
+          && col("qid") =!= col("c.doc_id"))
+        .groupBy(col("qid"), col("c.doc_id").as("cid"))
+        .agg(count(lit(1)).as("shared"))
+      val e = vecs(s, d)
+      val cand = shared
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("norm").as("cn")), "cid")
+        .withColumn("cos6", round(cosine("qv", "cv", "qn", "cn"), 6))
+      val wLex = Window.partitionBy(col("qid"))
+        .orderBy(col("shared").desc, col("cid"))
+      val wVec = Window.partitionBy(col("qid"))
+        .orderBy(col("cos6").desc, col("cid"))
+      val fused = cand
+        .withColumn("rank_lex", row_number().over(wLex))
+        .withColumn("rank_vec", row_number().over(wVec))
+        .withColumn("rrf", round(lit(1.0) / (lit(HYB_RRF) + col("rank_lex"))
+          + lit(1.0) / (lit(HYB_RRF) + col("rank_vec")), 6))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("cid"))
+      fused.withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= HYB_TOP)
+        .select(col("qid"), col("rank"), col("cid"), col("shared"),
+          col("rank_lex"), col("rank_vec"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -338,6 +385,40 @@ object SimilarityPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q89_hybrid_search" -> {
+      val cos6 = Hashes.sqlRound(sqlCosine("qv.v", "cv.v", "qv.norm", "cv.norm"), 6)
+      val rrf = Hashes.sqlRound(
+        s"1.0 / ($HYB_RRF + rank_lex) + 1.0 / ($HYB_RRF + rank_vec)", 6)
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents
+         |), sh AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS shared
+         |  FROM dt q JOIN dt c ON q.tok = c.tok AND q.doc_id <> c.doc_id
+         |  WHERE q.doc_id % $HYB_QMOD = 0
+         |  GROUP BY 1, 2
+         |), ev AS (
+         |  $sqlVecs
+         |), cand AS (
+         |  SELECT qid, cid, shared, $cos6 AS cos6
+         |  FROM sh JOIN ev qv ON qv.vec_id = qid JOIN ev cv ON cv.vec_id = cid
+         |), ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY shared DESC, cid)
+         |      AS rank_lex,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cid)
+         |      AS rank_vec
+         |  FROM cand
+         |), fused AS (
+         |  SELECT qid, cid, shared, rank_lex, rank_vec, $rrf AS rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $rrf DESC, cid) AS rank
+         |  FROM ranked
+         |)
+         |SELECT qid, rank, cid, shared, rank_lex, rank_vec, rrf
+         |FROM fused WHERE rank <= $HYB_TOP
+         |ORDER BY qid, rank""".stripMargin
+    },
+
     "q40_cosine_topk" ->
       s"""WITH e AS (
          |  $sqlVecs

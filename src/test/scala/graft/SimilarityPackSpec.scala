@@ -110,6 +110,25 @@ class SimilarityPackSpec extends GraftSuite {
     assert(got.exists(_._3), "threshold chosen so the dup set is non-empty")
   }
 
+  test("q89 hybrid fusion: RRF recomputes from the component ranks, top-5 per query") {
+    val rows = SimilarityPack.queries("q89_hybrid_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length <= 5, s"query $qid returned ${rs.length} rows")
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      rs.foreach { r =>
+        val exp = BigDecimal(1.0 / (60 + r.getInt(4)) + 1.0 / (60 + r.getInt(5)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(6) - exp) < 1e-9,
+          s"query $qid candidate ${r.getLong(2)}: rrf drifted")
+        assert(r.getLong(3) >= 1, "candidate must share at least one token")
+      }
+      // fused order follows (rrf desc, cid): rank 1 has the max rrf
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(6))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q40 plan broadcasts the query side (no shuffle of the corpus)") {
     val plan = SimilarityPack.queries("q40_cosine_topk")(spark, sf)
       .queryExecution.executedPlan.toString
