@@ -43,6 +43,10 @@ object PipelinePack {
   private val OOV_T      = 0.2
   private val SAMPLE_PCT = 10
   private val CONTAIN_T  = 0.8
+  private val BM25_K1    = 1.2
+  private val BM25_B     = 0.75
+  private val BM25_QMOD  = 100  // query set: doc_id % 100 == 0 (q89's)
+  private val BM25_TOP   = 10
 
   private def toks: Column = split(col("text"), " ")
 
@@ -241,6 +245,55 @@ object PipelinePack {
         .select(col("doc_id"), col("rank"), col("term"),
           round(col("score6"), 4).as("score"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 ranked retrieval (Robertson-Spärck Jones, the Lucene variant:
+    // idf = ln((N-df+0.5)/(df+0.5) + 1), k1=1.2, b=0.75; query-side tf=1) —
+    // q63's TF-IDF upgraded to the standard retrieval scorer and q89's
+    // lexical leg made principled. Per-(token, doc) contributions are
+    // quantized to integer micro-score units (floor(idf·tfpart·1e6)), so
+    // the per-pair SUM over matched tokens is exact integer arithmetic —
+    // addition-order independent, hence oracle-exact (the q83 trick).
+    // Scale: tf/df/dl are one pass over the exploded token stream; the df
+    // and corpus-stats tables broadcast; candidates = inverted-index join
+    // on the query tokens (queries ≪ corpus ⇒ broadcast), one shuffle on
+    // (qid, cid) for the sum, top-10 via WindowGroupLimit.
+    "q90_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("t_tokens"))
+        .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val contrib = tf.join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), "tok")
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("tfp",
+          col("tf") * lit(BM25_K1 + 1.0) / (col("tf")
+            + lit(BM25_K1) * (lit(1.0 - BM25_B)
+              + lit(BM25_B) * col("dl") / col("avgdl"))))
+        .withColumn("c_micro",
+          floor(col("idf") * col("tfp") * lit(1000000.0)).cast("long"))
+        .select(col("tok"), col("doc_id"), col("c_micro"))
+      val qt = docs.filter(col("doc_id") % BM25_QMOD === 0)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(toks)).as("tok"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_micro").desc, col("cid"))
+      broadcast(qt).join(contrib, "tok")
+        .filter(col("qid") =!= col("doc_id"))
+        .groupBy(col("qid"), col("doc_id").as("cid"))
+        .agg(sum(col("c_micro")).cast("long").as("score_micro"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BM25_TOP)
+        .select(col("qid"), col("rank"), col("cid"),
+          round(col("score_micro") / lit(1000000.0), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Deterministic stratified sampling: keep a doc iff
@@ -450,6 +503,43 @@ object PipelinePack {
          |SELECT doc_id, rank, term, ${Hashes.sqlRound("score6", 4)} AS score
          |FROM ranked WHERE rank <= $TFIDF_TOP ORDER BY doc_id, rank""".stripMargin
     },
+
+    "q90_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |), dl AS (
+         |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id
+         |), st AS (
+         |  SELECT count(*) AS n_docs, sum(dl)::BIGINT AS t_tokens FROM dl
+         |), st2 AS (
+         |  SELECT n_docs, t_tokens, t_tokens::DOUBLE / n_docs AS avgdl FROM st
+         |), dfc AS (
+         |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+         |), contrib AS (
+         |  SELECT tok, tf.doc_id,
+         |    floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * ${BM25_K1 + 1.0} / (tf + $BM25_K1
+         |          * (${1.0 - BM25_B} + $BM25_B * dl / avgdl)))
+         |      * 1000000.0)::BIGINT AS c_micro
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st2 JOIN dfc USING (tok)
+         |), qt AS (
+         |  SELECT doc_id AS qid, unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents WHERE doc_id % $BM25_QMOD = 0
+         |), sc AS (
+         |  SELECT qid, c.doc_id AS cid, sum(c_micro)::BIGINT AS score_micro
+         |  FROM qt JOIN contrib c USING (tok) WHERE qid <> c.doc_id
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT qid, cid, score_micro,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_micro DESC, cid) AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, cid,
+         |  ${Hashes.sqlRound("score_micro / 1000000.0", 4)} AS score
+         |FROM ranked WHERE rank <= $BM25_TOP ORDER BY qid, rank""".stripMargin,
 
     "q64_sample_stratified" ->
       s"""SELECT doc_id, source, bucket FROM (

@@ -119,6 +119,48 @@ class PipelinePackSpec extends GraftSuite {
     }
   }
 
+  test("bm25: one query's scores match a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelinePack.queries("q90_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_.getLong(2) != qid), "self must be excluded")
+      val sc = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // independent recomputation of the full ranking for the first query
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => ((id, t), o.size.toLong) }
+    }.toMap
+    val dl = docs.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = docs.length.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val qid = rows.map(_.getLong(0)).min
+    val qToks = docs.find(_._1 == qid).get._2.distinct
+    val expected = docs.filter(_._1 != qid).map { case (cid, _) =>
+      val micro = qToks.flatMap { t =>
+        tf.get((cid, t)).map { f =>
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val tfp = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl(cid) / avgdl))
+          math.floor(idf * tfp * 1000000.0).toLong
+        }
+      }.sum
+      (cid, micro)
+    }.filter(_._2 != 0L).sortBy { case (cid, m) => (-m, cid) }.take(10)
+    val got = rows.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4).toDouble)).toSeq
+    assert(got.map(_._1) === expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, s), (_, m)) =>
+      assert(math.abs(s - m / 1e6) < 1e-3)
+    }
+  }
+
   test("oov filter: kept iff rounded ratio <= threshold; token counts add up") {
     val bad = PipelinePack.queries("q66_oov_filter")(spark, sf)
       .filter((col("oov_ratio") <= 0.2) =!= col("kept") ||
