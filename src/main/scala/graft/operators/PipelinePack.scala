@@ -213,6 +213,28 @@ object PipelinePack {
         .orderBy(col("event_type"))
     }),
 
+    // Key-distribution skew profile — the "should I salt?" diagnostic that
+    // decides between the plain aggregation and q48's two-phase form.
+    // Per-type per-key counts roll up to distribution statistics (top-key
+    // share, p99/median ratio); counts are integers and the percentiles
+    // interpolate over integers, so the profile is engine-exact. One
+    // shuffle on (type, key) + a tiny rollup.
+    "q92_skew_profile" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).cast("long").as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          round(expr("percentile(cnt, 0.5)"), 4).as("p50"),
+          round(expr("percentile(cnt, 0.99)"), 4).as("p99"))
+        .withColumn("top_share",
+          round(col("max_cnt").cast("double") / col("n_rows"), 6))
+        .withColumn("p99_med_ratio", round(col("p99") / col("p50"), 4))
+        .orderBy(col("event_type"))
+    }),
+
     // JSON property extraction over the semi-structured `props` column —
     // schema-on-read for event payloads (codegen'd path, no UDF), bucketed
     // rollup of the extracted key.
@@ -502,6 +524,23 @@ object PipelinePack {
          |)
          |SELECT doc_id, rank, term, ${Hashes.sqlRound("score6", 4)} AS score
          |FROM ranked WHERE rank <= $TFIDF_TOP ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "q92_skew_profile" -> {
+      val p50 = Hashes.sqlRound("quantile_cont(cnt, 0.5)", 4)
+      val p99 = Hashes.sqlRound("quantile_cont(cnt, 0.99)", 4)
+      s"""WITH c AS (
+         |  SELECT event_type, user_id, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows,
+         |    max(cnt) AS max_cnt, $p50 AS p50, $p99 AS p99
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n_keys, n_rows, max_cnt, p50, p99,
+         |  ${Hashes.sqlRound("max_cnt::DOUBLE / n_rows", 6)} AS top_share,
+         |  ${Hashes.sqlRound("p99 / p50", 4)} AS p99_med_ratio
+         |FROM st ORDER BY event_type""".stripMargin
     },
 
     "q90_bm25" ->

@@ -161,6 +161,52 @@ object WindowPack {
         .orderBy(col("user_id"), col("sess_start"))
     }),
 
+    // Session funnel analysis (view → click → purchase, strictly ordered
+    // within a 30-min-gap session): the product-analytics shape the
+    // reference's activity jobs feed. Stage timestamps are ordered
+    // conditional minima via windows over the session partition — the
+    // chained windows share one (user, sid) partitioning so the funnel
+    // costs the sessionization shuffle plus one re-key, and all counts
+    // are integers (rates are ratios of counts) — exact on any engine.
+    "q91_funnel" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val es = col("ts").cast("double")
+      val wS = Window.partitionBy(col("user_id"), col("sid"))
+      val staged = Tables.events(s, d)
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(wOrd).isNull
+            || es - lag(col("ts"), 1).over(wOrd).cast("double") >= 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wS))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("t_view").isNotNull
+            && col("ts") >= col("t_view"), col("ts"))).over(wS))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("t_click").isNotNull
+            && col("ts") >= col("t_click"), col("ts"))).over(wS))
+      staged.groupBy(col("user_id"), col("sid"))
+        .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+          max(col("t_purchase")).as("tp"))
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_view_click"),
+          count(col("tp")).as("n_full_funnel"))
+        // guarded ratios: an empty upstream stage yields NULL, not a
+        // divide-by-zero (ANSI) or an engine-specific inf
+        .withColumn("view_rate",
+          round(col("n_view").cast("double") / col("n_sessions"), 4))
+        .withColumn("click_conv", when(col("n_view") > 0,
+          round(col("n_view_click").cast("double") / col("n_view"), 4)))
+        .withColumn("purchase_conv", when(col("n_view_click") > 0,
+          round(col("n_full_funnel").cast("double") / col("n_view_click"), 4)))
+        .orderBy(col("cohort"))
+    }),
+
     // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
     // list — declared-supported in our engine; Catalyst expands for free).
     "q25_rollup" -> ((s, d) => {
@@ -231,6 +277,49 @@ object WindowPack {
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "q91_funnel" -> {
+      def r4(e: String) = graft.functions.Hashes.sqlRound(e, 4)
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), numbered AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked
+         |), s1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+         |    OVER (PARTITION BY user_id, sid) AS t_view
+         |  FROM numbered
+         |), s2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
+         |      AND ts >= t_view THEN ts END)
+         |    OVER (PARTITION BY user_id, sid) AS t_click
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
+         |      AND ts >= t_click THEN ts END)
+         |    OVER (PARTITION BY user_id, sid) AS t_purchase
+         |  FROM s2
+         |), per AS (
+         |  SELECT user_id, sid, max(t_view) AS tv, max(t_click) AS tc,
+         |    max(t_purchase) AS tp
+         |  FROM s3 GROUP BY user_id, sid
+         |)
+         |SELECT user_id % 10 AS cohort, count(*) AS n_sessions,
+         |  count(tv) AS n_view, count(tc) AS n_view_click,
+         |  count(tp) AS n_full_funnel,
+         |  ${r4("count(tv)::DOUBLE / count(*)")} AS view_rate,
+         |  CASE WHEN count(tv) > 0
+         |    THEN ${r4("count(tc)::DOUBLE / count(tv)")} END AS click_conv,
+         |  CASE WHEN count(tc) > 0
+         |    THEN ${r4("count(tp)::DOUBLE / count(tc)")} END AS purchase_conv
+         |FROM per GROUP BY cohort ORDER BY cohort""".stripMargin
+    },
 
     "q25_rollup" ->
       """SELECT CAST(floor(epoch(day)) AS BIGINT) AS day_epoch, event_type,

@@ -40,6 +40,21 @@ class WindowPackSpec extends GraftSuite {
     }
   }
 
+  test("q91 funnel: stage counts are monotone and sessions reconcile with q24") {
+    import org.apache.spark.sql.functions._
+    val rows = WindowPack.queries("q91_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, v, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s >= v && v >= c && c >= p, s"cohort ${r.getLong(0)} not monotone")
+    }
+    // total sessions across cohorts == q24's session count (same gap rule)
+    val totalSessions = rows.map(_.getLong(1)).sum
+    val q24Sessions = WindowPack.queries("q24_session_window")(spark, sf).count()
+    assert(totalSessions === q24Sessions,
+      s"funnel sessionization drifted from session_window: $totalSessions != $q24Sessions")
+  }
+
   test("q23 as-of join: prior view value is 0 when no view precedes") {
     val df = WindowPack.queries("q23_asof_join")(spark, sf)
     // every purchase appears exactly once
