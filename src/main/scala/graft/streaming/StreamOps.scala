@@ -75,6 +75,34 @@ object StreamOps {
         col("n"), map_keys(col("sk")).as("candidates"))
   }
 
+  /** Session funnel under Structured Streaming — q91's streaming twin.
+    * One session_window aggregation collects the stage events; the
+    * ordered view→click→purchase minima are then per-row array folds
+    * (filter/transform/array_min) over the session's own events, so the
+    * funnel ordering logic runs AFTER the stateful agg on finalized (or
+    * complete-mode current) sessions — state is exactly session_window's,
+    * nothing custom. Per-session flags; batch and stream share this
+    * transform, and StreamingSpec reconciles its totals with q91's
+    * lag-gap cohort counts. */
+  def funnelSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        sort_array(collect_list(when(col("event_type").isin("click", "purchase"),
+          struct(col("ts").as("ets"), col("event_type").as("ety"))))).as("evs"))
+      .withColumn("t_click", array_min(expr(
+        "transform(filter(evs, e -> e.ety = 'click' AND t_view IS NOT NULL" +
+          " AND e.ets >= t_view), e -> e.ets)")))
+      .withColumn("t_purchase", array_min(expr(
+        "transform(filter(evs, e -> e.ety = 'purchase' AND t_click IS NOT NULL" +
+          " AND e.ets >= t_click), e -> e.ets)")))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+        col("n_events"), col("t_view").isNotNull.as("reached_view"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_purchase").isNotNull.as("reached_purchase"))
+
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon — streaming ingest dedup for a training-data pipeline; state
     * is bounded by the watermark (expired keys are dropped). */

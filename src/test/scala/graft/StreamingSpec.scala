@@ -210,6 +210,34 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("funnel sessions: stream equals batch and reconciles with q91's cohorts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.funnelSessions(stream.toDF())
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("complete").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1))
+        .foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("funnel_parity")
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      val batch = StreamOps.funnelSessions(Tables.events(spark, sf))
+        .orderBy(col("user_id"), col("sess_start")).collect()
+      assert(streamed.sameElements(batch), "stream/batch funnel drift")
+      // cross-implementation reconciliation: session_window + array folds
+      // must agree with q91's lag-gap + chained-window form in aggregate
+      val q91 = graft.operators.WindowPack.queries("q91_funnel")(spark, sf)
+        .collect()
+      def tot(i: Int) = q91.map(_.getLong(i)).sum
+      assert(batch.length.toLong === tot(1))
+      assert(batch.count(_.getBoolean(3)).toLong === tot(2))
+      assert(batch.count(_.getBoolean(4)).toLong === tot(3))
+      assert(batch.count(_.getBoolean(5)).toLong === tot(4))
+    } finally q.stop()
+  }
+
   test("as-of with event-time TTL: same output as the untimed op, state evicted by watermark (W6/W7)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
