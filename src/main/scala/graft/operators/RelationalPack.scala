@@ -383,6 +383,26 @@ object RelationalPack {
     // Estimates are deterministic (fixed lgK) but not DuckDB-reproducible
     // (different sketch impl) → no oracle entry (driver records rows-only);
     // the ≤3% error vs exact is pinned in RelationalPackSpec.
+    // TPC-H Q14-shaped promo revenue share: broadcast part dim onto the
+    // lineitem fact, monthly conditional-vs-total revenue ratio. Integer
+    // cents keep both sums addition-order exact; the share is one division
+    // of exact integers — deterministic cross-engine, no float hazards.
+    "q93_promo_share" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+          .cast("long").as("promo_cents"),
+          sum(cents).cast("long").as("total_cents"),
+          count(lit(1)).as("n_items"))
+        .withColumn("promo_share",
+          round(col("promo_cents").cast("double") / col("total_cents"), 6))
+        .orderBy(col("month"))
+    }),
+
     "q79_hll_distinct" -> ((s, d) => {
       val sk = Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -597,6 +617,25 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q93_promo_share" -> {
+      val share = graft.functions.Hashes.sqlRound(
+        "promo_cents::DOUBLE / total_cents", 6)
+      s"""WITH m AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         |    sum(CASE WHEN p_type = 'PROMO'
+         |      THEN floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT
+         |      ELSE 0 END)::BIGINT AS promo_cents,
+         |    sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+         |      ::BIGINT AS total_cents,
+         |    count(*) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1
+         |)
+         |SELECT month, promo_cents, total_cents, n_items,
+         |  $share AS promo_share
+         |FROM m ORDER BY month""".stripMargin
+    },
 
     "q19_quantiles" ->
       s"""SELECT event_type,
