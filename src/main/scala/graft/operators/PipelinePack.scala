@@ -213,6 +213,28 @@ object PipelinePack {
         .orderBy(col("event_type"))
     }),
 
+    // Entity resolution (record linkage): the classic blocking → pairwise
+    // scoring → transitive clustering → canonical-record chain, composed
+    // from q27's blocked edit-distance pairs and q44's adaptive connected
+    // components. Canonical member = longest text, ties to the smaller id
+    // (exact integer composite, the q28 arg-max pattern). Oracle = the
+    // same recursive-CTE closure that gates q44.
+    "q94_entity_resolution" -> ((s, d) => {
+      val pairs = RelationalPack.queries("q27_fuzzy_pairs")(s, d)
+        .select(col("i"), col("j"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      connectedComponents(pairs)
+        .join(docs, col("id") === col("doc_id"))
+        .groupBy(col("lbl").as("entity"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), col("n_chars") * lit(1000000L) - col("id"))
+            .as("canonical_doc"),
+          max(col("n_chars")).as("canonical_len"),
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy(col("entity"))
+    }),
+
     // Key-distribution skew profile — the "should I salt?" diagnostic that
     // decides between the plain aggregation and q48's two-phase form.
     // Per-type per-key counts roll up to distribution statistics (top-key
@@ -525,6 +547,31 @@ object PipelinePack {
          |SELECT doc_id, rank, term, ${Hashes.sqlRound("score6", 4)} AS score
          |FROM ranked WHERE rank <= $TFIDF_TOP ORDER BY doc_id, rank""".stripMargin
     },
+
+    "q94_entity_resolution" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM (SELECT doc_id, text[1:40] AS p40, text[1:8] AS block FROM documents) a
+         |  JOIN (SELECT doc_id, text[1:40] AS p40, text[1:8] AS block FROM documents) b
+         |    ON a.block = b.block AND a.doc_id < b.doc_id
+         |  WHERE levenshtein(a.p40, b.p40) <= 10
+         |), edges AS (
+         |  SELECT i AS a, j AS b FROM pr UNION ALL SELECT j AS a, i AS b FROM pr
+         |), nodes AS (
+         |  SELECT DISTINCT a AS id FROM edges
+         |), reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |), lab AS (
+         |  SELECT id, min(lbl) AS entity FROM reach GROUP BY id
+         |)
+         |SELECT entity, count(*) AS n_members,
+         |  max_by(id, n_chars * 1000000 - id) AS canonical_doc,
+         |  max(n_chars) AS canonical_len,
+         |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+         |FROM lab JOIN documents ON doc_id = id
+         |GROUP BY entity ORDER BY entity""".stripMargin,
 
     "q92_skew_profile" -> {
       val p50 = Hashes.sqlRound("quantile_cont(cnt, 0.5)", 4)
