@@ -74,7 +74,7 @@ object KeyedUpsertSink {
     // => replaying the same batch is idempotent (W10 exactly-once contract)
     val picked = all
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*),
+      .agg(max_by(struct(valueCols.toIndexedSeq.map(col): _*),
         struct(col(version), -col("__new"))).as("__row"))
       .select(keys.map(col) ++ valueCols.filter(_ != "__new").map(c => col(s"__row.$c")): _*)
 
