@@ -50,6 +50,7 @@ object SamplingPack {
   private val SPAN      = 6       // q77's span width, tokens (q85)
   private val BLOOM_FPP = 0.01    // q85 prune-stage false-positive rate
   private val MG_K      = 8       // Misra-Gries counter budget (q86)
+  private val MARKER_K  = 20      // per-language marker vocabulary (q95)
   private val Z_T       = 3.0     // outlier |z| threshold (q87)
   private val TS_MIN    = 1704067200L // 2024-01-01 UTC (q88 event-time bounds)
   private val TS_MAX    = 1735689600L // 2025-01-01 UTC
@@ -247,6 +248,49 @@ object SamplingPack {
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(col("user_id")).as("n_users"))),
 
+    // Classifier evaluation metrics — the eval stage of a labeling
+    // pipeline: learn per-language marker vocabularies from the corpus
+    // (top-k distinct-doc tokens per gold lang), predict by marker-overlap
+    // argmax, then report per-language precision/recall against the gold
+    // column. Every metric derives from integer confusion counts, so the
+    // whole eval is combine-tree exact. Scale: the marker table is
+    // (languages × k) — broadcast; the only wide ops are the token-count
+    // shuffle and one (doc) re-key for the argmax.
+    "q95_eval_metrics" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dtok = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(toks)).as("tok"))
+      val wm = Window.partitionBy(col("mlang"))
+        .orderBy(col("c").desc, col("tok"))
+      val markers = dtok.groupBy(col("lang").as("mlang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wm)).filter(col("r") <= MARKER_K)
+        .select(col("mlang"), col("tok"))
+      val wp = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("mlang"))
+      val pred = dtok.join(broadcast(markers), "tok")
+        .groupBy(col("doc_id"), col("mlang")).agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("mlang").as("pred"))
+      val predFull = docs.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left")
+        .withColumn("pred", coalesce(col("pred"), lit("none")))
+      val gold = predFull.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_gold"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .cast("long").as("tp"))
+      val predCnt = predFull.groupBy(col("pred").as("plang"))
+        .agg(count(lit(1)).as("n_pred"))
+      gold.join(predCnt, col("lang") === col("plang"), "left")
+        .select(col("lang"), col("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 4)))
+        .withColumn("recall",
+          round(col("tp").cast("double") / col("n_gold"), 4))
+        .orderBy(col("lang"))
+    }),
+
     // Mergeable frequent-items sketch (Misra-Gries) per source — q81's
     // one-pass bounded-memory twin for streams/hierarchical rollups, the
     // third classic sketch beside q79's HLL and q80's GK quantiles.
@@ -325,6 +369,42 @@ object SamplingPack {
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
          |ORDER BY source""".stripMargin,
+
+    "q95_eval_metrics" ->
+      s"""WITH dtok AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(str_split(text, ' '))) AS tok
+         |  FROM documents
+         |), markers AS (
+         |  SELECT mlang, tok FROM (
+         |    SELECT lang AS mlang, tok, count(*) AS c,
+         |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS r
+         |    FROM dtok GROUP BY lang, tok
+         |  ) WHERE r <= $MARKER_K
+         |), pred AS (
+         |  SELECT doc_id, mlang AS pred FROM (
+         |    SELECT d.doc_id, m.mlang, count(*) AS score,
+         |      row_number() OVER (PARTITION BY d.doc_id
+         |        ORDER BY count(*) DESC, m.mlang) AS rn
+         |    FROM dtok d JOIN markers m ON d.tok = m.tok
+         |    GROUP BY d.doc_id, m.mlang
+         |  ) WHERE rn = 1
+         |), pf AS (
+         |  SELECT d.doc_id, d.lang, coalesce(p.pred, 'none') AS pred
+         |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+         |  LEFT JOIN pred p ON p.doc_id = d.doc_id
+         |), gold AS (
+         |  SELECT lang, count(*) AS n_gold,
+         |    sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS tp
+         |  FROM pf GROUP BY lang
+         |), pc AS (
+         |  SELECT pred AS plang, count(*) AS n_pred FROM pf GROUP BY pred
+         |)
+         |SELECT lang, n_gold, coalesce(n_pred, 0) AS n_pred, tp,
+         |  CASE WHEN coalesce(n_pred, 0) > 0
+         |    THEN ${Hashes.sqlRound("tp::DOUBLE / n_pred", 4)} END AS precision,
+         |  ${Hashes.sqlRound("tp::DOUBLE / n_gold", 4)} AS recall
+         |FROM gold LEFT JOIN pc ON plang = lang
+         |ORDER BY lang""".stripMargin,
 
     "q87_outlier_events" -> {
       val z = Hashes.sqlRound("(cents - mu) / sigma", 4)
