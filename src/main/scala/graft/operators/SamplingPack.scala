@@ -51,6 +51,8 @@ object SamplingPack {
   private val BLOOM_FPP = 0.01    // q85 prune-stage false-positive rate
   private val MG_K      = 8       // Misra-Gries counter budget (q86)
   private val MARKER_K  = 20      // per-language marker vocabulary (q95)
+  private val HIST_W    = 50      // histogram bucket width, chars (q96)
+  private val QUOTA     = 5       // per-source sample quota (q97)
   private val Z_T       = 3.0     // outlier |z| threshold (q87)
   private val TS_MIN    = 1704067200L // 2024-01-01 UTC (q88 event-time bounds)
   private val TS_MAX    = 1735689600L // 2025-01-01 UTC
@@ -248,6 +250,34 @@ object SamplingPack {
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(col("user_id")).as("n_users"))),
 
+    // Corpus length histogram — the profiling pass a curation pipeline
+    // runs before choosing filter thresholds: equi-width buckets per
+    // source with exact counts and in-bucket extrema. One partial-agg
+    // shuffle; all integers.
+    "q96_length_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"),
+          (col("n_chars") / HIST_W).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("bucket"))),
+
+    // Exact-quota stratified sample: exactly QUOTA docs per source, picked
+    // by hash order (q64 samples at a RATE; this pins the exact count a
+    // balanced eval set needs). row_number over (hash, id) is the q82
+    // determinism story; the rank<=k filter plans as WindowGroupLimit —
+    // per-partition top-k heaps before the shuffle, never a full sort.
+    "q97_quota_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Hashes.base32(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= QUOTA)
+        .orderBy(col("source"), col("pick"))
+    }),
+
     // Classifier evaluation metrics — the eval stage of a labeling
     // pipeline: learn per-language marker vocabularies from the corpus
     // (top-k distinct-doc tokens per gold lang), predict by marker-overlap
@@ -369,6 +399,19 @@ object SamplingPack {
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
          |ORDER BY source""".stripMargin,
+
+    "q96_length_histogram" ->
+      s"""SELECT source, n_chars // $HIST_W AS bucket, count(*) AS n,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q97_quota_sample" ->
+      s"""SELECT source, doc_id, pick FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Hashes.sqlBase32("doc_id::VARCHAR")}, doc_id) AS pick
+         |  FROM documents
+         |) WHERE pick <= $QUOTA ORDER BY source, pick""".stripMargin,
 
     "q95_eval_metrics" ->
       s"""WITH dtok AS (
