@@ -43,6 +43,9 @@ object PipelinePack {
   private val OOV_T      = 0.2
   private val SAMPLE_PCT = 10
   private val CONTAIN_T  = 0.8
+  private val PHRASE_MIN   = 5   // min bigram count (word2phrase min_count)
+  private val PHRASE_DELTA = 5L  // discount δ
+  private val PHRASE_TOP   = 20
   private val BM25_K1    = 1.2
   private val BM25_B     = 0.75
   private val BM25_QMOD  = 100  // query set: doc_id % 100 == 0 (q89's)
@@ -340,6 +343,43 @@ object PipelinePack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Phrase detection (word2phrase, Mikolov et al. 2013): score every
+    // corpus bigram by (c_xy − δ)·N / (c_x·c_y) and keep the top
+    // candidates — the phrase-merging pass run before tokenizer training.
+    // The numerator is an exact long (≤1e12) and the denominator an exact
+    // long product, so the score is ONE IEEE division of exact integers —
+    // deterministic cross-engine with no ln anywhere. Two token-count
+    // passes + a broadcast join of the unigram table; top-k via
+    // TakeOrdered heaps.
+    "q98_pmi_phrases" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+      val bigrams = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val bg = docs.select(toks.as("t"))
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= PHRASE_MIN)
+        .withColumn("x", split(col("bigram"), " ")(0))
+        .withColumn("y", split(col("bigram"), " ")(1))
+      bg.join(broadcast(uni.select(col("w").as("x"), col("c").as("c_x"))), "x")
+        .join(broadcast(uni.select(col("w").as("y"), col("c").as("c_y"))), "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("score", round(
+          ((col("c_xy") - PHRASE_DELTA) * col("n_tokens")).cast("double")
+            / (col("c_x") * col("c_y")), 8))
+        .orderBy(col("score").desc, col("bigram")).limit(PHRASE_TOP)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("bigram"))))
+        .select(col("rank"), col("bigram"), col("c_xy"), col("c_x"),
+          col("c_y"), col("score"))
+        .orderBy(col("rank"))
+    }),
+
     // Deterministic stratified sampling: keep a doc iff
     // base32(md5(doc_id)) mod 100 < SAMPLE_PCT — a pure per-row predicate
     // (no shuffle, no RNG state) that yields the SAME sample on every
@@ -572,6 +612,33 @@ object PipelinePack {
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM lab JOIN documents ON doc_id = id
          |GROUP BY entity ORDER BY entity""".stripMargin,
+
+    "q98_pmi_phrases" -> {
+      val score = Hashes.sqlRound(
+        s"((c_xy - $PHRASE_DELTA) * n_tokens)::DOUBLE / (c_x * c_y)", 8)
+      s"""WITH uni AS (
+         |  SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |), tot AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+         |bg AS (
+         |  SELECT bigram, count(*) AS c_xy FROM (
+         |    SELECT array_to_string(t[i:i+1], ' ') AS bigram
+         |    FROM (SELECT str_split(text, ' ') AS t FROM documents),
+         |         LATERAL unnest(range(1, len(t))) AS u(i)
+         |    WHERE len(t) >= 2
+         |  ) GROUP BY bigram HAVING count(*) >= $PHRASE_MIN
+         |), scored AS (
+         |  SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y, $score AS score
+         |  FROM bg
+         |  JOIN uni ux ON ux.w = str_split(bigram, ' ')[1]
+         |  JOIN uni uy ON uy.w = str_split(bigram, ' ')[2]
+         |  CROSS JOIN tot
+         |)
+         |SELECT row_number() OVER (ORDER BY score DESC, bigram) AS rank,
+         |  bigram, c_xy, c_x, c_y, score
+         |FROM scored ORDER BY score DESC, bigram LIMIT $PHRASE_TOP""".stripMargin
+    },
 
     "q92_skew_profile" -> {
       val p50 = Hashes.sqlRound("quantile_cont(cnt, 0.5)", 4)

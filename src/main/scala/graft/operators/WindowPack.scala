@@ -207,6 +207,31 @@ object WindowPack {
         .orderBy(col("cohort"))
     }),
 
+    // Out-of-orderness profile — the reference's disorder experiment
+    // (reference: jobs/preparation/measure/ReadLikeEventsFromKafkaJob
+    // .scala:48-60: late-event count, max lateness, unordered count) as a
+    // first-class operator: per arrival order (event_id) within each user
+    // partition, an event is late if its event time precedes the running
+    // maximum. This is the measurement that sizes watermarks. Per-user
+    // windows keep it partition-parallel; lateness is an exact µs diff.
+    "q99_disorder_profile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("run_max", max(col("ts")).over(w))
+        .withColumn("late",
+          col("run_max").isNotNull && col("ts") < col("run_max"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+          round(max(when(col("late"),
+            col("run_max").cast("double") - col("ts").cast("double"))), 3)
+            .as("max_late_sec"))
+        .withColumn("late_share",
+          round(col("n_late").cast("double") / col("n_events"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
     // list — declared-supported in our engine; Catalyst expands for free).
     "q25_rollup" -> ((s, d) => {
@@ -319,6 +344,29 @@ object WindowPack {
          |  CASE WHEN count(tc) > 0
          |    THEN ${r4("count(tp)::DOUBLE / count(tc)")} END AS purchase_conv
          |FROM per GROUP BY cohort ORDER BY cohort""".stripMargin
+    },
+
+    "q99_disorder_profile" -> {
+      val r = graft.functions.Hashes.sqlRound _
+      s"""WITH lateness AS (
+         |  SELECT event_type,
+         |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max,
+         |    ts
+         |  FROM events
+         |), flagged AS (
+         |  SELECT event_type,
+         |    (run_max IS NOT NULL AND ts < run_max) AS late,
+         |    CASE WHEN run_max IS NOT NULL AND ts < run_max
+         |      THEN epoch(run_max) - epoch(ts) END AS late_sec
+         |  FROM lateness
+         |)
+         |SELECT event_type, count(*) AS n_events,
+         |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+         |  ${r("max(late_sec)", 3)} AS max_late_sec,
+         |  ${r("sum(CASE WHEN late THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6)}
+         |    AS late_share
+         |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
     "q25_rollup" ->
