@@ -21,6 +21,9 @@ import org.apache.spark.sql.expressions.Window
 object WindowPack {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Candidate watermark delays for the q100 admission curve (seconds). */
+  private val WM_DELAYS: Seq[Long] = Seq(0L, 60L, 300L, 1800L, 21600L)
+
   /** A1/A2 sliding stats transform, shared verbatim by the batch query and
     * the Structured Streaming path (StreamOps) — DataFrame ops are
     * execution-mode agnostic, so batch/stream parity is by construction
@@ -232,6 +235,33 @@ object WindowPack {
         .orderBy(col("event_type"))
     }),
 
+    // Watermark-coverage curve — q99's decision op: for each candidate
+    // watermark delay, the fraction of events a stream job would admit
+    // (on-time, or late by no more than the delay). The curve is what
+    // actually picks `withWatermark`'s bound: the smallest delay at an
+    // acceptable admission rate. Same per-user running-max window as q99,
+    // then one conditional-count pass over the candidate delays.
+    "q100_watermark_coverage" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lateness = Tables.events(s, d)
+        .withColumn("run_max", max(col("ts")).over(w))
+        .withColumn("late_sec",
+          when(col("run_max").isNotNull && col("ts") < col("run_max"),
+            col("run_max").cast("double") - col("ts").cast("double"))
+            .otherwise(0.0))
+      lateness
+        .select(col("late_sec"),
+          explode(typedLit(WM_DELAYS)).as("delay_sec"))
+        .groupBy(col("delay_sec"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_sec") <= col("delay_sec"), 1L).otherwise(0L))
+            .cast("long").as("n_admitted"))
+        .withColumn("admit_rate",
+          round(col("n_admitted").cast("double") / col("n_events"), 6))
+        .orderBy(col("delay_sec"))
+    }),
+
     // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
     // list — declared-supported in our engine; Catalyst expands for free).
     "q25_rollup" -> ((s, d) => {
@@ -344,6 +374,28 @@ object WindowPack {
          |  CASE WHEN count(tc) > 0
          |    THEN ${r4("count(tp)::DOUBLE / count(tc)")} END AS purchase_conv
          |FROM per GROUP BY cohort ORDER BY cohort""".stripMargin
+    },
+
+    "q100_watermark_coverage" -> {
+      val r6 = graft.functions.Hashes.sqlRound("n_admitted::DOUBLE / n_events", 6)
+      s"""WITH lateness AS (
+         |  SELECT CASE WHEN run_max IS NOT NULL AND ts < run_max
+         |    THEN epoch(run_max) - epoch(ts) ELSE 0.0 END AS late_sec
+         |  FROM (
+         |    SELECT ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+         |    FROM events
+         |  )
+         |), curve AS (
+         |  SELECT delay_sec, count(*) AS n_events,
+         |    sum(CASE WHEN late_sec <= delay_sec THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_admitted
+         |  FROM lateness, LATERAL unnest(${WM_DELAYS.mkString("[", ",", "]")})
+         |    AS u(delay_sec)
+         |  GROUP BY delay_sec
+         |)
+         |SELECT delay_sec, n_events, n_admitted, $r6 AS admit_rate
+         |FROM curve ORDER BY delay_sec""".stripMargin
     },
 
     "q99_disorder_profile" -> {
