@@ -220,8 +220,11 @@ object PipelinePack {
     // scoring → transitive clustering → canonical-record chain, composed
     // from q27's blocked edit-distance pairs and q44's adaptive connected
     // components. Canonical member = longest text, ties to the smaller id
-    // (exact integer composite, the q28 arg-max pattern). Oracle = the
-    // same recursive-CTE closure that gates q44.
+    // — a lexicographic struct arg-max, valid at ANY id range (an
+    // arithmetic composite like n_chars*1e6 - id silently breaks once ids
+    // outgrow the scale factor). Oracle = the same recursive-CTE closure
+    // that gates q44; its ordered-aggregate form expresses the identical
+    // ordering.
     "q94_entity_resolution" -> ((s, d) => {
       val pairs = RelationalPack.queries("q27_fuzzy_pairs")(s, d)
         .select(col("i"), col("j"))
@@ -230,7 +233,7 @@ object PipelinePack {
         .join(docs, col("id") === col("doc_id"))
         .groupBy(col("lbl").as("entity"))
         .agg(count(lit(1)).as("n_members"),
-          max_by(col("id"), col("n_chars") * lit(1000000L) - col("id"))
+          max_by(col("id"), struct(col("n_chars"), -col("id")))
             .as("canonical_doc"),
           max(col("n_chars")).as("canonical_len"),
           array_join(transform(sort_array(collect_list(col("id"))),
@@ -346,11 +349,12 @@ object PipelinePack {
     // Phrase detection (word2phrase, Mikolov et al. 2013): score every
     // corpus bigram by (c_xy − δ)·N / (c_x·c_y) and keep the top
     // candidates — the phrase-merging pass run before tokenizer training.
-    // The numerator is an exact long (≤1e12) and the denominator an exact
-    // long product, so the score is ONE IEEE division of exact integers —
-    // deterministic cross-engine with no ln anywhere. Two token-count
-    // passes + a broadcast join of the unigram table; top-k via
-    // TakeOrdered heaps.
+    // Both products are computed in DOUBLE from the start: at corpus scale
+    // (N ~1e13 tokens) the int64 forms (c_xy−δ)·N and c_x·c_y overflow, so
+    // each count converts long→double (correctly rounded) and the score is
+    // a fixed multiply/divide sequence — identical IEEE ops cross-engine,
+    // no ln anywhere, valid at any N. Two token-count passes + a broadcast
+    // join of the unigram table; top-k via TakeOrdered heaps.
     "q98_pmi_phrases" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val uni = docs.select(explode(toks).as("w"))
@@ -370,8 +374,8 @@ object PipelinePack {
         .join(broadcast(uni.select(col("w").as("y"), col("c").as("c_y"))), "y")
         .crossJoin(broadcast(tot))
         .withColumn("score", round(
-          ((col("c_xy") - PHRASE_DELTA) * col("n_tokens")).cast("double")
-            / (col("c_x") * col("c_y")), 8))
+          (col("c_xy") - PHRASE_DELTA).cast("double") * col("n_tokens")
+            / (col("c_x").cast("double") * col("c_y")), 8))
         .orderBy(col("score").desc, col("bigram")).limit(PHRASE_TOP)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("bigram"))))
@@ -607,7 +611,7 @@ object PipelinePack {
          |  SELECT id, min(lbl) AS entity FROM reach GROUP BY id
          |)
          |SELECT entity, count(*) AS n_members,
-         |  max_by(id, n_chars * 1000000 - id) AS canonical_doc,
+         |  first(id ORDER BY n_chars DESC, id) AS canonical_doc,
          |  max(n_chars) AS canonical_len,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM lab JOIN documents ON doc_id = id
@@ -615,7 +619,7 @@ object PipelinePack {
 
     "q98_pmi_phrases" -> {
       val score = Hashes.sqlRound(
-        s"((c_xy - $PHRASE_DELTA) * n_tokens)::DOUBLE / (c_x * c_y)", 8)
+        s"(c_xy - $PHRASE_DELTA)::DOUBLE * n_tokens / (c_x::DOUBLE * c_y)", 8)
       s"""WITH uni AS (
          |  SELECT w, count(*) AS c
          |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)

@@ -101,17 +101,21 @@ object RecommendationPack {
     // estimated Jaccard similarity >= 0.2.
     "q53_recommendations" -> ((s, d) => rankTopN(scored(s, d))),
 
-    // J12 broadcast semi-filter to ACTIVE candidates (reference:
+    // J12 activity semi-filter to ACTIVE candidates (reference:
     // jobs/recommendations/FilterToActivePersonsFunction.scala:38-157 —
     // candidates kept only if their last activity is recent relative to the
     // recommending user's; filter applied BEFORE top-N like the reference).
+    // No broadcast hint on lastAct: it is one row PER USER — unbounded at
+    // corpus scale — so the join strategy is left to AQE (which broadcasts
+    // it when small and sort-merges it when not). At 100 TB the
+    // zero-exchange path is PrepJob's bucketed last-activity table.
     "q54_active_recommendations" -> ((s, d) => {
       val lastAct = Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(max(unix_timestamp(col("ts"))).as("last_ts"))
       val active = scored(s, d)
-        .join(broadcast(lastAct.select(col("user_id").as("u"), col("last_ts").as("u_last"))), "u")
-        .join(broadcast(lastAct.select(col("user_id").as("c"), col("last_ts").as("c_last"))), "c")
+        .join(lastAct.select(col("user_id").as("u"), col("last_ts").as("u_last")), "u")
+        .join(lastAct.select(col("user_id").as("c"), col("last_ts").as("c_last")), "c")
         .filter(col("c_last") >= col("u_last") - ACTIVE_SEC)
         .select(col("u"), col("c"), col("est_sim"))
       rankTopN(active)

@@ -187,13 +187,24 @@ object SamplingPack {
     // confirm join removes its false positives, so the OUTPUT is exactly
     // the no-bloom semi-join (what the oracle computes) while the join
     // input shrinks by ~(1 - contamination - fpp).
+    // Filter sizing: expected-item count comes from a one-pass HLL
+    // estimate (approx_count_distinct, ~2% err) on the UN-deduplicated
+    // train spans — no distinct shuffle and no second full pipeline run
+    // just to size the filter. At true corpus scale even a right-sized
+    // exact filter is TB-shaped (9.6 bits/item at fpp=0.01), so the scale
+    // variant caps the filter size and accepts a higher fpp — the exact
+    // confirm join already removes false positives, so a looser filter
+    // only prunes less, never changes the output (SCALE.md "Bloom
+    // decontamination at corpus scale").
     "q85_bloom_decontam" -> ((s, d) => {
       val split = Tables.documents(s, d)
         .select(col("doc_id"), isTest.as("is_test"))
       val tagged = spanHashes(s, d).join(split, "doc_id")
       val trainH = tagged.filter(!col("is_test")).select(col("h")).distinct()
       val testSpans = tagged.filter(col("is_test"))
-      val nTrain = math.max(1000L, trainH.count())
+      val nTrain = math.max(1000L, math.round(1.1 *
+        tagged.filter(!col("is_test"))
+          .agg(approx_count_distinct(col("h"))).head().getLong(0)))
       val bf = trainH.stat.bloomFilter("h", nTrain, BLOOM_FPP)
       val mightContain = udf((h: Long) => bf.mightContainLong(h))
       val totals = testSpans.groupBy(col("doc_id"))
@@ -213,9 +224,13 @@ object SamplingPack {
     // cents (Σx ≤ 6e9, Σx² ≤ 6e13: both far inside Int64), so mean and
     // variance derive from exact integers through a fixed sequence of
     // IEEE-correctly-rounded double ops — bit-identical cross-engine, no
-    // addition-order dependence anywhere.
+    // addition-order dependence anywhere. NaN values are excluded up
+    // front (mirrored in the oracle): Spark's non-ANSI cast turns NaN
+    // into 0 while DuckDB's ::BIGINT errors — q88 audits NaN, this query
+    // scores the clean remainder, and both engines agree by construction.
     "q87_outlier_events" -> ((s, d) => {
       val ev = Tables.events(s, d)
+        .filter(!isnan(col("value")))
         .withColumn("cents", floor(col("value") * 100).cast("long"))
       val stats = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -454,7 +469,7 @@ object SamplingPack {
       s"""WITH ev AS (
          |  SELECT event_id, event_type, value,
          |    floor(value * 100)::BIGINT AS cents
-         |  FROM events
+         |  FROM events WHERE NOT isnan(value)
          |), st AS (
          |  SELECT event_type, count(*) AS n, sum(cents)::BIGINT AS s1,
          |    sum(cents * cents)::BIGINT AS s2

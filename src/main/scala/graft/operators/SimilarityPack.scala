@@ -115,21 +115,8 @@ object SimilarityPack {
 
     // Embedding-cosine near-duplicate pairs (threshold 0.4) — all-pairs
     // correctness baseline for embedding dedup; q42 is the sub-quadratic
-    // path at scale.
-    "q41_embed_neardup" -> ((s, d) => {
-      val e = vecs(s, d)
-      // repartition the streamed side: the corpus arrives as one parquet
-      // file, and a BroadcastNestedLoopJoin's parallelism = streamed-side
-      // partitions — without this the n² scan runs on one core
-      val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("norm").as("na"))
-        .repartition(32)
-      val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("norm").as("nb"))
-      a.join(b, col("i") < col("j"))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
-        .filter(col("cos") >= NEARDUP_T)
-        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("i"), col("j"))
-    }),
+    // path at scale. Input-capped: see embedNearDup's contract.
+    "q41_embed_neardup" -> ((s, d) => embedNearDup(vecs(s, d))),
 
     // LSH-bucketed ANN: L=4 tables of k=8 sign-projection bits; candidates
     // for a query = vectors sharing any table bucket; exact cosine + top-k
@@ -267,6 +254,34 @@ object SimilarityPack {
   private val IVF_CELLS = 8
   private val NPROBE    = 2
   private val SEMDEDUP_T = 0.35
+  /** Hard input cap for the O(n²) baseline — ~100 k vectors ≈ 5·10⁹ pair
+    * evaluations, the most a single "exact baseline" run should ever do. */
+  private[graft] val NEARDUP_MAX_N = 100000L
+
+  /** All-pairs cosine near-dup — the EXACT baseline q42 (LSH) and q78
+    * (IVF-cell SemDeDup) are validated against. Contract: this form is
+    * O(n²) BY DESIGN and refuses inputs above `maxN` rows — running it on
+    * an unbounded corpus is always a mistake, so the blast radius is
+    * bounded here instead of in the caller's judgment. Use q42/q78 at
+    * scale; cap pinned by SimilarityPackSpec. */
+  private[graft] def embedNearDup(e: DataFrame, maxN: Long = NEARDUP_MAX_N): DataFrame = {
+    val n = e.count()
+    require(n <= maxN,
+      s"q41_embed_neardup is an O(n²) correctness baseline: |input| = $n " +
+        s"exceeds the $maxN-row cap; use q42_ann_lsh (banded LSH) or " +
+        "q78_semantic_dedup (IVF cells) for corpus-scale near-dup")
+    // repartition the streamed side: the corpus arrives as one parquet
+    // file, and a BroadcastNestedLoopJoin's parallelism = streamed-side
+    // partitions — without this the n² scan runs on one core
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("norm").as("na"))
+      .repartition(32)
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", cosine("va", "vb", "na", "nb"))
+      .filter(col("cos") >= NEARDUP_T)
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("i"), col("j"))
+  }
 
   /** Every vector assigned to its nearest trained cell by a codegen'd
     * argmin over centroid literals — one narrow pass, shared by the IVF
@@ -290,11 +305,20 @@ object SimilarityPack {
   /** Seeded coarse quantizer over an sf dir's embeddings (driver-side
     * training like a real IVF build; assignment is distributed). Memoized
     * per directory: an IVF index is built once and probed many times —
-    * re-collecting + re-training per query call would repeat the build. */
+    * re-collecting + re-training per query call would repeat the build.
+    * The collect is bounded by a deterministic hash-priority sample
+    * ([[graft.functions.TrainSample]]): below the cap it is the full set
+    * in vec_id order (bit-identical to uncapped training), above it a
+    * uniform seeded sample — a real IVF build trains its quantizer on a
+    * sample too, and the data-dependent oracle regenerates from whatever
+    * centroids came out. */
   def ivfCentroids(s: SparkSession, d: String): Vector[Vector[Double]] =
     centroidCache.computeIfAbsent(d, _ => {
-      val pts = vecs(s, d).orderBy(col("vec_id")).select(col("v")).collect()
-        .map(_.getSeq[Double](0).toVector).toSeq
+      val pts = graft.functions.TrainSample(
+          vecs(s, d).select(col("vec_id"), col("v")), col("vec_id"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toVector).toSeq
       KMeans.cluster(pts, KMeans.bootstrap(pts, IVF_CELLS, seed = 137L))
         .clusters.map(_.centroid)
     })

@@ -192,6 +192,28 @@ class PlanQualitySpec extends GraftSuite {
     assert(plan.contains("UDF"), s"bloom prune UDF missing from plan:\n$plan")
   }
 
+  test("q54: no unbounded-cardinality relation carries a broadcast hint") {
+    // The per-user last-activity table is one row PER USER — billions of
+    // rows at corpus scale — so a forced broadcast(…) hint on it would OOM
+    // a real cluster even though it sails through at test SF. The only
+    // hinted relations allowed in the recommendation chain are the
+    // class-member lists (grouped by signature class `cls`, whose
+    // cardinality collapses under near-duplication and is policy-capped).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val df = graft.operators.RecommendationPack
+      .queries("q54_active_recommendations")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    hints.foreach { h =>
+      val names = h.output.map(_.name)
+      assert(!names.exists(Set("last_ts", "u_last", "c_last")),
+        s"per-user last-activity relation is hint-broadcast: $names")
+      val grouping = h.collectFirst { case a: Aggregate =>
+        a.groupingExpressions.flatMap(_.references.map(_.name)) }.getOrElse(Nil)
+      assert(grouping.forall(_ == "cls"),
+        s"broadcast hint over a non-class-level aggregate (grouping=$grouping)")
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE

@@ -34,6 +34,21 @@ class SimilarityPackSpec extends GraftSuite {
     }
   }
 
+  test("q41 refuses inputs above the all-pairs cap (O(n²) contract)") {
+    import spark.implicits._
+    // the sf0.001 embeddings table is > 10 rows, so a 10-row cap must trip
+    val e = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", lit(1.0))
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityPack.embedNearDup(e, maxN = 10L)
+    }
+    assert(ex.getMessage.contains("O(n²)"))
+    assert(ex.getMessage.contains("q42"), "error must name the scale path")
+    // default cap admits the test corpus
+    assert(SimilarityPack.queries("q41_embed_neardup")(spark, sf).count() > 0)
+  }
+
   test("q42 ANN rescoring agrees with the exact cosine of q40 on shared pairs") {
     val exact = SimilarityPack.queries("q40_cosine_topk")(spark, sf)
       .select(col("qid"), col("nid"), col("cos")).collect()
