@@ -19,14 +19,33 @@ final case class EnrichedPurchase(event_id: Long, user_id: Long, value: Double,
 final case class AsOfState(viewTs: Long, viewValue: Double)
 
 /** Emitted cluster model row (reference: (ts, count, ClusterModel) emission,
-  * KMeansClusterFunction.scala:230-281). */
+  * KMeansClusterFunction.scala:230-281; labels come from the control
+  * stream's `label:<i>=` parameters, empty when unset — reference
+  * Parameters.label, KMeansClusterFunction.scala:402). */
 final case class ModelRow(version: Int, n_points: Int, centroids: Seq[Seq[Double]],
-                          weights: Seq[Double])
+                          weights: Seq[Double], labels: Seq[String] = Nil)
 
 /** Clustering window state (reference: ListState buffer + previous model,
   * KMeansClusterFunction.scala:112-196). */
 final case class ClusterState(buffer: Seq[Seq[Double]], centroids: Seq[Seq[Double]],
                               weights: Seq[Double], version: Int)
+
+/** Input element for the full clustering window: a feature point
+  * (`ctrl` empty) or a raw control-stream line (`point` empty) — the
+  * reference's broadcast parameter channel merged into the keyed stream,
+  * legal because the operator runs as ONE state group (reference:
+  * KeyedBroadcastProcessFunction, KMeansClusterFunction.scala:52). */
+final case class ClusterIn(ts: java.sql.Timestamp, point: Seq[Double], ctrl: String)
+
+/** Full clustering-window state: current + next-window buffers, previous
+  * model, registered window-end timer, extension flag, and the control
+  * parameters received so far (reference: the six keyed states +
+  * broadcast state, KMeansClusterFunction.scala:72-90,201). */
+final case class ClusterWinState(buffer: Seq[Seq[Double]], nextBuffer: Seq[Seq[Double]],
+                                 centroids: Seq[Seq[Double]], weights: Seq[Double],
+                                 version: Int, nextTimer: Long,
+                                 windowExtended: Boolean,
+                                 params: Map[String, String])
 
 /** Structured-Streaming operators. Where the transform is shared with a
   * batch query (sliding stats), batch/stream parity holds by construction:
@@ -251,8 +270,9 @@ object StreamOps {
     * (F15), emit the new model, clear the buffer. Runs in ONE state group —
     * the same single-task semantics the reference enforces with
     * parallelism 1 (UnusualActivityDetectionJob.scala:367,376).
-    * (The min-count/event-time-timer extension of the reference fires on a
-    * timer too; count-trigger is the deterministic core.)
+    * This is the timer-less count-trigger CORE; [[clusterWindows]] is the
+    * full reference operator (event-time window end, min-count extension,
+    * max-count early fire, runtime re-parameterization).
     */
   def countBoundedCluster(points: Dataset[Seq[Double]], k: Int, maxCount: Int,
                           decay: Double = 0.2): Dataset[ModelRow] = {
@@ -286,6 +306,144 @@ object StreamOps {
             buf = rest
           }
           state.update(st.copy(buffer = buf))
+          out.iterator
+        })
+  }
+
+  /** A6/W4/W8 in full — the reference's clustering window operator
+    * (KMeansClusterFunction.scala:112-196) on `flatMapGroupsWithState`
+    * with event-time timeouts:
+    *
+    *  - REGULAR fire: at the end of the `windowSizeMs` event-time window
+    *    — iff the buffer holds MORE than `minCount` points; otherwise the
+    *    window EXTENDS (no sub-minimum model is ever emitted) and fires as
+    *    soon as the count reaches `minCount` (delayed firing,
+    *    reference :151,192-195).
+    *  - EARLY fire: the moment the buffer reaches `maxCount`
+    *    (reference :150,153-172).
+    *  - AHEAD-OF-WINDOW elements (event time past the registered window
+    *    end, watermark not yet there) buffer separately and seed the NEXT
+    *    window after a fire (reference :125-131,265-271); late elements
+    *    join the current window (includeLateElementsInWindow=true,
+    *    reference :132-142).
+    *  - CONTROL stream (S5/W8): raw `k=`/`decay=`/`label:i=` lines ride
+    *    the same input as [[ClusterIn]] ctrl rows (the broadcast channel of
+    *    the reference collapses into the single state group); parameters
+    *    are stored in state and read AT FIRE TIME, so a `k=6` line changes
+    *    the NEXT emitted model while the query runs — k-repair via
+    *    KMeans.ensureK (reference :163,183 + Parameters :382-405).
+    *
+    * Spark maps Flink's timers onto group-state timeouts with one
+    * difference: a group with input rows in a batch gets no timeout
+    * callback. Window-end fires are therefore checked BOTH in the
+    * timed-out branch (data-less batch) and, against the current
+    * watermark, before processing a batch's rows — together exactly the
+    * reference's onTimer firing points.
+    *
+    * Input must carry a watermark on `ts`. Emission is deterministic for
+    * a deterministic batch sequence: rows are processed in (ts, point)
+    * order with control rows first within a timestamp.
+    */
+  def clusterWindows(in: Dataset[ClusterIn], k: Int, decay: Double,
+                     windowSizeMs: Long, minCount: Int, maxCount: Int,
+                     seed: Long = 137L): Dataset[ModelRow] = {
+    require(k > 1 && windowSizeMs > 0 && minCount >= 0 && maxCount > 0
+      && decay >= 0 && decay <= 1, "invalid clustering-window parameters")
+    implicit val stateEnc = Encoders.product[ClusterWinState]
+    implicit val outEnc = Encoders.product[ModelRow]
+    implicit val keyEnc = Encoders.scalaInt
+    in.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, it: Iterator[ClusterIn], state: GroupState[ClusterWinState]) => {
+          var st = state.getOption.getOrElse(
+            ClusterWinState(Nil, Nil, Nil, Nil, 0, 0L, windowExtended = false, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ModelRow]
+
+          // reference emitClusters: cluster the buffer with params read NOW
+          def fire(): Unit = if (st.buffer.nonEmpty) {
+            val kNow = st.params.get("k").flatMap(_.toIntOption).getOrElse(k)
+            val decayNow = st.params.get("decay").flatMap(_.toDoubleOption).getOrElse(decay)
+            val pts = st.buffer.map(_.toVector)
+            // previous model repaired to the CURRENT k (reference:
+            // buildClusters(points, initial, params.k) k-repair); repair
+            // only on an actual k change — ensureK re-sorts by weight, and
+            // the decay blend must stay index-aligned between the repaired
+            // initial clusters and their Lloyd's-updated versions
+            val prev =
+              if (st.centroids.isEmpty) None
+              else {
+                val cs = st.centroids.indices.map(i =>
+                  KMeans.Cluster(i, st.centroids(i).toVector, st.weights(i))).toVector
+                Some(if (cs.length == kNow) cs else KMeans.ensureK(cs, kNow))
+              }
+            val init = prev.map(_.map(_.centroid))
+              .getOrElse(KMeans.bootstrap(pts, kNow, seed))
+            val clustered = KMeans.cluster(pts, init)
+            val merged = prev.map(cs => KMeans.Model(cs).update(clustered, decayNow))
+              .getOrElse(clustered)
+            val version = st.version + 1
+            val labels = merged.clusters.map(c =>
+              st.params.getOrElse(s"label:${c.index}", ""))
+            out += ModelRow(version, pts.length,
+              merged.clusters.map(_.centroid.toSeq), merged.clusters.map(_.weight),
+              labels)
+            // next window inherits the ahead-of-window buffer (ref :265-271)
+            st = st.copy(buffer = st.nextBuffer, nextBuffer = Nil,
+              centroids = merged.clusters.map(_.centroid.toSeq),
+              weights = merged.clusters.map(_.weight), version = version)
+          }
+
+          // reference onTimer: fire iff count > minCount, else extend
+          def onWindowEnd(): Unit =
+            if (st.buffer.length > minCount) {
+              fire()
+              st = st.copy(nextTimer = st.nextTimer + windowSizeMs,
+                windowExtended = false)
+            } else st = st.copy(windowExtended = true)
+
+          if (state.hasTimedOut) {
+            onWindowEnd()
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // window ends the watermark passed since the last batch fire
+            // first — Flink delivers these as onTimer before later elements
+            while (st.nextTimer > 0 && wm >= st.nextTimer && !st.windowExtended)
+              onWindowEnd()
+            // ctrl-before-point within a timestamp: a parameter injected at
+            // t applies to points from t on — deterministic replay order
+            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.ctrl.isEmpty))
+            rows.foreach { r =>
+              if (r.ctrl.nonEmpty) {
+                ControlParams.parse(r.ctrl).foreach {
+                  case ControlParams.K(v)        => st = st.copy(params = st.params + ("k" -> v.toString))
+                  case ControlParams.Decay(v)    => st = st.copy(params = st.params + ("decay" -> v.toString))
+                  case ControlParams.Label(i, t) => st = st.copy(params = st.params + (s"label:$i" -> t))
+                  case _: ControlParams.ParseError => () // dead-letter is the source's job
+                }
+              } else {
+                val ets = r.ts.getTime
+                if (st.nextTimer == 0L) // first element: open the window
+                  st = st.copy(nextTimer = ets + windowSizeMs)
+                if (ets > st.nextTimer && !st.windowExtended)
+                  st = st.copy(nextBuffer = st.nextBuffer :+ r.point) // ahead of window
+                else
+                  st = st.copy(buffer = st.buffer :+ r.point) // in-window or late
+                val earlyFire = st.buffer.length >= maxCount
+                val delayedFire = st.windowExtended && st.buffer.length >= minCount
+                if (earlyFire || delayedFire) {
+                  fire()
+                  st = st.copy(nextTimer = ets + windowSizeMs, windowExtended = false)
+                }
+              }
+            }
+          }
+          state.update(st)
+          if (st.nextTimer > 0 && !st.windowExtended)
+            // logical timer may already be due (late-element fire): clamp
+            // the registration — the due window is handled by the
+            // watermark check on the next batch either way
+            state.setTimeoutTimestamp(math.max(st.nextTimer,
+              state.getCurrentWatermarkMs() + 1))
           out.iterator
         })
   }

@@ -89,4 +89,46 @@ class ActivityPipelineSpec extends GraftSuite {
     val gotPairs = results.map(t => (t._1, t._2)).toSeq
     assert(gotPairs == expected.toSeq, s"first diff: ${gotPairs.zip(expected).find(p => p._1 != p._2)}")
   }
+
+  test("control stream re-parameterizes the RUNNING clustering query (k read at fire time)") {
+    // reference: UnusualActivityDetectionJob.scala:352-359 broadcasts the
+    // parsed control params into the window function, which reads k/decay/
+    // labels at fire time (KMeansClusterFunction.scala:230-281 + :382-405).
+    // Here: two windows fire under k=4, then a raw `k=6` control line is
+    // injected into the running query - the NEXT fired model must have 6
+    // clusters, without restarting anything.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.ClusterIn]
+    def pts(baseSec: Long): Seq[graft.streaming.ClusterIn] =
+      (0 until 8).map(i => graft.streaming.ClusterIn(
+        new java.sql.Timestamp((baseSec + i) * 1000L),
+        Seq((i % 5).toDouble, (i % 3).toDouble, i.toDouble), ""))
+    def ctrl(sec: Long, line: String) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq.empty, line)
+    val q = StreamOps.clusterWindows(
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        k = 4, decay = 0.2, windowSizeMs = 600000L, minCount = 2, maxCount = 8)
+      .writeStream.format("memory").queryName("cw_ctrl_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(pts(1L)); q.processAllAvailable()   // early-fires v1 (k=4)
+      stream.addData(pts(10L)); q.processAllAvailable()  // early-fires v2 (k=4)
+      // the running query is re-parameterized by raw S5 control lines
+      stream.addData(ctrl(18L, "k=6"), ctrl(18L, "label:0=anomalous"))
+      q.processAllAvailable()
+      stream.addData(pts(20L)); q.processAllAvailable()  // early-fires v3 (k=6)
+      val rows = spark.table("cw_ctrl_out").orderBy("version").collect()
+      assert(rows.length == 3, s"expected 3 models, got ${rows.length}")
+      val kOf = rows.map(_.getSeq[Any](2).length).toSeq
+      assert(kOf == Seq(4, 4, 6),
+        s"third model must honor the injected k=6: cluster counts were $kOf")
+      assert(rows.forall(_.getInt(1) == 8)) // every window fired at maxCount
+      assert(rows(2).getSeq[Double](3).length == 6, "weights must match the new k")
+      assert(rows(2).getSeq[String](4).head == "anomalous",
+        "label:0 control parameter must label cluster 0 at the next fire")
+      assert(rows(1).getSeq[String](4).forall(_.isEmpty),
+        "labels must be empty before the control line arrives")
+    } finally q.stop()
+  }
 }

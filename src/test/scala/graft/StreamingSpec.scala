@@ -337,6 +337,84 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("clustering window fires at window end iff above min-count (regular firing)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.ClusterIn]
+    def pt(sec: Long, x: Double) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq(x, x), "")
+    val q = StreamOps.clusterWindows(
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        k = 2, decay = 0.2, windowSizeMs = 60000L, minCount = 2, maxCount = 100)
+      .writeStream.format("memory").queryName("cw_regular_out")
+      .outputMode("append").start()
+    try {
+      // window 1 opens at t=1s (end 61s); 5 points land inside it.
+      // (t=0 would equal the INITIAL watermark and be dropped as late.)
+      stream.addData((0 until 5).map(i => pt(1L + i * 10L, i.toDouble)))
+      q.processAllAvailable()
+      assert(spark.table("cw_regular_out").isEmpty, "fired before window end")
+      // a 62s point sits AHEAD of the window (timer not yet due when it
+      // arrives); once the watermark passes 61s the window fires with the
+      // 5 in-window points only
+      stream.addData(pt(62L, 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("cw_regular_out").collect()
+      assert(rows.length == 1, s"expected one regular firing, got ${rows.length}")
+      assert(rows(0).getInt(0) == 1 && rows(0).getInt(1) == 5,
+        s"v=${rows(0).getInt(0)} n=${rows(0).getInt(1)}")
+    } finally q.stop()
+  }
+
+  test("clustering window EXTENDS below min-count instead of emitting a sub-minimum model") {
+    // reference KMeansClusterFunction.scala:192-195 (onTimer extension) +
+    // :151,153-172 (delayed firing once the extended window reaches min)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.ClusterIn]
+    def pt(sec: Long, x: Double) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq(x, x), "")
+    def ctrl(sec: Long, line: String) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq.empty, line)
+    val q = StreamOps.clusterWindows(
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        k = 2, decay = 0.2, windowSizeMs = 60000L, minCount = 5, maxCount = 100)
+      .writeStream.format("memory").queryName("cw_extend_out")
+      .outputMode("append").start()
+    try {
+      // sparse window 1: only 3 points before the 61s window end
+      stream.addData(pt(1L, 0.0), pt(10L, 1.0), pt(20L, 2.0))
+      q.processAllAvailable()
+      // a 70s point is ahead of the un-extended window -> buffers for the
+      // NEXT window; the watermark then passes 61s with count 3 <= 5:
+      // the window must EXTEND, emitting nothing
+      stream.addData(pt(70L, 99.0))
+      q.processAllAvailable()
+      stream.addData(ctrl(71L, "# noop")) // drive one more batch
+      q.processAllAvailable()
+      assert(spark.table("cw_extend_out").isEmpty,
+        "sub-minimum model emitted instead of extending the window")
+      // two more in-extension points reach min-count -> delayed firing of
+      // exactly the 5 window-1 points (the 70s point is NOT among them)
+      stream.addData(pt(72L, 3.0), pt(73L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("cw_extend_out").collect()
+      assert(rows.length == 1, s"delayed firing expected, got ${rows.length} rows")
+      assert(rows(0).getInt(0) == 1 && rows(0).getInt(1) == 5,
+        s"v=${rows(0).getInt(0)} n=${rows(0).getInt(1)}")
+      // the ahead-of-window 70s point seeded window 2 (ends 73+60=133s):
+      // 99 more points inside it hit maxCount=100 exactly (early firing) -
+      // proving the carry-over
+      stream.addData((0 until 99).map(i => graft.streaming.ClusterIn(
+        new java.sql.Timestamp(80000L + i * 500L), Seq(i.toDouble, i.toDouble), "")))
+      q.processAllAvailable()
+      val rows2 = spark.table("cw_extend_out").orderBy("version").collect()
+      assert(rows2.length == 2 && rows2(1).getInt(1) == 100,
+        s"window 2 should early-fire with the carried point + 99 new: " +
+          rows2.map(r => (r.getInt(0), r.getInt(1))).mkString(","))
+    } finally q.stop()
+  }
+
   test("transformWithState as-of enrichment equals the flatMapGroupsWithState op") {
     // Spark 4's stateful-processor API (RocksDB-backed) must produce the
     // SAME enrichment as the classic flatMapGroupsWithState form when fed
