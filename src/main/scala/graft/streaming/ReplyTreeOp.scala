@@ -17,6 +17,18 @@ final case class ResolvedEvent(event_id: Long, root_id: Long, depth: Int, causal
 final case class TreeState(resolved: Map[Long, (Long, Int, Boolean, Long)],
                            pending: Map[Long, Seq[EdgeEvent]])
 
+/** Edge event with a real event-time column — the watermark carrier for
+  * the evicting resolver. */
+final case class EdgeEventT(event_id: Long, ts: java.sql.Timestamp,
+                            parent_id: Option[Long])
+
+/** Evicting-resolver output: a resolved event (`dropped` false) or an
+  * evicted dangling reply (`dropped` true, root/depth sentinel −1) — the
+  * reference's main + side output collapsed onto one stream, split by the
+  * caller with a filter (R3 side-output pattern). */
+final case class TreeOut(event_id: Long, root_id: Long, depth: Int,
+                         causal: Boolean, dropped: Boolean)
+
 /** Streaming reply-tree resolution — SURVEY §7.4 Plan A (reference:
   * streams/BuildReplyTreeProcessFunction.scala:28-409). Events arrive in
   * any order across micro-batches; a reply whose parent is unknown parks in
@@ -30,10 +42,13 @@ final case class TreeState(resolved: Map[Long, (Long, Int, Boolean, Long)],
   * mapping state is replicated across all workers via broadcast
   * (acknowledged at BuildReplyTreeProcessFunction.scala:207-214). The
   * scale-out variant partitions by root-affinity once resolved and keeps
-  * only the unresolved frontier in the single group; eviction of stale
+  * only the unresolved frontier in the single group. Eviction of stale
   * pending entries (the reference's watermark-based dangling drop,
-  * :288-317) maps to `GroupStateTimeout.EventTimeTimeout` and is left to
-  * the batch path here (q45 drops them by construction).
+  * :288-317) is [[ReplyTreeOp.resolveEvicting]]: pending replies whose
+  * event time the watermark has passed are dropped WITH their transitive
+  * waiting children and side-output as `dropped` rows — pending state is
+  * bounded by the watermark horizon instead of growing forever under
+  * sustained dangling input.
   *
   * NOTE on the fully-partitioned form: a reply resolved in this batch must
   * be able to resolve ITS children, which wait under a different key —
@@ -92,6 +107,100 @@ object ReplyTreeOp {
             }
           }
           state.update(st)
+          out.iterator
+        })
+  }
+
+  /** [[resolve]] + watermark-based dangling-reply eviction (reference:
+    * BuildReplyTreeProcessFunction.evictDanglingReplies:288-317 — a pending
+    * reply whose event time the watermark has passed will never find its
+    * parent: drop it AND its transitive waiting children — getWithChildren
+    * :301-303 — and report them on the side output, streams/package.scala
+    * :287-298). Resolved rows carry `dropped = false`; evicted replies
+    * `dropped = true`. Input must carry a watermark on `ts`.
+    *
+    * Eviction runs against the current watermark before each batch's rows
+    * and in a timeout callback armed at the oldest pending reply's
+    * timestamp, so state drains even when no further data arrives for the
+    * group — pending size is bounded by the replies INSIDE the watermark
+    * horizon. */
+  def resolveEvicting(events: Dataset[EdgeEventT]): Dataset[TreeOut] = {
+    implicit val stateEnc = Encoders.product[TreeState]
+    implicit val outEnc = Encoders.product[TreeOut]
+    implicit val keyEnc = Encoders.scalaInt
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, it: Iterator[EdgeEventT], state: GroupState[TreeState]) => {
+          var st = state.getOption.getOrElse(TreeState(Map.empty, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TreeOut]
+          val wm = state.getCurrentWatermarkMs()
+
+          def settle(e: EdgeEvent, p: (Long, Int, Boolean, Long)): Unit = {
+            val entry = (p._1, p._2 + 1, p._3 && e.tsec >= p._4, e.tsec)
+            st = st.copy(resolved = st.resolved + (e.event_id -> entry))
+            out += TreeOut(e.event_id, entry._1, entry._2, entry._3, dropped = false)
+            drain(e.event_id)
+          }
+
+          def drain(parentId: Long): Unit =
+            st.pending.get(parentId).foreach { children =>
+              st = st.copy(pending = st.pending - parentId)
+              val p = st.resolved(parentId)
+              children.sortBy(_.event_id).foreach(c => settle(c, p))
+            }
+
+          // drop a lost reply and, transitively, everything waiting on it
+          // (reference getWithChildren: children of a dropped reply are
+          // dropped regardless of their own timestamps)
+          val droppedIds = scala.collection.mutable.Set.empty[Long]
+          def dropWithChildren(e: EdgeEvent): Unit = if (droppedIds.add(e.event_id)) {
+            out += TreeOut(e.event_id, -1L, -1, causal = false, dropped = true)
+            st.pending.get(e.event_id).foreach { kids =>
+              st = st.copy(pending = st.pending - e.event_id)
+              kids.sortBy(_.event_id).foreach(dropWithChildren)
+            }
+          }
+
+          def evict(): Unit = {
+            val lost = st.pending.toSeq.sortBy(_._1).flatMap { case (pid, kids) =>
+              kids.filter(_.tsec <= wm).sortBy(_.event_id).map(pid -> _)
+            }
+            lost.foreach { case (pid, e) =>
+              if (!droppedIds.contains(e.event_id)) {
+                val rest = st.pending.getOrElse(pid, Nil)
+                  .filterNot(_.event_id == e.event_id)
+                st = st.copy(pending =
+                  if (rest.isEmpty) st.pending - pid else st.pending + (pid -> rest))
+                dropWithChildren(e)
+              }
+            }
+          }
+
+          evict() // watermark advanced since the last invocation
+          if (!state.hasTimedOut) {
+            it.toSeq.sortBy(_.event_id).foreach { et =>
+              val e = EdgeEvent(et.event_id, et.ts.getTime, et.parent_id)
+              e.parent_id match {
+                case None =>
+                  st = st.copy(resolved =
+                    st.resolved + (e.event_id -> (e.event_id, 0, true, e.tsec)))
+                  out += TreeOut(e.event_id, e.event_id, 0, causal = true, dropped = false)
+                  drain(e.event_id)
+                case Some(pid) =>
+                  st.resolved.get(pid) match {
+                    case Some(p) => settle(e, p)
+                    case None =>
+                      st = st.copy(pending = st.pending +
+                        (pid -> (st.pending.getOrElse(pid, Nil) :+ e)))
+                  }
+              }
+            }
+          }
+          state.update(st)
+          // re-arm: evict as soon as the watermark passes the oldest
+          // pending reply (nothing pending -> no timer needed)
+          st.pending.valuesIterator.flatten.map(_.tsec).minOption.foreach(t =>
+            state.setTimeoutTimestamp(math.max(t + 1, wm + 1)))
           out.iterator
         })
   }

@@ -57,6 +57,80 @@ class ReplyTreeStreamSpec extends GraftSuite {
     assert(got == batchResolved)
   }
 
+  test("dangling replies evict once the watermark passes; dropped = batch q45 complement") {
+    // reference BuildReplyTreeProcessFunction.evictDanglingReplies:288-317:
+    // a pending reply whose event time the watermark passed can never find
+    // its parent -> dropped (with transitive children) to the side output.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.EdgeEventT]
+    // 2h watermark delay: lets the test hold C1's event time AHEAD of the
+    // watermark at X's eviction, so C1 can only drop TRANSITIVELY
+    val q = ReplyTreeOp.resolveEvicting(
+        stream.toDS().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("rt_evict")
+      .outputMode("append").start()
+    try {
+      val maxSec = edges.map(_.tsec).max
+      val asT = edges.map(e => graft.streaming.EdgeEventT(
+        e.event_id, new java.sql.Timestamp(e.tsec * 1000L), e.parent_id))
+      asT.grouped(asT.length / 3 + 1)
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      // at sf0.001 every natural event resolves, so inject a dangling
+      // chain: X waits on a parent that never comes, C1 waits on X with an
+      // event time AHEAD of the watermark at X's eviction - it must drop
+      // TRANSITIVELY with X (reference getWithChildren :301-303), not by
+      // its own timestamp
+      val xId = 5000001L; val c1Id = 5000002L
+      stream.addData(
+        graft.streaming.EdgeEventT(xId,
+          new java.sql.Timestamp((maxSec + 10) * 1000L), Some(-999L)),
+        graft.streaming.EdgeEventT(c1Id,
+          new java.sql.Timestamp((maxSec + 5000) * 1000L), Some(xId)))
+      q.processAllAvailable()
+      // nudge 1 -> watermark = maxSec+200: past X (+10), NOT past C1
+      // (+5000); nudge 2 -> watermark = maxSec+7400: past everything
+      val nudgeId = 10000000L
+      stream.addData(graft.streaming.EdgeEventT(
+        nudgeId, new java.sql.Timestamp((maxSec + 7400) * 1000L), None))
+      q.processAllAvailable()
+      val afterNudge1 = spark.table("rt_evict").collect()
+      assert(afterNudge1.exists(r => r.getLong(0) == c1Id && r.getBoolean(4)),
+        "C1 must drop transitively with X, ahead of its own event time")
+      stream.addData(graft.streaming.EdgeEventT(
+        nudgeId + 1, new java.sql.Timestamp((maxSec + 14600) * 1000L), None))
+      q.processAllAvailable()
+
+      val rows = spark.table("rt_evict").collect()
+        .filter(r => r.getLong(0) < nudgeId)
+      val resolved = rows.filter(!_.getBoolean(4))
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+      val droppedSet = rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+
+      // resolved rows match the batch fixpoint exactly
+      assert(resolved == batchResolved)
+      // dropped = the batch complement (q45 silently drops danglers):
+      // the natural complement plus the injected dangling chain
+      val complement =
+        (edges.map(_.event_id).toSet -- batchResolved.keySet) + xId + c1Id
+      assert(droppedSet == complement,
+        s"missing=${(complement -- droppedSet).take(5)} extra=${(droppedSet -- complement).take(5)}")
+      // every event is accounted for exactly once -> pending state is empty
+      assert(rows.length == edges.length + 2)
+      assert(resolved.keySet.intersect(droppedSet).isEmpty)
+
+      // pending really is gone: a late-arriving parent of a dropped reply
+      // must resolve nothing (the reply was evicted, not parked)
+      val before = spark.table("rt_evict").count()
+      stream.addData(graft.streaming.EdgeEventT(
+        xId, new java.sql.Timestamp((maxSec + 14700) * 1000L), None))
+      q.processAllAvailable()
+      val after = spark.table("rt_evict").collect()
+      assert(after.length == before + 1, "evicted children must NOT resurrect")
+      assert(after.count(r => r.getLong(0) == c1Id) == 1)
+    } finally q.stop()
+  }
+
   test("each event is emitted exactly once across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
