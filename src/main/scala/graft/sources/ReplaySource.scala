@@ -1,6 +1,12 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -12,6 +18,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.jdk.CollectionConverters._
+
 /** Scaled event-time REPLAY source — the reference's signature simulation
   * mechanism (reference: streams/SpeedupParquetSource ancestry:
   * utils/ParseUtils + jobs/preparation/measure/ReadLikeEventsFromKafkaJob
@@ -20,20 +28,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-expressed as a DataSource V2 `MicroBatchStream`:
   *
   *   frontier(t) = min_event_time + (wall_now − wall_start) × speedup
-  *   offset(t)   = #events with ts ≤ frontier(t)
   *
-  * Each micro-batch receives exactly the events whose (sorted) event time
-  * the scaled clock has passed, so downstream watermarks/windows see the
-  * same out-of-orderness profile as the original stream, compressed by
-  * `speedup` — the property the reference's experiments rely on.
+  * The OFFSET IS THE FRONTIER: a micro-batch (start, end] contains exactly
+  * the events whose event time the scaled clock passed in that interval,
+  * so downstream watermarks/windows see the same out-of-orderness profile
+  * as the original stream, compressed by `speedup` — the property the
+  * reference's experiments rely on.
   *
-  * Options: `path` (an sf dir with events.parquet), `speedup` (double).
+  * Scale design: the driver holds the event-time bounds and the file
+  * length (read once from the parquet footer/filesystem) — never the
+  * events. Each micro-batch plans `splits` partitions as byte ranges of
+  * the file and the EXECUTOR readers scan their row groups (assigned by
+  * range-midpoint, the standard Hadoop split rule — each row group
+  * decodes exactly once) with the ts-range predicate pushed into the
+  * read (row-group pruning via column statistics + record filter).
+  * Replay therefore scales past driver memory to any file the executors
+  * can scan; for long replays over big inputs, lay the file out
+  * ts-sorted (PrepJob-style) so each batch's range prunes to a few row
+  * groups instead of re-scanning the file.
   *
-  * Scale/test note: this source exists for REPLAY SEMANTICS (S1/S3) —
-  * the event set is loaded once, sorted by event time, and held on the
-  * driver (fine for simulation inputs; the reference replays files the
-  * same way). Production-volume ingestion is Kafka's job (S2/K1) — the
-  * pacing contract demonstrated here is source-independent.
+  * Options: `path` (an sf dir with events.parquet), `speedup` (double),
+  * `splits` (readers per micro-batch, default 8).
   */
 class ReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -42,7 +57,8 @@ class ReplaySource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new ReplayTable(properties.get("path"),
-      Option(properties.get("speedup")).map(_.toDouble).getOrElse(10000.0))
+      Option(properties.get("speedup")).map(_.toDouble).getOrElse(10000.0),
+      Option(properties.get("splits")).map(_.toInt).getOrElse(8))
 }
 
 object ReplaySource {
@@ -54,22 +70,79 @@ object ReplaySource {
   /** (event_id, ts_micros, user_id, event_type, value, props) */
   type Ev = (Long, Long, Long, String, Double, String)
 
-  def load(path: String): Array[Ev] = {
-    val spark = SparkSession.active
-    graft.Tables.events(spark, path)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .collect()
-      .map { r =>
-        val t = r.getTimestamp(1)
-        val micros = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-        (r.getLong(0), micros, r.getLong(2), r.getString(3), r.getDouble(4),
-          r.getString(5))
+  private def eventsFile(path: String) = s"$path/events.parquet"
+
+  /** Event-time bounds (micros) + file length, from the parquet footer —
+    * the ONLY thing the driver reads (three longs, any input size). Falls
+    * back to a streaming one-pass scan if a writer omitted stats. */
+  def tsBounds(path: String): (Long, Long, Long) = {
+    val file = HadoopInputFile.fromPath(
+      new Path(eventsFile(path)), new Configuration())
+    val rd = ParquetFileReader.open(file)
+    try {
+      val stats = rd.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+          .map(_.getStatistics)
       }
-      .sortBy(e => (e._2, e._1))
+      if (stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue)) {
+        val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        (Math.floorDiv(mins.min, 1000L), Math.floorDiv(maxs.max, 1000L),
+          file.getLength)
+      } else {
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        scanRange(path, Long.MinValue, Long.MaxValue - 1, 0L, Long.MaxValue)
+          .foreach { e => lo = math.min(lo, e._2); hi = math.max(hi, e._2) }
+        (lo, hi, file.getLength)
+      }
+    } finally rd.close()
+  }
+
+  /** Executor-side range scan: events with ts_micros in (lo, hi] from the
+    * row groups whose midpoint falls in file-byte range [byteStart,
+    * byteEnd) — contiguous byte ranges tile the file with each row group
+    * decoded EXACTLY once (the standard Hadoop split rule). The ts
+    * predicate is pushed into the read (row-group pruning + record
+    * filter). The parquet stores TIMESTAMP(NANOS): micros > lo ⟺
+    * nanos > lo·1000 + 999, micros ≤ hi ⟺ nanos ≤ hi·1000 + 999. */
+  def scanRange(path: String, loMicros: Long, hiMicros: Long,
+                byteStart: Long, byteEnd: Long): Iterator[Ev] = {
+    val tsCol = FilterApi.longColumn("ts")
+    val pred = FilterApi.and(
+      FilterApi.gt(tsCol, java.lang.Long.valueOf(loMicros * 1000L + 999L)),
+      FilterApi.ltEq(tsCol, java.lang.Long.valueOf(hiMicros * 1000L + 999L)))
+    val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+      ParquetReader.builder(new GroupReadSupport(), new Path(eventsFile(path)))
+        .withConf(new Configuration())
+        .withFileRange(byteStart, byteEnd)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+    new Iterator[Ev] {
+      private var nextEv: Ev = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        nextEv = null
+        if (!done) {
+          val g = reader.read()
+          if (g == null) { done = true; reader.close() }
+          else {
+            val micros = Math.floorDiv(g.getLong("ts", 0), 1000L)
+            val props =
+              if (g.getFieldRepetitionCount("props") == 0) null
+              else g.getString("props", 0)
+            nextEv = (g.getLong("event_id", 0), micros, g.getLong("user_id", 0),
+              g.getString("event_type", 0), g.getDouble("value", 0), props)
+          }
+        }
+      }
+      override def hasNext: Boolean = nextEv != null
+      override def next(): Ev = { val e = nextEv; advance(); e }
+    }
   }
 }
 
-final class ReplayTable(path: String, speedup: Double)
+final class ReplayTable(path: String, speedup: Double, splits: Int)
   extends Table with SupportsRead {
   override def name(): String = s"graft-replay($path, x$speedup)"
   override def schema(): StructType = ReplaySource.schema
@@ -80,50 +153,60 @@ final class ReplayTable(path: String, speedup: Double)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ReplaySource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ReplayMicroBatchStream(path, speedup)
+          new ReplayMicroBatchStream(path, speedup, splits)
       }
     }
 }
 
-final case class ReplayOffset(released: Long) extends Offset {
-  override def json(): String = released.toString
+/** The offset IS the event-time frontier (micros). */
+final case class ReplayOffset(frontierMicros: Long) extends Offset {
+  override def json(): String = frontierMicros.toString
 }
 
-final class ReplayMicroBatchStream(path: String, speedup: Double)
+final class ReplayMicroBatchStream(path: String, speedup: Double, splits: Int)
   extends MicroBatchStream {
-  private lazy val events: Array[ReplaySource.Ev] = ReplaySource.load(path)
-  private lazy val minTsMicros: Long = if (events.isEmpty) 0L else events(0)._2
+  private lazy val bounds: (Long, Long, Long) = ReplaySource.tsBounds(path)
   // the scaled clock starts at the first offset request (stream start)
   private lazy val wallStartNanos: Long = System.nanoTime()
+  @volatile private var lastFrontier: Long = Long.MinValue
 
-  override def initialOffset(): Offset = ReplayOffset(0L)
+  override def initialOffset(): Offset = ReplayOffset(bounds._1 - 1)
 
   override def latestOffset(): Offset = {
-    val elapsedMicros = (System.nanoTime() - wallStartNanos) / 1000L
+    val (minTs, maxTs, _) = bounds
+    // nanoTime readings may come from different scheduler threads; clamp
+    // the cross-thread skew (observed ~tens of µs on virtualized hosts) —
+    // at extreme speedups a few negative µs would otherwise produce a
+    // hugely regressed offset
+    val elapsedMicros = math.max(0L, (System.nanoTime() - wallStartNanos) / 1000L)
     // saturate: extreme speedups must clamp to "everything", not overflow
     val scaled = elapsedMicros.toDouble * speedup
     val frontier =
-      if (scaled >= (Long.MaxValue - minTsMicros).toDouble) Long.MaxValue
-      else minTsMicros + scaled.toLong
-    // events sorted by ts: releasable prefix = all with ts <= frontier
-    var lo = 0
-    var hi = events.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (events(mid)._2 <= frontier) lo = mid + 1 else hi = mid
-    }
-    ReplayOffset(lo.toLong)
+      if (scaled >= (maxTs - minTs).toDouble) maxTs
+      else minTs + scaled.toLong
+    // offsets must never regress
+    val f = math.max(frontier, math.max(lastFrontier, minTs - 1))
+    lastFrontier = f
+    ReplayOffset(f)
   }
 
   override def deserializeOffset(json: String): Offset =
     ReplayOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ReplayOffset].released.toInt
-    val e = end.asInstanceOf[ReplayOffset].released.toInt
+    val s = start.asInstanceOf[ReplayOffset].frontierMicros
+    val e = end.asInstanceOf[ReplayOffset].frontierMicros
     if (e <= s) Array.empty
-    else events.slice(s, e).grouped(8192)
-      .map(chunk => ReplayPartition(chunk): InputPartition).toArray
+    else {
+      val len = bounds._3
+      val step = math.max(1L, (len + splits - 1) / splits)
+      (0 until splits).map { i =>
+        ReplayRangePartition(path, s, e,
+          i * step, math.min(len, (i + 1) * step)): InputPartition
+      }.filter { p =>
+        val r = p.asInstanceOf[ReplayRangePartition]; r.byteStart < r.byteEnd
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -133,18 +216,26 @@ final class ReplayMicroBatchStream(path: String, speedup: Double)
   override def stop(): Unit = ()
 }
 
-final case class ReplayPartition(rows: Array[ReplaySource.Ev]) extends InputPartition
+/** A (ts-range, file-byte-range) slice of the replay file — carries
+  * coordinates only; the rows are read ON THE EXECUTOR. */
+final case class ReplayRangePartition(path: String, loMicros: Long,
+                                      hiMicros: Long, byteStart: Long, byteEnd: Long)
+  extends InputPartition
 
 final class ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[ReplayPartition].rows
+    val p = partition.asInstanceOf[ReplayRangePartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      private val it =
+        ReplaySource.scanRange(p.path, p.loMicros, p.hiMicros, p.byteStart, p.byteEnd)
+      private var cur: ReplaySource.Ev = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = {
-        val e = rows(i)
+        val e = cur
         new GenericInternalRow(Array[Any](e._1, e._2, e._3,
-          UTF8String.fromString(e._4), e._5, UTF8String.fromString(e._6)))
+          UTF8String.fromString(e._4), e._5,
+          if (e._6 == null) null else UTF8String.fromString(e._6)))
       }
       override def close(): Unit = ()
     }

@@ -45,6 +45,48 @@ class ReplaySourceSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("driver state is footer bounds; executor range scans tile the event set exactly") {
+    // the driver never holds events - only the footer-derived ts bounds
+    // and the file length
+    val (loTs, hiTs, len) = graft.sources.ReplaySource.tsBounds(sf)
+    val exp = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    assert((loTs, hiTs) == ((exp.getLong(0), exp.getLong(1))))
+    assert(len == new java.io.File(s"$sf/events.parquet").length())
+    // ts-range x byte-range tiles are disjoint and union to the batch read
+    val midTs = (loTs + hiTs) / 2
+    val tsRanges = Seq((loTs - 1, midTs), (midTs, hiTs))
+    val step = math.max(1L, (len + 3) / 4)
+    val got = tsRanges.flatMap { case (lo, hi) =>
+      (0 until 4).flatMap(i =>
+        graft.sources.ReplaySource.scanRange(sf, lo, hi,
+          i * step, math.min(len, (i + 1) * step)))
+    }
+    assert(got.map(_._1).distinct.length == got.length, "tiles overlap")
+    val expRows = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+    assert(got.toSet == expRows.toSet, "range-scan union diverges from batch read")
+    // an empty ts range scans nothing
+    assert(graft.sources.ReplaySource.scanRange(sf, hiTs, hiTs, 0L, len).isEmpty)
+  }
+
+  test("large-input smoke: 10x corpus replays completely through executor-side reads") {
+    val big = "/root/testdata/sf0.01"
+    val q = spark.readStream.format(fmt)
+      .option("path", big).option("speedup", "1e15").option("splits", "8").load()
+      .writeStream.format("memory").queryName("replay_big").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("replay_big").count()
+        == Tables.events(spark, big).count())
+    } finally q.stop()
+  }
+
   test("moderate speedup paces the release: partial early, complete later, ts-ordered") {
     // choose speedup so the full replay takes ~4s of wall clock
     val bounds = Tables.events(spark, sf)
