@@ -44,14 +44,24 @@ object MultimodalPack {
         (col("doc_id") % 1080 + 1).cast("int").as("height"),
         (col("n_chars") * 40).as("duration_ms")).as("meta"))
 
+  /** Checksum modulus: keeps `crc*31 + byte` inside Int64 on engines with
+    * non-wrapping integer overflow (DuckDB BIGINT errors on overflow where
+    * the JVM wraps), so the polynomial is cross-engine exact. */
+  private[graft] val CRC_MOD = 1000000007L
+
   /** STUB decoder — deterministic fake of an image decode + resize.
     * Replace with a real codec in production; the signature (bytes in,
     * fixed-size features out) and the batched per-partition call pattern
-    * are the contract. */
+    * are the contract. The checksum is a base-31 polynomial mod
+    * [[CRC_MOD]] over the payload bytes — reproducible in any engine with
+    * a list fold (the q71 oracle computes it with DuckDB's list_reduce),
+    * which upgrades the decode query from rows-only to hash-checked. */
   private def decodeStub(id: Long, kind: String, payload: Array[Byte]): DecodedMedia = {
     var crc = 0L
     var i = 0
-    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
+    while (i < payload.length) {
+      crc = (crc * 31 + (payload(i) & 0xff)) % CRC_MOD; i += 1
+    }
     DecodedMedia(id, kind, TARGET_W, TARGET_H, payload.length.toLong, crc)
   }
 
@@ -78,11 +88,10 @@ object MultimodalPack {
         col("meta.duration_ms").as("duration_ms"))
         .orderBy(col("media_id"))),
 
-    // Per-kind decode throughput shape: group decoded features (stubbed
-    // kernel, real distributed plumbing). Oracle-checkable because the stub
-    // is deterministic arithmetic — DuckDB reproduces the same rolling
-    // checksum via a recursive reduction? No — kept rows-only; the spec
-    // pins determinism instead.
+    // Per-kind decode shape: decoded features (stubbed kernel, real
+    // distributed plumbing). Hash-checked: the stub checksum is a modular
+    // polynomial DuckDB reproduces with list_reduce over the text's
+    // code points (payload = UTF-8 of ASCII text, so bytes == ord()).
     "q71_media_decode" -> ((s, d) =>
       decodeAll(media(s, d)).toDF()
         .select(col("media_id"), col("kind"), col("out_w"), col("out_h"),
@@ -112,8 +121,18 @@ object MultimodalPack {
         |  n_chars * 40 AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // q71_media_decode: stub checksum is an imperative rolling hash —
-    // rows-only by design (determinism pinned in MultimodalPackSpec)
+    "q71_media_decode" ->
+      s"""SELECT doc_id AS media_id,
+         |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+         |  $TARGET_W AS out_w, $TARGET_H AS out_h,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  CASE WHEN length(text) = 0 THEN 0::BIGINT
+         |    ELSE list_reduce(
+         |      list_prepend(0::BIGINT,
+         |        [ord(c)::BIGINT for c in string_split(text, '')]),
+         |      (acc, x) -> (acc * 31 + x) % $CRC_MOD)
+         |  END AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q72_frame_sample" ->
       """SELECT media_id, frame_no, frame_no * 256 AS byte_offset

@@ -37,7 +37,7 @@ class MultimodalPackSpec extends GraftSuite {
     decoded.take(50).foreach { r =>
       val bytes = docs(r.getLong(0)).getBytes("UTF-8")
       var crc = 0L
-      bytes.foreach(b => crc = crc * 31 + (b & 0xff))
+      bytes.foreach(b => crc = (crc * 31 + (b & 0xff)) % MultimodalPack.CRC_MOD)
       assert(r.getLong(5) == crc, s"checksum drift for media ${r.getLong(0)}")
       assert(r.getLong(4) == bytes.length.toLong)
     }
