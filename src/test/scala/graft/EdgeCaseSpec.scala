@@ -61,10 +61,11 @@ class EdgeCaseSpec extends GraftSuite {
 
   test("oracle keys and query keys are mutually consistent") {
     val qs = SparkEntry.queries.keySet
-    // permanently rows-only: the stubbed media decode and the three sketch
-    // operators (HLL distinct, GK quantiles, Misra-Gries frequent items —
-    // not DuckDB-reproducible)
-    val sketchy = Set("q71_media_decode", "q79_hll_distinct",
+    // permanently rows-only: the three sketch operators (HLL distinct,
+    // GK quantiles, Misra-Gries frequent items — not DuckDB-reproducible;
+    // the media decode graduated to hash-checked via its modular
+    // polynomial checksum)
+    val sketchy = Set("q79_hll_distinct",
       "q80_quantile_sketch", "q86_freq_sketch")
     // static oracles (no sf dir known): the data-dependent q43/q62/q78
     // are additionally rows-only until Verify provides the sf context
