@@ -278,6 +278,51 @@ object SamplingPack {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("source"), col("bucket"))),
 
+    // Cross-source contamination matrix: for every source pair, the
+    // number of distinct span fingerprints they share and the Jaccard of
+    // their span sets — the leakage audit run before declaring corpus
+    // slices independent (train/eval drawn from different sources).
+    // Scale: the pair join is an INVERTED-INDEX self-join on the span
+    // hash — per-hash work is (#sources sharing that span)² ≤ #sources²,
+    // never docs²; per-source set sizes are one distinct-count pass; the
+    // output is at most C(#sources, 2) rows.
+    "q101_source_overlap" -> ((s, d) => {
+      val sh = spanHashes(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("h")).distinct()
+      val perSrc = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(perSrc.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(perSrc.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .withColumn("jaccard", round(col("n_shared").cast("double")
+          / (col("n1") + col("n2") - col("n_shared")), 6))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("n_shared"), col("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // Vocabulary-growth profile per source: token total, type count,
+    // hapax count, type-token ratio, hapax share — the Heaps'-law corpus
+    // profile that calibrates tokenizer vocab size and dedup thresholds.
+    // One (source, token) count shuffle + a tiny rollup; ratios are one
+    // IEEE division of exact integers.
+    "q102_vocab_growth" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+        .withColumn("hapax_share",
+          round(col("n_hapax").cast("double") / col("n_types"), 6))
+        .orderBy(col("source"))),
+
     // Exact-quota stratified sample: exactly QUOTA docs per source, picked
     // by hash order (q64 samples at a RATE; this pins the exact count a
     // balanced eval set needs). row_number over (hash, id) is the q82
@@ -497,6 +542,42 @@ object SamplingPack {
          |  count(DISTINCT event_type) AS n_types,
          |  count(DISTINCT user_id) AS n_users
          |FROM events""".stripMargin,
+
+    "q101_source_overlap" ->
+      s"""WITH sp AS (
+         |  $sqlSpanHashes
+         |), sh AS (
+         |  SELECT DISTINCT d.source, sp.h
+         |  FROM sp JOIN documents d USING (doc_id)
+         |), per AS (
+         |  SELECT source, count(*) AS n FROM sh GROUP BY source
+         |), inter AS (
+         |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s1, s2, p1.n AS n1, p2.n AS n2, n_shared,
+         |  ${Hashes.sqlRound("n_shared::DOUBLE / (p1.n + p2.n - n_shared)", 6)}
+         |    AS jaccard
+         |FROM inter
+         |  JOIN per p1 ON p1.source = s1
+         |  JOIN per p2 ON p2.source = s2
+         |ORDER BY s1, s2""".stripMargin,
+
+    "q102_vocab_growth" ->
+      s"""WITH c AS (
+         |  SELECT source, w, count(*) AS c
+         |  FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1, 2
+         |), st AS (
+         |  SELECT source, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+         |    count(CASE WHEN c = 1 THEN 1 END) AS n_hapax
+         |  FROM c GROUP BY source
+         |)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  ${Hashes.sqlRound("n_types::DOUBLE / n_tokens", 6)} AS ttr,
+         |  ${Hashes.sqlRound("n_hapax::DOUBLE / n_types", 6)} AS hapax_share
+         |FROM st ORDER BY source""".stripMargin,
 
     "q85_bloom_decontam" ->
       s"""WITH sp AS (

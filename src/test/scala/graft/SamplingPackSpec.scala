@@ -167,4 +167,49 @@ class SamplingPackSpec extends GraftSuite {
       assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
     }
   }
+
+  test("q101: overlap matrix matches driver-side span-set intersection") {
+    val rows = q("q101_source_overlap").collect()
+    assert(rows.nonEmpty, "synthetic corpus should share spans across sources")
+    // driver recomputation: per-source distinct span TEXTS (6-token spans)
+    val spanSets = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap { r =>
+        val t = r.getString(1).split(" ")
+        t.grouped(6).map(_.mkString(" "))
+      }.toSet).toMap
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      assert(s1 < s2, "pairs must be canonical (s1 < s2)")
+      val (a, b) = (spanSets(s1), spanSets(s2))
+      assert(r.getLong(2) == a.size.toLong && r.getLong(3) == b.size.toLong)
+      assert(r.getLong(4) == a.intersect(b).size.toLong,
+        s"shared-span drift for ($s1, $s2)")
+      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(r.getDouble(5) - jac) < 1e-6)
+    }
+    // every pair with a nonempty intersection is present
+    val expectedPairs = spanSets.keys.toSeq.sorted.combinations(2)
+      .filter { case Seq(x, y) => spanSets(x).intersect(spanSets(y)).nonEmpty }
+      .size
+    assert(rows.length == expectedPairs)
+  }
+
+  test("q102: vocabulary profile matches driver-side token counting") {
+    val rows = q("q102_vocab_growth").collect()
+    val bySrc = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getString(1).split(" "))
+        .groupBy(identity).view.mapValues(_.length).toMap).toMap
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val counts = bySrc(r.getString(0))
+      assert(r.getLong(1) == counts.values.sum.toLong, "token total drift")
+      assert(r.getLong(2) == counts.size.toLong, "type count drift")
+      assert(r.getLong(3) == counts.values.count(_ == 1).toLong, "hapax drift")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }
