@@ -192,6 +192,13 @@ class PlanQualitySpec extends GraftSuite {
     assert(plan.contains("UDF"), s"bloom prune UDF missing from plan:\n$plan")
   }
 
+  test("q101: source-overlap pair join is an equi-join on the span hash, never a cross product") {
+    val plan = executedPlan(
+      graft.operators.SamplingPack.queries("q101_source_overlap")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap matrix regressed to all-pairs:\n$plan")
+  }
+
   test("q54: no unbounded-cardinality relation carries a broadcast hint") {
     // The per-user last-activity table is one row PER USER — billions of
     // rows at corpus scale — so a forced broadcast(…) hint on it would OOM
