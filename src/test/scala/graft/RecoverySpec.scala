@@ -58,6 +58,62 @@ class RecoverySpec extends GraftSuite {
     assert(got.sameElements(expected))
   }
 
+  test("clustering window survives a checkpoint restart: decay chain and control params intact") {
+    // the model stream is stopped between two windows and restarted from
+    // its checkpoint; window 2's decay blend must use window 1's centroids
+    // from RECOVERED state, and a control line delivered after the restart
+    // must still re-parameterize — the restarted run must equal an
+    // uninterrupted run over the same input
+    import spark.implicits._
+    import graft.streaming.{ClusterIn, StreamOps}
+    val base = Files.createTempDirectory("graft_cw_recovery").toString
+
+    def pts(baseSec: Long): Seq[ClusterIn] =
+      (0 until 8).map(i => ClusterIn(
+        new java.sql.Timestamp((baseSec + i) * 1000L),
+        Seq((i % 5).toDouble, (i % 3).toDouble), ""))
+    val part1 = pts(1L)
+    val part2 = ClusterIn(new java.sql.Timestamp(18000L), Seq.empty, "k=3") +: pts(20L)
+
+    def run(tag: String, feed: Seq[Seq[ClusterIn]]): Seq[(Int, Int, Seq[Seq[Double]], Seq[Double])] = {
+      val inDir = s"$base/$tag/in"; val ckpt = s"$base/$tag/ckpt"
+      val outDir = s"$base/$tag/out"
+      def startQuery() = {
+        val in = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[ClusterIn]].schema)
+          .parquet(inDir).as[ClusterIn]
+        StreamOps.clusterWindows(in.withWatermark("ts", "0 seconds"),
+            k = 2, decay = 0.2, windowSizeMs = 600000L, minCount = 2, maxCount = 8)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.ModelRow], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }.start()
+      }
+      feed.foreach { chunk =>
+        chunk.toDS().write.mode("append").parquet(inDir)
+        val q = startQuery()
+        try q.processAllAvailable() finally q.stop() // "crash" between chunks
+      }
+      spark.read.parquet(outDir).orderBy(col("version")).collect().toSeq.map(r =>
+        (r.getInt(r.fieldIndex("version")), r.getInt(r.fieldIndex("n_points")),
+          r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("centroids")).map(_.toSeq).toSeq,
+          r.getSeq[Double](r.fieldIndex("weights")).toSeq))
+    }
+
+    val restarted = run("restarted", Seq(part1, part2))
+    val straight = run("straight", Seq(part1 ++ part2))
+    assert(restarted.map(_._1) == Seq(1, 2), s"expected 2 models, got $restarted")
+    assert(restarted == straight,
+      s"restart diverged:\n restarted=$restarted\n straight=$straight")
+    // the k=3 control line applied to window 2 across the restart
+    assert(restarted(1)._3.length == 3)
+    // window 2's centroids came through the decay blend of window 1's model
+    // (weights carry history: w2 weight = w1 weight * decay + assigned)
+    assert(restarted(1)._4.sum > restarted(1)._2.toDouble - 1e-9)
+  }
+
   test("stateful sliding agg runs on the RocksDB state store provider") {
     import spark.implicits._
     import graft.streaming.{Ev, StreamOps}
