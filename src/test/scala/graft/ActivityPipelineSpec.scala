@@ -131,4 +131,36 @@ class ActivityPipelineSpec extends GraftSuite {
         "labels must be empty before the control line arrives")
     } finally q.stop()
   }
+
+  test("control params cover the whole surface: k before first fire, decay=0 severs history") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.ClusterIn]
+    def pts(baseSec: Long): Seq[graft.streaming.ClusterIn] =
+      (0 until 8).map(i => graft.streaming.ClusterIn(
+        new java.sql.Timestamp((baseSec + i) * 1000L),
+        Seq((i % 5).toDouble, (i % 3).toDouble), ""))
+    def ctrl(sec: Long, line: String) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq.empty, line)
+    val q = StreamOps.clusterWindows(
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        k = 2, decay = 0.5, windowSizeMs = 600000L, minCount = 2, maxCount = 8)
+      .writeStream.format("memory").queryName("cw_ctrl2_out")
+      .outputMode("append").start()
+    try {
+      // k=5 lands BEFORE any point: the FIRST model must honor it (params
+      // are read at fire time, not at query start)
+      stream.addData(ctrl(1L, "k=5")); q.processAllAvailable()
+      stream.addData(pts(2L)); q.processAllAvailable()
+      // decay=0: the next model's weights must be pure assignment counts
+      // (history contributes 0 — reference ClusterModel.update semantics)
+      stream.addData(ctrl(15L, "decay=0")); q.processAllAvailable()
+      stream.addData(pts(20L)); q.processAllAvailable()
+      val rows = spark.table("cw_ctrl2_out").orderBy("version").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getSeq[Any](2).length == 5, "k=5 must apply to the first fire")
+      val w2 = rows(1).getSeq[Double](3)
+      assert(w2.sum == 8.0, s"decay=0 weights must sum to the window count: $w2")
+    } finally q.stop()
+  }
 }
