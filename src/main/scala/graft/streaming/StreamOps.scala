@@ -21,9 +21,15 @@ final case class AsOfState(viewTs: Long, viewValue: Double)
 /** Emitted cluster model row (reference: (ts, count, ClusterModel) emission,
   * KMeansClusterFunction.scala:230-281; labels come from the control
   * stream's `label:<i>=` parameters, empty when unset — reference
-  * Parameters.label, KMeansClusterFunction.scala:402). */
+  * Parameters.label, KMeansClusterFunction.scala:402). `avg_shift` and
+  * `k_diff` carry the reference's ClusterMetadata side output (mean
+  * centroid displacement vs the previous model over matching indices and
+  * the cluster-count delta — createMetadata, KMeansClusterFunction.scala
+  * :337-373), folded onto the model stream (the R3 one-stream split
+  * pattern) for drift monitoring. */
 final case class ModelRow(version: Int, n_points: Int, centroids: Seq[Seq[Double]],
-                          weights: Seq[Double], labels: Seq[String] = Nil)
+                          weights: Seq[Double], labels: Seq[String] = Nil,
+                          avg_shift: Double = 0.0, k_diff: Int = 0)
 
 /** Clustering window state (reference: ListState buffer + previous model,
   * KMeansClusterFunction.scala:112-196). */
@@ -384,9 +390,20 @@ object StreamOps {
             val version = st.version + 1
             val labels = merged.clusters.map(c =>
               st.params.getOrElse(s"label:${c.index}", ""))
+            // ClusterMetadata (reference createMetadata :337-373): mean
+            // centroid displacement vs the ORIGINAL previous model by
+            // index (0 for unmatched/new clusters) + cluster-count delta
+            val prevByIdx = st.centroids.indices
+              .map(i => i -> st.centroids(i).toVector).toMap
+            val shifts = merged.clusters.map(c =>
+              prevByIdx.get(c.index)
+                .map(p => math.sqrt(KMeans.sqDist(p, c.centroid)))
+                .getOrElse(0.0))
+            val avgShift =
+              if (shifts.isEmpty) 0.0 else shifts.sum / shifts.length
             out += ModelRow(version, pts.length,
               merged.clusters.map(_.centroid.toSeq), merged.clusters.map(_.weight),
-              labels)
+              labels, avgShift, merged.clusters.length - st.centroids.length)
             // next window inherits the ahead-of-window buffer (ref :265-271)
             st = st.copy(buffer = st.nextBuffer, nextBuffer = Nil,
               centroids = merged.clusters.map(_.centroid.toSeq),

@@ -129,6 +129,12 @@ class ActivityPipelineSpec extends GraftSuite {
         "label:0 control parameter must label cluster 0 at the next fire")
       assert(rows(1).getSeq[String](4).forall(_.isEmpty),
         "labels must be empty before the control line arrives")
+      // ClusterMetadata side output: first fire has no previous model
+      // (shift 0, k_diff = k); the k=6 fire reports the +2 cluster delta
+      // and a positive drift vs the previous model
+      assert(rows(0).getDouble(5) == 0.0 && rows(0).getInt(6) == 4)
+      assert(rows(1).getInt(6) == 0 && rows(1).getDouble(5) > 0.0)
+      assert(rows(2).getInt(6) == 2)
     } finally q.stop()
   }
 
