@@ -274,7 +274,7 @@ object SimilarityPack {
     // file, and a BroadcastNestedLoopJoin's parallelism = streamed-side
     // partitions — without this the n² scan runs on one core
     val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("norm").as("na"))
-      .repartition(32)
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("i") < col("j"))
       .withColumn("cos", cosine("va", "vb", "na", "nb"))

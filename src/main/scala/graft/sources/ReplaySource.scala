@@ -90,13 +90,25 @@ object ReplaySource {
         (Math.floorDiv(mins.min, 1000L), Math.floorDiv(maxs.max, 1000L),
           file.getLength)
       } else {
+        // ±Long extremes saturate inside scanRange to an always-true
+        // predicate — this is a genuine full scan, not an empty one
         var lo = Long.MaxValue; var hi = Long.MinValue
         scanRange(path, Long.MinValue, Long.MaxValue - 1, 0L, Long.MaxValue)
           .foreach { e => lo = math.min(lo, e._2); hi = math.max(hi, e._2) }
+        require(hi >= lo, s"replay fallback scan found no rows in ${eventsFile(path)}")
         (lo, hi, file.getLength)
       }
     } finally rd.close()
   }
+
+  /** micros → upper-bounding nanos (·1000 + 999), SATURATED at the Long
+    * range: the stats-missing full-scan fallback passes ±Long extremes,
+    * and a wrapped product would make the pushed predicate unsatisfiable
+    * (a silent empty replay instead of a scan). */
+  private def microsToNanosUpper(m: Long): Long =
+    if (m >= Long.MaxValue / 1000L) Long.MaxValue
+    else if (m <= Long.MinValue / 1000L) Long.MinValue
+    else m * 1000L + 999L
 
   /** Executor-side range scan: events with ts_micros in (lo, hi] from the
     * row groups whose midpoint falls in file-byte range [byteStart,
@@ -109,8 +121,8 @@ object ReplaySource {
                 byteStart: Long, byteEnd: Long): Iterator[Ev] = {
     val tsCol = FilterApi.longColumn("ts")
     val pred = FilterApi.and(
-      FilterApi.gt(tsCol, java.lang.Long.valueOf(loMicros * 1000L + 999L)),
-      FilterApi.ltEq(tsCol, java.lang.Long.valueOf(hiMicros * 1000L + 999L)))
+      FilterApi.gt(tsCol, java.lang.Long.valueOf(microsToNanosUpper(loMicros))),
+      FilterApi.ltEq(tsCol, java.lang.Long.valueOf(microsToNanosUpper(hiMicros))))
     val reader: ParquetReader[org.apache.parquet.example.data.Group] =
       ParquetReader.builder(new GroupReadSupport(), new Path(eventsFile(path)))
         .withConf(new Configuration())
@@ -166,32 +178,44 @@ final case class ReplayOffset(frontierMicros: Long) extends Offset {
 final class ReplayMicroBatchStream(path: String, speedup: Double, splits: Int)
   extends MicroBatchStream {
   private lazy val bounds: (Long, Long, Long) = ReplaySource.tsBounds(path)
-  // the scaled clock starts at the first offset request (stream start)
-  private lazy val wallStartNanos: Long = System.nanoTime()
+  // highest checkpointed frontier seen BEFORE the scaled clock starts —
+  // on a restart the engine replays the offset log through
+  // deserializeOffset first, so the clock resumes from the committed
+  // frontier instead of re-elapsing the whole already-replayed duration
+  @volatile private var resumeFrontier: Long = Long.MinValue
+  // (frontier baseline, wall-clock start) — frozen at the FIRST offset
+  // request; later deserializeOffset calls (normal-run offset-log reads)
+  // must not move the baseline or the clock would compound
+  private lazy val clockBase: (Long, Long) =
+    (math.max(bounds._1, resumeFrontier), System.nanoTime())
   @volatile private var lastFrontier: Long = Long.MinValue
 
   override def initialOffset(): Offset = ReplayOffset(bounds._1 - 1)
 
   override def latestOffset(): Offset = {
     val (minTs, maxTs, _) = bounds
+    val (base, wallStart) = clockBase
     // nanoTime readings may come from different scheduler threads; clamp
     // the cross-thread skew (observed ~tens of µs on virtualized hosts) —
     // at extreme speedups a few negative µs would otherwise produce a
     // hugely regressed offset
-    val elapsedMicros = math.max(0L, (System.nanoTime() - wallStartNanos) / 1000L)
+    val elapsedMicros = math.max(0L, (System.nanoTime() - wallStart) / 1000L)
     // saturate: extreme speedups must clamp to "everything", not overflow
     val scaled = elapsedMicros.toDouble * speedup
     val frontier =
-      if (scaled >= (maxTs - minTs).toDouble) maxTs
-      else minTs + scaled.toLong
+      if (scaled >= (maxTs - base).toDouble) maxTs
+      else base + scaled.toLong
     // offsets must never regress
     val f = math.max(frontier, math.max(lastFrontier, minTs - 1))
     lastFrontier = f
     ReplayOffset(f)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    ReplayOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val f = json.toLong
+    if (f > resumeFrontier) resumeFrontier = f
+    ReplayOffset(f)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].frontierMicros

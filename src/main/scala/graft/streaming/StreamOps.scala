@@ -391,10 +391,14 @@ object StreamOps {
             val labels = merged.clusters.map(c =>
               st.params.getOrElse(s"label:${c.index}", ""))
             // ClusterMetadata (reference createMetadata :337-373): mean
-            // centroid displacement vs the ORIGINAL previous model by
-            // index (0 for unmatched/new clusters) + cluster-count delta
-            val prevByIdx = st.centroids.indices
-              .map(i => i -> st.centroids(i).toVector).toMap
+            // centroid displacement by cluster index (0 for unmatched/new
+            // clusters) + cluster-count delta. Displacement pairs use the
+            // REPAIRED previous clusters — after a runtime k change ensureK
+            // re-sorts and re-indexes, so only the repaired model is
+            // index-aligned with the new one (the reference's persistent
+            // cluster index maps onto the repaired index here).
+            val prevByIdx = prev.getOrElse(Vector.empty)
+              .map(c => c.index -> c.centroid).toMap
             val shifts = merged.clusters.map(c =>
               prevByIdx.get(c.index)
                 .map(p => math.sqrt(KMeans.sqDist(p, c.centroid)))
@@ -427,8 +431,12 @@ object StreamOps {
             while (st.nextTimer > 0 && wm >= st.nextTimer && !st.windowExtended)
               onWindowEnd()
             // ctrl-before-point within a timestamp: a parameter injected at
-            // t applies to points from t on — deterministic replay order
-            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.ctrl.isEmpty))
+            // t applies to points from t on. The full-row tiebreak pins a
+            // TOTAL order — same-timestamp rows arrive in shuffle order,
+            // and the seeded bootstrap is input-order-sensitive, so
+            // anything less breaks the determinism contract above
+            val rows = it.toSeq.sortBy(r =>
+              (r.ts.getTime, r.ctrl.isEmpty, r.point.mkString(","), r.ctrl))
             rows.foreach { r =>
               if (r.ctrl.nonEmpty) {
                 ControlParams.parse(r.ctrl).foreach {

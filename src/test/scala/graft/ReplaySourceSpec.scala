@@ -87,6 +87,36 @@ class ReplaySourceSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("full-range scanRange saturates ±Long extremes into an always-true predicate") {
+    // the stats-missing tsBounds fallback scans with (Long.MinValue,
+    // Long.MaxValue-1); an overflowing micros→nanos conversion would make
+    // the pushed predicate unsatisfiable and silently return zero rows
+    val len = new java.io.File(s"$sf/events.parquet").length()
+    val got = graft.sources.ReplaySource
+      .scanRange(sf, Long.MinValue, Long.MaxValue - 1, 0L, len).size
+    assert(got == Tables.events(spark, sf).count(),
+      s"full-range scan returned $got rows — predicate overflow regressed")
+  }
+
+  test("restart resumes the scaled clock from the checkpointed frontier (no stall)") {
+    // after a checkpoint restart the engine replays the offset log through
+    // deserializeOffset BEFORE requesting offsets; the scaled clock must
+    // start from that frontier, not re-elapse the whole replayed duration
+    val (loTs, hiTs, _) = graft.sources.ReplaySource.tsBounds(sf)
+    val mid = (loTs + hiTs) / 2
+    // speedup 1.0: without resume-seeding the frontier would sit at ~minTs
+    // for (mid - loTs) real microseconds — i.e. effectively forever here
+    val stream = new graft.sources.ReplayMicroBatchStream(sf, 1.0, 4)
+    stream.deserializeOffset(mid.toString)
+    val off = stream.latestOffset().asInstanceOf[graft.sources.ReplayOffset]
+    assert(off.frontierMicros >= mid,
+      s"resumed frontier ${off.frontierMicros} regressed below checkpointed $mid")
+    // and a fresh stream (no restored offset) still starts at the beginning
+    val fresh = new graft.sources.ReplayMicroBatchStream(sf, 1.0, 4)
+    val f0 = fresh.latestOffset().asInstanceOf[graft.sources.ReplayOffset]
+    assert(f0.frontierMicros < mid, "fresh stream should start near minTs")
+  }
+
   test("moderate speedup paces the release: partial early, complete later, ts-ordered") {
     // choose speedup so the full replay takes ~4s of wall clock
     val bounds = Tables.events(spark, sf)

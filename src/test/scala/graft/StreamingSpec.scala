@@ -415,6 +415,34 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("clustering window is deterministic under same-timestamp arrival order") {
+    // same-timestamp rows reach the state group in shuffle order, and the
+    // seeded bootstrap is input-order-sensitive — the operator's internal
+    // total-order sort must make arrival order irrelevant
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def run(name: String, pts: Seq[graft.streaming.ClusterIn]): Seq[Seq[Double]] = {
+      val stream = MemoryStream[graft.streaming.ClusterIn]
+      val q = StreamOps.clusterWindows(
+          stream.toDS().withWatermark("ts", "0 seconds"),
+          k = 3, decay = 0.2, windowSizeMs = 60000L, minCount = 0, maxCount = 50)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        stream.addData(pts); q.processAllAvailable()
+        val rows = spark.table(name).orderBy("version").collect()
+        assert(rows.nonEmpty, "no model fired")
+        rows.flatMap(_.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq)).toSeq
+      } finally q.stop()
+    }
+    // 50 points ALL at t=1s (maxCount hit -> immediate fire), distinct
+    // coordinates so bootstrap's seeded shuffle has real choices to make
+    val pts = (0 until 50).map(i => graft.streaming.ClusterIn(
+      new java.sql.Timestamp(1000L), Seq(i.toDouble, (i * 7 % 13).toDouble), ""))
+    val a = run("cw_order_a", pts)
+    val b = run("cw_order_b", new scala.util.Random(42L).shuffle(pts))
+    assert(a == b, s"model depends on same-timestamp arrival order:\n $a\n vs $b")
+  }
+
   test("transformWithState as-of enrichment equals the flatMapGroupsWithState op") {
     // Spark 4's stateful-processor API (RocksDB-backed) must produce the
     // SAME enrichment as the classic flatMapGroupsWithState form when fed
