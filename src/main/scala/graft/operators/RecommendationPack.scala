@@ -33,6 +33,17 @@ object RecommendationPack {
   private val MIN_SIM = 0.2
   private val TOP_N   = 5
   private val KNOWN_DIST = 2
+  /** Policy cap on members MATERIALIZED per signature class when class
+    * pairs expand back to user pairs — the reference's candidate limit
+    * (AsyncCandidateUsersLookupFunction.scala:44) applied one level down.
+    * A pathological giant duplicate class (every user sharing one
+    * signature) would otherwise make a single member list — one ROW —
+    * arbitrarily large and the pair expansion quadratic in it; the cap
+    * keeps the deterministic `cap` smallest user ids per class, bounding
+    * any class's expansion at cap² pairs. Not reached at test SF (largest
+    * class ≪ cap), so oracle parity is unaffected; at corpus scale it is
+    * the same recall-bounding knob the reference applies to candidates. */
+  private[graft] val CLASS_MEMBER_CAP = 1024
   // J12 activity timeout. The reference default is 14 days
   // (application.conf activity-timeout); the testdata's event-time span is
   // shorter than that, so 6 h keeps the predicate discriminating here —
@@ -134,9 +145,10 @@ object RecommendationPack {
     * 64-slot similarity all run on classes (≤ C² work) and the user-level
     * pair set is recovered by exploding broadcast member lists — the n²
     * user-pair join never materializes, with bit-identical output.
-    * (A pathological giant dup class would skew the expansion; at 100 TB
-    * a member-count cap on classes bounds it — a policy knob, like the
-    * reference's candidate limit, AsyncCandidateUsersLookupFunction:44.)
+    * (A pathological giant dup class would skew the expansion;
+    * [[CLASS_MEMBER_CAP]] bounds every class's materialized member list —
+    * the policy knob mirroring the reference's candidate limit,
+    * AsyncCandidateUsersLookupFunction:44.)
     */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val sg = sig(s, d).cache()
@@ -144,8 +156,6 @@ object RecommendationPack {
     val userCls = sg.select(col("user_id"), mh.sigArray.as("sig"))
       .withColumn("cls", min(col("user_id")).over(Window.partitionBy(col("sig"))))
       .select(col("user_id"), col("cls"))
-    val members = userCls.groupBy(col("cls"))
-      .agg(collect_list(col("user_id")).as("ms"))
     val repSig = sg.join(
       userCls.filter(col("user_id") === col("cls")).select(col("user_id")), "user_id")
     // band inverted index over class representatives only
@@ -167,14 +177,30 @@ object RecommendationPack {
     // expand class pairs to user pairs; J6 exclude known. Cached: q53 and
     // q54 rank the SAME scored relation (q54 adds the activity filter) —
     // the persisted scored-candidate table of the reference's pipeline.
+    expandClassPairs(clsSims, userCls, CLASS_MEMBER_CAP).cache()
+  }
+
+  /** Class pairs → user pairs through policy-capped member lists.
+    *
+    * No broadcast hints: the member relation has one row per CLASS, which
+    * collapses under near-duplication but degenerates to one row per USER
+    * when signatures are all-distinct — an unbounded forced broadcast at
+    * corpus scale. AQE broadcasts it when it measures small and
+    * sort-merges otherwise; the cap bounds the ROW size (and any single
+    * class's fan-out at cap² pairs) either way. */
+  private[graft] def expandClassPairs(clsSims: DataFrame, userCls: DataFrame,
+                                      memberCap: Int): DataFrame = {
+    require(memberCap > 0, "class member cap must be positive")
+    // deterministic truncation: the cap smallest user ids of each class
+    val members = userCls.groupBy(col("cls"))
+      .agg(slice(sort_array(collect_list(col("user_id"))), 1, memberCap).as("ms"))
     clsSims
-      .join(broadcast(members.select(col("cls").as("ucls"), col("ms").as("us"))), "ucls")
-      .join(broadcast(members.select(col("cls").as("ccls"), col("ms").as("cs"))), "ccls")
+      .join(members.select(col("cls").as("ucls"), col("ms").as("us")), "ucls")
+      .join(members.select(col("cls").as("ccls"), col("ms").as("cs")), "ccls")
       .select(col("est_sim"), explode(col("us")).as("u"), col("cs"))
       .select(col("est_sim"), col("u"), explode(col("cs")).as("c"))
       .filter(col("u") =!= col("c") && abs(col("u") - col("c")) > KNOWN_DIST)
       .select(col("u"), col("c"), col("est_sim"))
-      .cache()
   }
 
   /** Top-N per user via `row_number ≤ N`: Spark 4 plans the rank filter as

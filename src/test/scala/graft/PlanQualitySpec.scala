@@ -199,26 +199,21 @@ class PlanQualitySpec extends GraftSuite {
       s"overlap matrix regressed to all-pairs:\n$plan")
   }
 
-  test("q54: no unbounded-cardinality relation carries a broadcast hint") {
-    // The per-user last-activity table is one row PER USER — billions of
-    // rows at corpus scale — so a forced broadcast(…) hint on it would OOM
-    // a real cluster even though it sails through at test SF. The only
-    // hinted relations allowed in the recommendation chain are the
-    // class-member lists (grouped by signature class `cls`, whose
-    // cardinality collapses under near-duplication and is policy-capped).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+  test("q54: no relation in the recommendation chain carries a forced broadcast hint") {
+    // Every relation in this chain is unbounded at corpus scale in SOME
+    // degenerate regime: last-activity is one row per USER, and the
+    // class-member lists degenerate to one row per user when signatures
+    // are all-distinct. A forced broadcast(…) hint on any of them would
+    // OOM a real cluster even though it sails through at test SF — join
+    // strategy is AQE's call throughout (the member-list ROW size is
+    // separately bounded by CLASS_MEMBER_CAP, see RecommendationPackSpec).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = graft.operators.RecommendationPack
       .queries("q54_active_recommendations")(spark, sf)
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    hints.foreach { h =>
-      val names = h.output.map(_.name)
-      assert(!names.exists(Set("last_ts", "u_last", "c_last")),
-        s"per-user last-activity relation is hint-broadcast: $names")
-      val grouping = h.collectFirst { case a: Aggregate =>
-        a.groupingExpressions.flatMap(_.references.map(_.name)) }.getOrElse(Nil)
-      assert(grouping.forall(_ == "cls"),
-        s"broadcast hint over a non-class-level aggregate (grouping=$grouping)")
-    }
+    assert(hints.isEmpty,
+      s"forced broadcast hints in the recommendation chain: " +
+        hints.map(_.output.map(_.name).mkString("[", ",", "]")).mkString(", "))
   }
 
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {

@@ -42,6 +42,26 @@ class RecommendationPackSpec extends GraftSuite {
     }
   }
 
+  test("class-member cap bounds the expansion of a pathological giant duplicate class") {
+    // every user sharing one signature is the degenerate regime the cap
+    // exists for: without it one member list is a single row holding the
+    // whole user set and its pair expansion is quadratic
+    import spark.implicits._
+    val n = 10000
+    val giant = (0 until n).map(u => (u.toLong, 0L))
+    val small = Seq((n.toLong, n.toLong), (n + 1L, n.toLong), (n + 2L, n.toLong))
+    val userCls = (giant ++ small).toDF("user_id", "cls")
+    val clsSims = Seq((0L, n.toLong, 0.5)).toDF("ucls", "ccls", "est_sim")
+    val cap = 100
+    val out = RecommendationPack.expandClassPairs(clsSims, userCls, cap).collect()
+    assert(out.length <= cap * small.length,
+      s"giant class expanded to ${out.length} pairs despite cap $cap")
+    assert(out.nonEmpty, "cap must truncate, not drop, the class")
+    // deterministic truncation: the cap SMALLEST member ids survive
+    assert(out.map(_.getLong(0)).forall(_ < cap),
+      "capped member list is not the deterministic smallest-id prefix")
+  }
+
   test("LSH buckets only contain users that really share a band signature") {
     // bucket membership is symmetric: every bucket lists >= 2 users and the
     // total bucket membership bounds the candidate pair count
