@@ -1,0 +1,79 @@
+package graft.jobs
+
+import graft.sources.KeyedUpsertSink
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's Task 1 as a runnable streaming main (reference:
+  * jobs/activeposts/ActivePostStatisticsJob.scala:20-92 — consume the
+  * replayed event streams, compute 12 h / 30 min sliding per-key
+  * statistics, and continuously upsert them into the result store keyed
+  * so that newer statistics never lose to older ones).
+  *
+  * Spark assembly: scaled replay source (S1/S3) → watermark →
+  * [[StreamOps.slidingStats]] (the SAME transform batch query q21's
+  * family uses — batch/stream parity by construction) in update mode →
+  * per-micro-batch [[KeyedUpsertSink]] merge keyed by (wstart, user_id).
+  *
+  * Ordering (the reference's W11 concern — it partitions its Kafka topic
+  * by post id so ES sees per-post order, ActivePostStatisticsJob.scala
+  * :69-80): here `n_events` is the upsert VERSION — it is monotonically
+  * non-decreasing per (window, user) as events accumulate, so replayed or
+  * reordered micro-batches can never overwrite newer statistics with
+  * older ones, and re-running a batch is idempotent (W10).
+  *
+  * Scale: state is the sliding-window aggregation's (bounded by the
+  * watermark); the upsert is one shuffle on the key per micro-batch. In
+  * production the sink is a Delta/Iceberg MERGE (KeyedUpsertSink's
+  * documented swap point) and the trigger interval amortizes it.
+  */
+object PostStatisticsJob {
+
+  /** Compose the job over an arbitrary (streaming) events frame —
+    * injectable for tests; `main` wires the replay source. */
+  def run(spark: SparkSession, events: DataFrame, outDir: String,
+          checkpointDir: String, watermark: String = "1 hour"): StreamingQuery =
+    StreamOps.slidingStats(events.withWatermark("ts", watermark))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KeyedUpsertSink.upsert(batch.sparkSession, outDir, batch,
+          Seq("wstart", "user_id"), "n_events")
+      }
+      .start()
+
+  /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] */
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, ckpt) = (args(0), args(1), args(2))
+    val speedup = args.lift(3).getOrElse("10000")
+    val runSec = args.lift(4).map(_.toLong).getOrElse(Long.MaxValue)
+    val spark = Jobs.session("post-statistics")
+    val events = Jobs.replayEvents(spark, sfDir, speedup)
+    val q = run(spark, events, outDir, ckpt)
+    q.awaitTermination(runSec * 1000L)
+    q.stop(); spark.stop()
+  }
+}
+
+/** Shared wiring for the three streaming job mains. */
+private[jobs] object Jobs {
+  def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-$name")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The scaled replay of `<sfDir>/events.parquet` (S1/S3). */
+  def replayEvents(spark: SparkSession, sfDir: String, speedup: String): DataFrame =
+    spark.readStream.format(classOf[graft.sources.ReplaySource].getName)
+      .option("path", sfDir).option("speedup", speedup).load()
+}

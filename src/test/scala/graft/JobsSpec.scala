@@ -1,0 +1,206 @@
+package graft
+
+import graft.functions.KMeans
+import graft.jobs.{ActivityDetectionJob, PostStatisticsJob, RecommendationsJob}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The three reference streaming jobs as ASSEMBLIES (reference:
+  * ActivePostStatisticsJob.scala:20-92, RecommendationsJob.scala:23-196,
+  * UnusualActivityDetectionJob.scala:34-136): replay source → operator
+  * chain → keyed upsert store, each checkpointed, each verified against
+  * its batch twin on sf0.001. */
+class JobsSpec extends GraftSuite {
+
+  private val fmt = classOf[graft.sources.ReplaySource].getName
+
+  // a path that does NOT yet exist (the upsert store bootstraps on first merge)
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private def replayed: org.apache.spark.sql.DataFrame =
+    spark.readStream.format(fmt)
+      .option("path", sf).option("speedup", "1e15").load()
+
+  test("PostStatisticsJob: replayed stream upserts to exactly the batch sliding stats") {
+    val out = tmp("psj_out"); val ckpt = tmp("psj_ckpt")
+    val q = PostStatisticsJob.run(spark, replayed, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    val want = graft.operators.WindowPack.slidingStats(
+      Tables.events(spark, sf), exactDistinct = false)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "upserted statistics diverge from the batch twin")
+  }
+
+  test("PostStatisticsJob: multi-batch arrival converges to the batch answer (monotonic upsert)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = tmp("psj2_out"); val ckpt = tmp("psj2_ckpt")
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._1))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = PostStatisticsJob.run(spark,
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      out, ckpt)
+    try {
+      // event-time-ordered chunks: each micro-batch UPDATES open windows;
+      // the monotonic n_events version must converge to the batch totals
+      rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+        stream.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    val want = graft.operators.WindowPack.slidingStats(
+      Tables.events(spark, sf), exactDistinct = false)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental upserts did not converge to the batch twin")
+  }
+
+  test("RecommendationsJob: active users carry their latest-window recommendations") {
+    val out = tmp("rj_out"); val ckpt = tmp("rj_ckpt")
+    val q = RecommendationsJob.run(spark, replayed, sf, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    // batch twin: q53's ranked store, stamped with each user's latest
+    // 4h activity-window start
+    val lastWin = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "4 hours").as("w"), col("user_id")).count()
+      .groupBy(col("user_id"))
+      .agg(max(unix_timestamp(col("w.start"))).as("wstart"))
+    val want = graft.operators.RecommendationPack
+      .queries("q53_recommendations")(spark, sf)
+      .join(lastWin, "user_id")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "upserted recommendations diverge from the ranked store + latest window")
+  }
+
+  /** event_id → feature vector, recomputed in batch for audit asserts. */
+  private def featMap(events: org.apache.spark.sql.DataFrame): Map[Long, Vector[Double]] =
+    ActivityDetectionJob.featurize(events).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        r.getAs[scala.collection.Seq[Double]]("f").toVector
+    }.toMap
+
+  private def modelAt(row: org.apache.spark.sql.Row): KMeans.Model = {
+    val cs = row.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("centroids")
+    val ws = row.getAs[scala.collection.Seq[Double]]("weights")
+    KMeans.Model(cs.zipWithIndex.map { case (c, i) =>
+      KMeans.Cluster(i, c.toVector, ws(i))
+    }.toVector)
+  }
+
+  test("ActivityDetectionJob: replay end-to-end — classifications match the final model exactly") {
+    val out = tmp("adj_out"); val ckpt = tmp("adj_ckpt")
+    val latest = ActivityDetectionJob.newModelRef
+    // window longer than the testdata's event-time span: every point is
+    // in-window, so the count-trigger (maxCount early fire) is the only
+    // fire path — deterministic regardless of micro-batching. Model query
+    // drains FIRST, then the classifier: every event scored under the
+    // final model — a closed-form expected output.
+    val modelQ = ActivityDetectionJob.modelQuery(spark, replayed, None,
+      out, s"$ckpt/model", latest, k = 3, minCount = 5, maxCount = 50,
+      windowSizeMs = 3650L * 24 * 3600 * 1000)
+    try modelQ.processAllAvailable() finally modelQ.stop()
+    val classifyQ = ActivityDetectionJob.classifyQuery(spark, replayed,
+      out, s"$ckpt/classify", latest)
+    try classifyQ.processAllAvailable() finally classifyQ.stop()
+
+    val models = spark.read.parquet(s"$out/models")
+    val nEvents = Tables.events(spark, sf).count()
+    assert(models.count() == nEvents / 50,
+      s"one model per 50-point early fire over $nEvents events")
+    // drift metadata: first model reports k_diff = k, later ones 0
+    val byVer = models.orderBy("version").collect()
+    assert(byVer.head.getAs[Int]("k_diff") == 3)
+    assert(byVer.tail.forall(_.getAs[Int]("k_diff") == 0))
+
+    val finalVer = byVer.last.getAs[Int]("version")
+    assert(latest.get().map(_._1).contains(finalVer))
+    val want = ActivityDetectionJob.classifyDf(
+      ActivityDetectionJob.featurize(Tables.events(spark, sf)),
+      modelAt(byVer.last), finalVer)
+    val got = spark.read.parquet(s"$out/classified")
+    assert(got.count() == nEvents)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "classified events diverge from the final model's batch classification")
+  }
+
+  test("ActivityDetectionJob: control line re-parameterizes the running job; pre-model events drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = tmp("adj2_out"); val ckpt = tmp("adj2_ckpt")
+    val latest = ActivityDetectionJob.newModelRef
+    // separate input streams per query — the same wiring the main uses
+    // (each query instantiates its own replay source), sequenced here for
+    // a deterministic interleaving
+    val evM = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val evC = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ctrl = MemoryStream[String]
+    def df(m: MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val modelQ = ActivityDetectionJob.modelQuery(spark, df(evM),
+      Some(ctrl.toDF()), out, s"$ckpt/model", latest,
+      k = 3, minCount = 2, maxCount = 8)
+    val classifyQ = ActivityDetectionJob.classifyQuery(spark, df(evC),
+      out, s"$ckpt/classify", latest)
+    def chunk(base: Long): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until 8).map(i => (base + i, new java.sql.Timestamp((base + i) * 1000L),
+        i.toLong % 3, if (i % 2 == 0) "view" else "click", (i % 5).toDouble))
+    try {
+      // chunk 1 reaches the classifier BEFORE any model — dropped (J14)
+      evC.addData(chunk(100)); classifyQ.processAllAvailable()
+      assert(!new java.io.File(s"$out/classified").exists(),
+        "events before the first model must be dropped, not classified")
+      evM.addData(chunk(100)); modelQ.processAllAvailable() // fires v1 (k=3)
+      // re-parameterize the RUNNING job: next model must have 5 clusters
+      ctrl.addData("k=5"); modelQ.processAllAvailable()
+      evM.addData(chunk(200)); modelQ.processAllAvailable() // fires v2 (k=5)
+      evC.addData(chunk(200)); classifyQ.processAllAvailable() // scored under v2
+      val models = spark.read.parquet(s"$out/models").orderBy("version").collect()
+      assert(models.map(_.getAs[scala.collection.Seq[Any]]("centroids").length).toSeq == Seq(3, 5),
+        "the k=5 control line must re-parameterize the next fire")
+      assert(models(1).getAs[Int]("k_diff") == 2, "drift metadata must report the k change")
+      val got = spark.read.parquet(s"$out/classified").collect()
+      assert(got.length == 8, "only chunk 2 classified (chunk 1 pre-dated the model)")
+      assert(got.map(_.getAs[Int]("model_version")).distinct.toSeq == Seq(2))
+      // every row matches a from-the-store reclassification under v2
+      val m2 = modelAt(models(1))
+      val feats = featMap(
+        chunk(200).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      got.foreach { r =>
+        assert(r.getAs[Int]("cluster") ==
+          m2.classify(feats(r.getAs[Long]("event_id"))).index)
+      }
+    } finally { modelQ.stop(); classifyQ.stop() }
+  }
+
+  test("ActivityDetectionJob.run: composed job races safely; every classified row is consistent with its recorded model") {
+    val out = tmp("adj3_out"); val ckpt = tmp("adj3_ckpt")
+    val (modelQ, classifyQ) = ActivityDetectionJob.run(spark, replayed, None,
+      out, ckpt, k = 3, minCount = 5, maxCount = 50,
+      windowSizeMs = 3650L * 24 * 3600 * 1000)
+    try {
+      modelQ.processAllAvailable(); classifyQ.processAllAvailable()
+    } finally { modelQ.stop(); classifyQ.stop() }
+    val models = spark.read.parquet(s"$out/models").collect()
+      .map(r => r.getAs[Int]("version") -> modelAt(r)).toMap
+    assert(models.nonEmpty, "the composed job must produce models")
+    // classification may have raced ahead of the first model (reference
+    // drop semantics) — but every row that WAS scored must be consistent
+    // with the exact model version it records
+    if (new java.io.File(s"$out/classified").exists()) {
+      val feats = featMap(Tables.events(spark, sf))
+      spark.read.parquet(s"$out/classified").collect().foreach { r =>
+        val m = models(r.getAs[Int]("model_version"))
+        assert(r.getAs[Int]("cluster") ==
+          m.classify(feats(r.getAs[Long]("event_id"))).index)
+      }
+    }
+  }
+}
