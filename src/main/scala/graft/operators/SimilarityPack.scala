@@ -302,26 +302,22 @@ object SimilarityPack {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[Vector[Double]]]()
 
-  /** Seeded coarse quantizer over an sf dir's embeddings (driver-side
-    * training like a real IVF build; assignment is distributed). Memoized
-    * per directory: an IVF index is built once and probed many times —
+  /** Seeded coarse quantizer over an sf dir's embeddings. Memoized per
+    * directory: an IVF index is built once and probed many times —
     * re-collecting + re-training per query call would repeat the build.
-    * The collect is bounded by a deterministic hash-priority sample
-    * ([[graft.functions.TrainSample]]): below the cap it is the full set
-    * in vec_id order (bit-identical to uncapped training), above it a
-    * uniform seeded sample — a real IVF build trains its quantizer on a
-    * sample too, and the data-dependent oracle regenerates from whatever
-    * centroids came out. */
+    * Cap-selected ([[graft.functions.KMeansDistributed.train]]): at or
+    * below the TrainSample cap the full set is collected in vec_id order
+    * and trained driver-side (bit-identical to previous rounds, so the
+    * data-dependent oracle regenerates unchanged); above it, the
+    * quantizer trains DISTRIBUTED over all vectors from a bootstrap
+    * seeded by the deterministic hash-priority sample — the driver holds
+    * only the sample and the IVF_CELLS centroids at any input size. */
   def ivfCentroids(s: SparkSession, d: String): Vector[Vector[Double]] =
-    centroidCache.computeIfAbsent(d, _ => {
-      val pts = graft.functions.TrainSample(
-          vecs(s, d).select(col("vec_id"), col("v")), col("vec_id"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toVector).toSeq
-      KMeans.cluster(pts, KMeans.bootstrap(pts, IVF_CELLS, seed = 137L))
-        .clusters.map(_.centroid)
-    })
+    centroidCache.computeIfAbsent(d, _ =>
+      graft.functions.KMeansDistributed.train(
+          vecs(s, d).select(col("vec_id"), col("v")),
+          col("vec_id"), col("v"), IVF_CELLS, seed = 137L)
+        .clusters.map(_.centroid))
 
   /** −2·v·c + |c|² for literal centroid `c` — argmin of this over cells ==
     * argmin of true squared distance (|v|² is constant per row). */
