@@ -114,6 +114,68 @@ class RecoverySpec extends GraftSuite {
     assert(restarted(1)._4.sum > restarted(1)._2.toDouble - 1e-9)
   }
 
+  test("evicting reply resolver survives a checkpoint restart mid-eviction") {
+    // the resolver is stopped AFTER parking a dangling reply (+ its waiting
+    // child) but BEFORE the watermark passes them; the restarted run must
+    // recover the pending map and the eviction timer from state — late
+    // parents still resolve, the dangling chain still drops, and the
+    // result equals an uninterrupted run over the same input
+    import spark.implicits._
+    import graft.streaming.{EdgeEventT, ReplyTreeOp}
+    val base = Files.createTempDirectory("graft_rt_recovery").toString
+
+    def e(id: Long, sec: Long, parent: Option[Long]) =
+      EdgeEventT(id, new java.sql.Timestamp(sec * 1000L), parent)
+    // chunk 1: a resolved chain, a dangling reply with a waiting child,
+    // and a reply whose parent only arrives in chunk 2
+    val part1 = Seq(
+      e(1, 1, None), e(2, 2, Some(1)),       // resolves now
+      e(10, 3, Some(99)), e(11, 4, Some(10)), // dangling chain: parks
+      e(30, 5, Some(31)))                     // parent arrives later
+    // chunk 2: the late-ARRIVING parent (event time before its child's, so
+    // the chain is causal; still inside the horizon) + fresh events 2h
+    // later that advance the watermark past the dangling chain
+    val part2 = Seq(
+      e(31, 4, None),
+      e(20, 7200, None), e(21, 7201, Some(20)))
+
+    def run(tag: String, feed: Seq[Seq[EdgeEventT]]): Set[(Long, Long, Int, Boolean, Boolean)] = {
+      val inDir = s"$base/$tag/in"; val ckpt = s"$base/$tag/ckpt"
+      val outDir = s"$base/$tag/out"
+      def startQuery() = {
+        val in = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[EdgeEventT]].schema)
+          .parquet(inDir).as[EdgeEventT]
+        ReplyTreeOp.resolveEvicting(in.withWatermark("ts", "1 hour"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.TreeOut], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }.start()
+      }
+      feed.foreach { chunk =>
+        chunk.toDS().write.mode("append").parquet(inDir)
+        val q = startQuery()
+        try q.processAllAvailable() finally q.stop() // "crash" between chunks
+      }
+      spark.read.parquet(outDir).as[graft.streaming.TreeOut].collect()
+        .map(t => (t.event_id, t.root_id, t.depth, t.causal, t.dropped)).toSet
+    }
+
+    val restarted = run("restarted", Seq(part1, part2))
+    val straight = run("straight", Seq(part1 ++ part2))
+    assert(restarted == straight,
+      s"restart diverged:\n restarted=$restarted\n straight=$straight")
+    // the recovered pending map resolved the late chain and evicted the
+    // dangling one (with its transitive child — the side-output contract)
+    assert(restarted.filter(_._5).map(_._1) == Set(10L, 11L),
+      "dangling chain must drop transitively after the restart")
+    assert(restarted.filter(!_._5).map(_._1) == Set(1L, 2L, 30L, 31L, 20L, 21L))
+    assert(restarted.contains((30L, 31L, 1, true, false)),
+      "late parent must resolve the recovered pending reply")
+  }
+
   test("stateful sliding agg runs on the RocksDB state store provider") {
     import spark.implicits._
     import graft.streaming.{Ev, StreamOps}
