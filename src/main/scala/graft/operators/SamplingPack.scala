@@ -398,6 +398,45 @@ object SamplingPack {
           size(col("sk")).as("n_candidates"),
           array_join(sort_array(map_keys(col("sk"))), ",").as("candidates"))
         .orderBy(col("source"))
+    }),
+
+    // Deterministic stratified train/val/test split: bucket =
+    // md5(source#doc_id) mod 10 → 8/1/1. A pure function of the row key —
+    // independent of partitioning, cluster size, arrival order, and
+    // re-runs (the property that makes a 100 TB split reproducible and
+    // incrementally extendable: new docs land in their split without
+    // touching old ones). Stratified: hashing within (source, id) gives
+    // every source the same expected ratios. Plan: one narrow codegen'd
+    // projection — no shuffle, no state.
+    "q103_stratified_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (Hashes.base32(concat(col("source"), lit("#"),
+            col("doc_id").cast("string"))) % 10).as("b"))
+        .select(col("doc_id"), col("source"),
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))),
+
+    // Split-leakage audit: near-duplicate pairs (q31's inverted-index pair
+    // base) that straddle split boundaries — train/test leakage through
+    // near-dups is the classic eval-inflation failure a split pipeline
+    // must gate on. Output: pair counts per unordered split pair; any
+    // (train, test) row is leakage to resolve (move or drop one side).
+    // Scale: reuses the blocked pair relation (never n²) + two key joins
+    // against the one-row-per-doc split table.
+    "q104_split_leakage" -> ((s, d) => {
+      val pairs = TextPack.queries("q31_ngram_jaccard")(s, d).select(col("i"), col("j"))
+      val split = queries("q103_stratified_split")(s, d)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(split.select(col("doc_id").as("i"), col("split").as("si")), "i")
+        .join(split.select(col("doc_id").as("j"), col("split").as("sj")), "j")
+        .select(least(col("si"), col("sj")).as("split_a"),
+          greatest(col("si"), col("sj")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
     })
   )
 
@@ -591,7 +630,36 @@ object SamplingPack {
          |  count(tr.h) > 0 AS contaminated
          |FROM (SELECT doc_id, h FROM tag WHERE is_test) te
          |LEFT JOIN tr ON te.h = tr.h
-         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin
+         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+
+    "q103_stratified_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, source,
+         |    ${Hashes.sqlBase32("source || '#' || doc_id")} % 10 AS b
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q104_split_leakage" ->
+      s"""WITH ${TextPack.sqlPairCtes}, split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${Hashes.sqlBase32("source || '#' || doc_id")} % 10 AS b
+         |    FROM documents
+         |  )
+         |)
+         |SELECT least(si.split, sj.split) AS split_a,
+         |  greatest(si.split, sj.split) AS split_b,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM pairs
+         |  JOIN split si ON si.doc_id = i
+         |  JOIN split sj ON sj.doc_id = j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q86_freq_sketch: rows-only (sketch candidate sets are order-sensitive
     // and not DuckDB-reproducible — guarantees pinned in FreqSketchSpec,
     // same gate shape as q79/q80).

@@ -212,4 +212,32 @@ class SamplingPackSpec extends GraftSuite {
       assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
     }
   }
+
+  test("q103: split is a pure key function — independent recomputation, full coverage, sane ratios") {
+    val rows = q("q103_stratified_split").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs, "every doc gets exactly one split")
+    // independent recomputation from the row key alone
+    rows.foreach { r =>
+      val b = base32(s"${r.getString(1)}#${r.getLong(0)}") % 10
+      val want = if (b < 8) "train" else if (b == 8) "val" else "test"
+      assert(r.getString(2) == want, s"doc ${r.getLong(0)} split drift")
+    }
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      s"8/1/1 buckets must dominate: $bySplit")
+    // determinism across builds (re-runs and cluster layouts can't move docs)
+    assert(q("q103_stratified_split").collect().toSeq == rows.toSeq)
+  }
+
+  test("q104: leakage counts partition the near-dup pair base") {
+    val rows = q("q104_split_leakage").collect()
+    val nPairs = graft.operators.TextPack.queries("q31_ngram_jaccard")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs,
+      "every near-dup pair lands in exactly one split-pair cell")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "split pair must be canonical")
+    }
+  }
 }
