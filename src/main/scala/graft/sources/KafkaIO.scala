@@ -80,12 +80,11 @@ object KafkaIO {
   // The reference serializes all Kafka traffic as BINARY Avro with dates as
   // epoch millis (utils/avro/AvroUtils.scala:36-55 registers DateTime <->
   // timestamp-millis; Avro4sSerializationSchema.scala:30-47 writes the raw
-  // binary datum, no container header). This codec produces the same wire
-  // bytes from the avro core library (on Spark's classpath); with the
-  // spark-avro MODULE present the identical format is `to_avro(struct)` /
-  // `from_avro(value, avroSchemaJson)` — raw binary-encoded datum both ways.
-  // The per-row encode/decode is a UDF out of necessity (no built-in exists
-  // without the module), mirroring the bloom-filter precedent.
+  // binary datum, no container header). Two interchangeable codec engines,
+  // selected at RUNTIME by classpath ([[avroModuleFns]]): the spark-avro
+  // module's codegen'd `to_avro`/`from_avro` when present, else a UDF
+  // kernel over the avro core library (always on Spark's classpath) — the
+  // wire bytes are identical, so producers and consumers can mix engines.
 
   /** Avro schema of one wire event — `ts_ms` carries the reference's
     * timestamp-millis logical type (epoch millis on the wire). */
@@ -143,25 +142,80 @@ object KafkaIO {
       AvroKernel.encode(e, t, u, ty, v))
   private lazy val avroDecodeUdf = udf((b: Array[Byte]) => AvroKernel.decode(b))
 
+  /** [[avroSchemaJson]] with `ts_ms` as a PLAIN long (no logical type) —
+    * the schema handed to the spark-avro module functions. Logical types
+    * are annotations over the same binary encoding, so the wire bytes are
+    * identical; the plain form keeps the decoded struct's `ts_ms` a long
+    * (from_avro maps timestamp-millis to TimestampType, which would fork
+    * the downstream projection). */
+  val avroWireSchemaPlain: String =
+    """{"type":"record","name":"Ev","namespace":"graft","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"ts_ms","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** Codegen'd `to_avro`/`from_avro` column builders when the OPTIONAL
+    * spark-avro module is on the classpath; None → the avro-core UDF
+    * kernel above is the codec (this sandbox ships only avro-core). Both
+    * paths produce the same raw binary datum — the schema is forced
+    * explicitly in both directions so catalyst nullability can't widen a
+    * field to a union (which WOULD change the wire bytes), and decode
+    * runs PERMISSIVE so malformed datums surface as null rows (the same
+    * dead-letter split as the kernel path). KafkaCodecSpec pins byte
+    * compatibility against avro-core either way. */
+  private[sources] lazy val avroModuleFns: Option[(Column => Column, Column => Column)] =
+    try {
+      val m = Class.forName("org.apache.spark.sql.avro.functions$")
+      val inst = m.getField("MODULE$").get(null)
+      val to = m.getMethod("to_avro", classOf[Column], classOf[String])
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("mode", "PERMISSIVE")
+      val from = m.getMethod("from_avro", classOf[Column], classOf[String],
+        classOf[java.util.Map[String, String]])
+      // Spark ships the functions STUB in spark-sql-api even without the
+      // module (usage then fails analysis with
+      // AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE) — the IMPLEMENTATION
+      // expression class only exists in the spark-avro jar, so probe that
+      Class.forName("org.apache.spark.sql.avro.CatalystDataToAvro")
+      Some((
+        (c: Column) => to.invoke(inst, c, avroWireSchemaPlain).asInstanceOf[Column],
+        (c: Column) => from.invoke(inst, c, avroWireSchemaPlain, opts).asInstanceOf[Column]))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** True when the spark-avro module's codegen'd codec is in use. */
+  def avroModulePresent: Boolean = avroModuleFns.isDefined
+
   /** [[wireColumns]] with the Avro binary codec: key = user_id, value =
     * raw Avro datum bytes (wire-compatible with the reference's topics). */
-  def avroWireColumns(df: DataFrame): DataFrame =
+  def avroWireColumns(df: DataFrame): DataFrame = {
+    val enc = avroModuleFns match {
+      case Some((toAvro, _)) => (cs: Seq[Column]) => toAvro(struct(cs: _*))
+      case None              => (cs: Seq[Column]) => avroEncodeUdf(cs: _*)
+    }
     df.select(
       col("user_id").cast("string").as("key"),
-      avroEncodeUdf(
-        col("event_id"), unix_millis(col("ts")),
-        col("user_id"), col("event_type"), col("value")).as("value"))
+      enc(Seq(
+        col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))).as("value"))
+  }
 
   /** [[decoded]] for Avro wire values: malformed datums decode to null
     * and drop here — the side-output split point. */
-  def avroDecoded(raw: DataFrame): DataFrame =
-    raw.select(avroDecodeUdf(col("value")).as("p"))
-      .filter(col("p").isNotNull)
+  def avroDecoded(raw: DataFrame): DataFrame = {
+    val dec = avroModuleFns match {
+      case Some((_, fromAvro)) => fromAvro
+      case None                => (c: Column) => avroDecodeUdf(c)
+    }
+    raw.select(dec(col("value")).as("p"))
+      .filter(col("p").isNotNull && col("p.event_type").isNotNull)
       .select(col("p.event_id").as("event_id"),
         timestamp_millis(col("p.ts_ms")).as("ts"),
         col("p.user_id").as("user_id"),
         col("p.event_type").as("event_type"),
         col("p.value").as("value"))
+  }
 
   def avroDecodedTyped(raw: DataFrame): Dataset[Ev] = {
     val s = raw.sparkSession

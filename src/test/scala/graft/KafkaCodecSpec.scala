@@ -84,4 +84,23 @@ class KafkaCodecSpec extends GraftSuite {
     val out = KafkaIO.avroDecoded(raw).collect()
     assert(out.length == 1 && out.head.getLong(0) == 1L)
   }
+
+  test("codec engine selection matches the classpath (module adopted iff present)") {
+    // the codegen'd to_avro/from_avro engine binds only when the OPTIONAL
+    // spark-avro module is on the classpath; either way the byte-compat
+    // and round-trip tests above pin the same wire format, so the engines
+    // are interchangeable per side
+    // the functions STUB ships in spark-sql-api even without the module
+    // (and fails analysis when used); the implementation expression class
+    // exists only in the spark-avro jar — the selection probes that
+    val moduleUsable =
+      try { Class.forName("org.apache.spark.sql.avro.CatalystDataToAvro"); true }
+      catch { case _: ClassNotFoundException => false }
+    assert(KafkaIO.avroModulePresent == moduleUsable)
+    // the plain wire schema differs from the logical one ONLY by the
+    // timestamp annotation (same binary encoding)
+    assert(KafkaIO.avroWireSchemaPlain ==
+      KafkaIO.avroSchemaJson.replace(
+        """{"type":"long","logicalType":"timestamp-millis"}""", "\"long\""))
+  }
 }
