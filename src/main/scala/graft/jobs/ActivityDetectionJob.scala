@@ -42,7 +42,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * in one query, so the model chain and the classify chain each run as
   * their own query against the shared source — same operators, same
   * state, with the model handed across via the driver (a few hundred
-  * doubles; the reference broadcasts its model the same way).
+  * doubles; the reference broadcasts its model the same way). The
+  * stateful CHAIN itself (per-user enrichment feeding the clustering
+  * window) IS expressible in one query on the `transformWithState` API —
+  * [[StreamOps.enrichedClusterChain]], parity-pinned in StreamingSpec;
+  * only classification, which needs the model OUTSIDE the state group,
+  * keeps the second query.
   *
   * Scale: clustering state is one bounded window buffer (≤ maxCount
   * points) in a single state group — the same parallelism-1 choice the

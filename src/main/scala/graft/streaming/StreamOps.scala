@@ -3,7 +3,7 @@ package graft.streaming
 import graft.functions.KMeans
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event for streaming ops (the reference's unified `Event` shape,
   * model/Events.scala:13, with the testdata column names). */
@@ -353,123 +353,289 @@ object StreamOps {
   def clusterWindows(in: Dataset[ClusterIn], k: Int, decay: Double,
                      windowSizeMs: Long, minCount: Int, maxCount: Int,
                      seed: Long = 137L): Dataset[ModelRow] = {
-    require(k > 1 && windowSizeMs > 0 && minCount >= 0 && maxCount > 0
-      && decay >= 0 && decay <= 1, "invalid clustering-window parameters")
+    val logic = new ClusterWindowLogic(k, decay, windowSizeMs, minCount, maxCount, seed)
     implicit val stateEnc = Encoders.product[ClusterWinState]
     implicit val outEnc = Encoders.product[ModelRow]
     implicit val keyEnc = Encoders.scalaInt
     in.groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: Int, it: Iterator[ClusterIn], state: GroupState[ClusterWinState]) => {
-          var st = state.getOption.getOrElse(
-            ClusterWinState(Nil, Nil, Nil, Nil, 0, 0L, windowExtended = false, Map.empty))
-          val out = scala.collection.mutable.ArrayBuffer.empty[ModelRow]
-
-          // reference emitClusters: cluster the buffer with params read NOW
-          def fire(): Unit = if (st.buffer.nonEmpty) {
-            val kNow = st.params.get("k").flatMap(_.toIntOption).getOrElse(k)
-            val decayNow = st.params.get("decay").flatMap(_.toDoubleOption).getOrElse(decay)
-            val pts = st.buffer.map(_.toVector)
-            // previous model repaired to the CURRENT k (reference:
-            // buildClusters(points, initial, params.k) k-repair); repair
-            // only on an actual k change — ensureK re-sorts by weight, and
-            // the decay blend must stay index-aligned between the repaired
-            // initial clusters and their Lloyd's-updated versions
-            val prev =
-              if (st.centroids.isEmpty) None
-              else {
-                val cs = st.centroids.indices.map(i =>
-                  KMeans.Cluster(i, st.centroids(i).toVector, st.weights(i))).toVector
-                Some(if (cs.length == kNow) cs else KMeans.ensureK(cs, kNow))
-              }
-            val init = prev.map(_.map(_.centroid))
-              .getOrElse(KMeans.bootstrap(pts, kNow, seed))
-            val clustered = KMeans.cluster(pts, init)
-            val merged = prev.map(cs => KMeans.Model(cs).update(clustered, decayNow))
-              .getOrElse(clustered)
-            val version = st.version + 1
-            val labels = merged.clusters.map(c =>
-              st.params.getOrElse(s"label:${c.index}", ""))
-            // ClusterMetadata (reference createMetadata :337-373): mean
-            // centroid displacement by cluster index (0 for unmatched/new
-            // clusters) + cluster-count delta. Displacement pairs use the
-            // REPAIRED previous clusters — after a runtime k change ensureK
-            // re-sorts and re-indexes, so only the repaired model is
-            // index-aligned with the new one (the reference's persistent
-            // cluster index maps onto the repaired index here).
-            val prevByIdx = prev.getOrElse(Vector.empty)
-              .map(c => c.index -> c.centroid).toMap
-            val shifts = merged.clusters.map(c =>
-              prevByIdx.get(c.index)
-                .map(p => math.sqrt(KMeans.sqDist(p, c.centroid)))
-                .getOrElse(0.0))
-            val avgShift =
-              if (shifts.isEmpty) 0.0 else shifts.sum / shifts.length
-            out += ModelRow(version, pts.length,
-              merged.clusters.map(_.centroid.toSeq), merged.clusters.map(_.weight),
-              labels, avgShift, merged.clusters.length - st.centroids.length)
-            // next window inherits the ahead-of-window buffer (ref :265-271)
-            st = st.copy(buffer = st.nextBuffer, nextBuffer = Nil,
-              centroids = merged.clusters.map(_.centroid.toSeq),
-              weights = merged.clusters.map(_.weight), version = version)
-          }
-
-          // reference onTimer: fire iff count > minCount, else extend
-          def onWindowEnd(): Unit =
-            if (st.buffer.length > minCount) {
-              fire()
-              st = st.copy(nextTimer = st.nextTimer + windowSizeMs,
-                windowExtended = false)
-            } else st = st.copy(windowExtended = true)
-
-          if (state.hasTimedOut) {
-            onWindowEnd()
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            // window ends the watermark passed since the last batch fire
-            // first — Flink delivers these as onTimer before later elements
-            while (st.nextTimer > 0 && wm >= st.nextTimer && !st.windowExtended)
-              onWindowEnd()
-            // ctrl-before-point within a timestamp: a parameter injected at
-            // t applies to points from t on. The full-row tiebreak pins a
-            // TOTAL order — same-timestamp rows arrive in shuffle order,
-            // and the seeded bootstrap is input-order-sensitive, so
-            // anything less breaks the determinism contract above
-            val rows = it.toSeq.sortBy(r =>
-              (r.ts.getTime, r.ctrl.isEmpty, r.point.mkString(","), r.ctrl))
-            rows.foreach { r =>
-              if (r.ctrl.nonEmpty) {
-                ControlParams.parse(r.ctrl).foreach {
-                  case ControlParams.K(v)        => st = st.copy(params = st.params + ("k" -> v.toString))
-                  case ControlParams.Decay(v)    => st = st.copy(params = st.params + ("decay" -> v.toString))
-                  case ControlParams.Label(i, t) => st = st.copy(params = st.params + (s"label:$i" -> t))
-                  case _: ControlParams.ParseError => () // dead-letter is the source's job
-                }
-              } else {
-                val ets = r.ts.getTime
-                if (st.nextTimer == 0L) // first element: open the window
-                  st = st.copy(nextTimer = ets + windowSizeMs)
-                if (ets > st.nextTimer && !st.windowExtended)
-                  st = st.copy(nextBuffer = st.nextBuffer :+ r.point) // ahead of window
-                else
-                  st = st.copy(buffer = st.buffer :+ r.point) // in-window or late
-                val earlyFire = st.buffer.length >= maxCount
-                val delayedFire = st.windowExtended && st.buffer.length >= minCount
-                if (earlyFire || delayedFire) {
-                  fire()
-                  st = st.copy(nextTimer = ets + windowSizeMs, windowExtended = false)
-                }
-              }
-            }
-          }
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(logic.initial)
+          val (st, out) =
+            if (state.hasTimedOut) logic.onTimeout(st0, wm)
+            else logic.onData(st0, wm, it)
           state.update(st)
-          if (st.nextTimer > 0 && !st.windowExtended)
-            // logical timer may already be due (late-element fire): clamp
-            // the registration — the due window is handled by the
-            // watermark check on the next batch either way
-            state.setTimeoutTimestamp(math.max(st.nextTimer,
-              state.getCurrentWatermarkMs() + 1))
+          logic.desiredTimer(st, wm).foreach(state.setTimeoutTimestamp)
           out.iterator
         })
+  }
+
+  /** [[clusterWindows]] on Spark 4's `transformWithState` — same
+    * [[ClusterWindowLogic]] transition core, so the two API forms are
+    * semantics-identical by construction (parity asserted in
+    * StreamingSpec). The TWS form is what makes the reference's
+    * SINGLE-JOB operator chain expressible in one Spark query: unlike
+    * `flatMapGroupsWithState`, `transformWithState` outputs can carry a
+    * re-declared event-time column (`eventTimeColumnName`) and feed
+    * further stateful operators downstream — see [[enrichedClusterChain]].
+    * Requires the RocksDB state store provider (Spark's TWS contract). */
+  def clusterWindowsTws(in: Dataset[ClusterIn], k: Int, decay: Double,
+                        windowSizeMs: Long, minCount: Int, maxCount: Int,
+                        seed: Long = 137L): Dataset[ModelRow] = {
+    // parameter validation shared with the fMGWS form
+    new ClusterWindowLogic(k, decay, windowSizeMs, minCount, maxCount, seed)
+    implicit val outEnc = Encoders.product[ModelRow]
+    implicit val keyEnc = Encoders.scalaInt
+    in.groupByKey(_ => 0)
+      .transformWithState(
+        new ClusterWindowProcessor(k, decay, windowSizeMs, minCount, maxCount, seed),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The reference's Task 3 operator CHAIN in ONE streaming query
+    * (UnusualActivityDetectionJob wires per-person feature enrichment into
+    * the clustering window inside a single Flink job): per-user
+    * frequency-enriched features → global clustering window. Legal only on
+    * `transformWithState`: the enrichment stage re-declares its output
+    * event time (`eventTimeColumnName = "ts"`), which
+    * `flatMapGroupsWithState` cannot do (a second stateful operator behind
+    * it is rejected by the planner — the constraint that forces
+    * ActivityDetectionJob's two-query composition on the classic API).
+    * Input must carry a watermark on `ts`; RocksDB provider required. */
+  def enrichedClusterChain(events: Dataset[Ev], k: Int, decay: Double,
+                           windowSizeMs: Long, minCount: Int, maxCount: Int,
+                           seed: Long = 137L): Dataset[ModelRow] = {
+    implicit val midEnc = Encoders.product[ClusterIn]
+    implicit val outEnc = Encoders.product[ModelRow]
+    implicit val userKeyEnc = Encoders.scalaLong
+    implicit val oneKeyEnc = Encoders.scalaInt
+    events.groupByKey(_.user_id)
+      .transformWithState(new FreqEnrichProcessor, "ts", OutputMode.Append())
+      .groupByKey(_ => 0)
+      .transformWithState(
+        new ClusterWindowProcessor(k, decay, windowSizeMs, minCount, maxCount, seed),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-user frequency enrichment for [[enrichedClusterChain]] — the
+    * reference's AggregateFeaturesFunction shape (last-value/counter state
+    * keyed by person, AggregateFeaturesFunction.scala:22-66): each event
+    * emits a feature point (value, log1p(events seen by this user)), with
+    * the per-user counter held in value state. Deterministic: rows sort by
+    * (ts, event_id) within a batch, and a user's counter depends only on
+    * its own sorted history. */
+  class FreqEnrichProcessor extends StatefulProcessor[Long, Ev, ClusterIn] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[ClusterIn] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1
+        ClusterIn(e.ts, Seq(e.value, math.log1p(n.toDouble)), "")
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+}
+
+/** Shared transition core of the A6/W4/W8 clustering window — ONE
+  * implementation driving both the `flatMapGroupsWithState` form
+  * ([[StreamOps.clusterWindows]]) and the `transformWithState` form
+  * ([[StreamOps.clusterWindowsTws]]), so the two APIs cannot drift. All
+  * methods are pure (state in, (state, emissions) out); the operator
+  * adapters own state storage and timer plumbing. */
+private[streaming] final class ClusterWindowLogic(
+    k: Int, decay: Double, windowSizeMs: Long, minCount: Int, maxCount: Int,
+    seed: Long) extends Serializable {
+  require(k > 1 && windowSizeMs > 0 && minCount >= 0 && maxCount > 0
+    && decay >= 0 && decay <= 1, "invalid clustering-window parameters")
+
+  import scala.collection.mutable.ArrayBuffer
+
+  def initial: ClusterWinState =
+    ClusterWinState(Nil, Nil, Nil, Nil, 0, 0L, windowExtended = false, Map.empty)
+
+  /** The event-time timer the operator should hold after an invocation:
+    * the next window end, clamped past the watermark (a due logical timer
+    * is handled by the watermark check at the next batch either way). */
+  def desiredTimer(st: ClusterWinState, wm: Long): Option[Long] =
+    if (st.nextTimer > 0 && !st.windowExtended)
+      Some(math.max(st.nextTimer, wm + 1))
+    else None
+
+  /** Data-less window-end callback (the operator's timer fired). Guarded
+    * on the window actually being due: timer registrations are clamped to
+    * wm+1, so a genuine fMGWS timeout always passes; the guard shields the
+    * TWS adapter, whose already-deleted timers can still fire within the
+    * batch that deleted them. */
+  def onTimeout(st0: ClusterWinState, wm: Long): (ClusterWinState, Seq[ModelRow]) = {
+    val out = ArrayBuffer.empty[ModelRow]
+    var st = st0
+    if (st.nextTimer > 0 && wm >= st.nextTimer && !st.windowExtended)
+      st = onWindowEnd(st, out)
+    (st, out.toSeq)
+  }
+
+  /** A batch of rows under the current watermark. */
+  def onData(st0: ClusterWinState, wm: Long,
+             it: Iterator[ClusterIn]): (ClusterWinState, Seq[ModelRow]) = {
+    val out = ArrayBuffer.empty[ModelRow]
+    var st = st0
+    // window ends the watermark passed since the last batch fire first —
+    // Flink delivers these as onTimer before later elements
+    while (st.nextTimer > 0 && wm >= st.nextTimer && !st.windowExtended)
+      st = onWindowEnd(st, out)
+    // ctrl-before-point within a timestamp: a parameter injected at t
+    // applies to points from t on. The full-row tiebreak pins a TOTAL
+    // order — same-timestamp rows arrive in shuffle order, and the seeded
+    // bootstrap is input-order-sensitive, so anything less breaks the
+    // determinism contract of clusterWindows
+    val rows = it.toSeq.sortBy(r =>
+      (r.ts.getTime, r.ctrl.isEmpty, r.point.mkString(","), r.ctrl))
+    rows.foreach { r =>
+      if (r.ctrl.nonEmpty) {
+        ControlParams.parse(r.ctrl).foreach {
+          case ControlParams.K(v)        => st = st.copy(params = st.params + ("k" -> v.toString))
+          case ControlParams.Decay(v)    => st = st.copy(params = st.params + ("decay" -> v.toString))
+          case ControlParams.Label(i, t) => st = st.copy(params = st.params + (s"label:$i" -> t))
+          case _: ControlParams.ParseError => () // dead-letter is the source's job
+        }
+      } else {
+        val ets = r.ts.getTime
+        if (st.nextTimer == 0L) // first element: open the window
+          st = st.copy(nextTimer = ets + windowSizeMs)
+        if (ets > st.nextTimer && !st.windowExtended)
+          st = st.copy(nextBuffer = st.nextBuffer :+ r.point) // ahead of window
+        else
+          st = st.copy(buffer = st.buffer :+ r.point) // in-window or late
+        val earlyFire = st.buffer.length >= maxCount
+        val delayedFire = st.windowExtended && st.buffer.length >= minCount
+        if (earlyFire || delayedFire) {
+          st = fire(st, out)
+          st = st.copy(nextTimer = ets + windowSizeMs, windowExtended = false)
+        }
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  // reference onTimer: fire iff count > minCount, else extend
+  private def onWindowEnd(st0: ClusterWinState,
+                          out: ArrayBuffer[ModelRow]): ClusterWinState = {
+    var st = st0
+    if (st.buffer.length > minCount) {
+      st = fire(st, out)
+      st.copy(nextTimer = st.nextTimer + windowSizeMs, windowExtended = false)
+    } else st.copy(windowExtended = true)
+  }
+
+  // reference emitClusters: cluster the buffer with params read NOW
+  private def fire(st0: ClusterWinState,
+                   out: ArrayBuffer[ModelRow]): ClusterWinState = {
+    var st = st0
+    if (st.buffer.nonEmpty) {
+      val kNow = st.params.get("k").flatMap(_.toIntOption).getOrElse(k)
+      val decayNow = st.params.get("decay").flatMap(_.toDoubleOption).getOrElse(decay)
+      val pts = st.buffer.map(_.toVector)
+      // previous model repaired to the CURRENT k (reference:
+      // buildClusters(points, initial, params.k) k-repair); repair only on
+      // an actual k change — ensureK re-sorts by weight, and the decay
+      // blend must stay index-aligned between the repaired initial
+      // clusters and their Lloyd's-updated versions
+      val prev =
+        if (st.centroids.isEmpty) None
+        else {
+          val cs = st.centroids.indices.map(i =>
+            KMeans.Cluster(i, st.centroids(i).toVector, st.weights(i))).toVector
+          Some(if (cs.length == kNow) cs else KMeans.ensureK(cs, kNow))
+        }
+      val init = prev.map(_.map(_.centroid))
+        .getOrElse(KMeans.bootstrap(pts, kNow, seed))
+      val clustered = KMeans.cluster(pts, init)
+      val merged = prev.map(cs => KMeans.Model(cs).update(clustered, decayNow))
+        .getOrElse(clustered)
+      val version = st.version + 1
+      val labels = merged.clusters.map(c =>
+        st.params.getOrElse(s"label:${c.index}", ""))
+      // ClusterMetadata (reference createMetadata :337-373): mean centroid
+      // displacement by cluster index (0 for unmatched/new clusters) +
+      // cluster-count delta. Displacement pairs use the REPAIRED previous
+      // clusters — after a runtime k change ensureK re-sorts and
+      // re-indexes, so only the repaired model is index-aligned with the
+      // new one (the reference's persistent cluster index maps onto the
+      // repaired index here).
+      val prevByIdx = prev.getOrElse(Vector.empty)
+        .map(c => c.index -> c.centroid).toMap
+      val shifts = merged.clusters.map(c =>
+        prevByIdx.get(c.index)
+          .map(p => math.sqrt(KMeans.sqDist(p, c.centroid)))
+          .getOrElse(0.0))
+      val avgShift =
+        if (shifts.isEmpty) 0.0 else shifts.sum / shifts.length
+      out += ModelRow(version, pts.length,
+        merged.clusters.map(_.centroid.toSeq), merged.clusters.map(_.weight),
+        labels, avgShift, merged.clusters.length - st.centroids.length)
+      // next window inherits the ahead-of-window buffer (ref :265-271)
+      st = st.copy(buffer = st.nextBuffer, nextBuffer = Nil,
+        centroids = merged.clusters.map(_.centroid.toSeq),
+        weights = merged.clusters.map(_.weight), version = version)
+    }
+    st
+  }
+}
+
+/** [[ClusterWindowLogic]] on the `transformWithState` API: one value state
+  * + explicit event-time timers. The adapter re-arms to exactly the
+  * logic's desired timer after every invocation (deleting stale
+  * registrations — TWS timers are a SET, unlike fMGWS's single timeout);
+  * [[ClusterWindowLogic.onTimeout]]'s due-guard absorbs timers that
+  * expire in the same batch that deleted them. */
+private[streaming] class ClusterWindowProcessor(
+    k: Int, decay: Double, windowSizeMs: Long, minCount: Int, maxCount: Int,
+    seed: Long)
+  extends StatefulProcessor[Int, ClusterIn, ModelRow] {
+
+  private val logic =
+    new ClusterWindowLogic(k, decay, windowSizeMs, minCount, maxCount, seed)
+  @transient private var st: ValueState[ClusterWinState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ClusterWinState]("cw",
+      Encoders.product[ClusterWinState], TTLConfig.NONE)
+
+  private def current: ClusterWinState =
+    if (st.exists()) st.get() else logic.initial
+
+  private def rearm(state: ClusterWinState, wm: Long): Unit = {
+    val want = logic.desiredTimer(state, wm)
+    val have = getHandle.listTimers().toSet
+    want match {
+      case Some(t) =>
+        have.filter(_ != t).foreach(getHandle.deleteTimer)
+        if (!have.contains(t)) getHandle.registerTimer(t)
+      case None => have.foreach(getHandle.deleteTimer)
+    }
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[ClusterIn],
+                               timerValues: TimerValues): Iterator[ModelRow] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (next, out) = logic.onData(current, wm, rows)
+    st.update(next); rearm(next, wm)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Int, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[ModelRow] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (next, out) = logic.onTimeout(current, wm)
+    st.update(next); rearm(next, wm)
+    out.iterator
   }
 }

@@ -483,6 +483,125 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("transformWithState clustering window equals the flatMapGroupsWithState op across every fire path") {
+    // the two API forms share ClusterWindowLogic; this pins the adapters
+    // (state plumbing, timer set vs single timeout) through regular fire,
+    // control-line re-parameterization, early fire, extension, delayed
+    // fire, and ahead-of-window carry-over — identical chunk sequence,
+    // identical model stream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def pt(sec: Long, x: Double) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq(x, x), "")
+    def ctrl(sec: Long, line: String) = graft.streaming.ClusterIn(
+      new java.sql.Timestamp(sec * 1000L), Seq.empty, line)
+    val chunks: Seq[Seq[graft.streaming.ClusterIn]] = Seq(
+      (0 until 5).map(i => pt(1L + i * 10L, i.toDouble)),        // window 1 fills
+      Seq(pt(62L, 99.0)),                                        // regular fire v1; 62s carries over
+      ctrl(63L, "k=3") +: (0 until 7).map(i => pt(63L + i, i.toDouble)), // early fire v2 under k=3
+      Seq(pt(130L, 50.0)),                                       // ahead of window 3
+      Seq(ctrl(131L, "# noop")),                                 // window 3 end passes: extension
+      // past the 131s watermark (at-or-behind rows are late-filtered)
+      Seq(pt(140L, 1.0), pt(141L, 2.0)))                         // delayed fire v3
+    def run(tag: String,
+            op: org.apache.spark.sql.Dataset[graft.streaming.ClusterIn] => org.apache.spark.sql.Dataset[graft.streaming.ModelRow]): Seq[(Int, Int, Seq[Seq[Double]], Seq[Double], Seq[String], Int)] = {
+      val stream = MemoryStream[graft.streaming.ClusterIn]
+      val q = op(stream.toDS().withWatermark("ts", "0 seconds"))
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+        spark.table(tag).orderBy("version").collect().toSeq.map(r =>
+          (r.getInt(0), r.getInt(1),
+            r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq).toSeq,
+            r.getSeq[Double](3).toSeq, r.getSeq[String](4).toSeq, r.getInt(6)))
+      } finally q.stop()
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val classic = run("cw_api_classic", ds => StreamOps.clusterWindows(
+        ds, k = 2, decay = 0.2, windowSizeMs = 60000L, minCount = 2, maxCount = 8))
+      val tws = run("cw_api_tws", ds => StreamOps.clusterWindowsTws(
+        ds, k = 2, decay = 0.2, windowSizeMs = 60000L, minCount = 2, maxCount = 8))
+      assert(classic.map(_._1) == Seq(1, 2, 3),
+        s"scenario should produce 3 models, got ${classic.map(t => (t._1, t._2))}")
+      assert(classic(1)._3.length == 3, "v2 must honor the k=3 control line")
+      assert(tws == classic,
+        s"transformWithState form diverged:\n tws=$tws\n classic=$classic")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("single-query chained stateful pipeline: per-user enrichment into the clustering window") {
+    // the reference chains enrichment and clustering inside ONE job;
+    // flatMapGroupsWithState cannot (planner rejects a stateful op behind
+    // it), transformWithState can — enrichedClusterChain re-declares the
+    // enrichment output's event time and feeds the clustering window in
+    // the same query. Oracle: the same enrichment computed driver-side,
+    // fed through the CLASSIC clusterWindows with identical chunking.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped.sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = all.grouped(all.length / 3 + 1).toSeq
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // chained single query (window >> event span: count-trigger only)
+      val evStream = MemoryStream[graft.streaming.Ev]
+      val q = StreamOps.enrichedClusterChain(
+          evStream.toDS().withWatermark("ts", "1 hour"),
+          k = 3, decay = 0.2, windowSizeMs = 3650L * 24 * 3600 * 1000,
+          minCount = 5, maxCount = 50)
+        .writeStream.format("memory").queryName("chain_out")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => evStream.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val chained = spark.table("chain_out").orderBy("version").collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq).toSeq))
+
+      // driver-side enrichment (per-user counter over per-user (ts, id)
+      // order) -> classic operator, same chunking
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      val enrichedChunks = chunks.map(_.groupBy(_.user_id).toSeq
+        .flatMap { case (u, evs) =>
+          evs.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val n = counts.getOrElse(u, 0L) + 1
+            counts(u) = n
+            graft.streaming.ClusterIn(e.ts, Seq(e.value, math.log1p(n.toDouble)), "")
+          }
+        })
+      val ptStream = MemoryStream[graft.streaming.ClusterIn]
+      val q2 = StreamOps.clusterWindows(
+          ptStream.toDS().withWatermark("ts", "1 hour"),
+          k = 3, decay = 0.2, windowSizeMs = 3650L * 24 * 3600 * 1000,
+          minCount = 5, maxCount = 50)
+        .writeStream.format("memory").queryName("chain_oracle_out")
+        .outputMode("append").start()
+      try {
+        enrichedChunks.foreach { c => ptStream.addData(c); q2.processAllAvailable() }
+      } finally q2.stop()
+      val oracle = spark.table("chain_oracle_out").orderBy("version").collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq).toSeq))
+
+      assert(chained.nonEmpty && chained.map(_._1) == (1 to chained.length),
+        s"chain produced ${chained.length} models")
+      assert(chained == oracle,
+        s"chained query diverged from enrich∘cluster composition: " +
+          s"chained=${chained.map(_._1)} oracle=${oracle.map(_._1)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("append-mode session windows emit exactly the batch sessions once the watermark closes them") {
     // production form of q24's sessionization: append + watermark — a
     // session row is emitted exactly once, when the watermark passes its
