@@ -56,6 +56,8 @@ object SamplingPack {
   private val Z_T       = 3.0     // outlier |z| threshold (q87)
   private val TS_MIN    = 1704067200L // 2024-01-01 UTC (q88 event-time bounds)
   private val TS_MAX    = 1735689600L // 2025-01-01 UTC
+  private val KEY_K     = 10      // distinctive tokens kept per source (q106)
+  private val ZIPF_Q    = 1000    // ln-space quantization, milli-nats (q107)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -437,6 +439,73 @@ object SamplingPack {
         .groupBy(col("split_a"), col("split_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Distinctive terms per source (corpus keyness): Dunning's G² log-
+    // likelihood of each token's in-source count vs its rest-of-corpus
+    // count — the standard "what characterizes this source" audit before
+    // mixing corpora. Plan: one (source, token) shuffle, then the source
+    // totals (|sources| rows) and token totals (vocab rows) fold back via
+    // joins Spark can broadcast; over-representation is tested on exact
+    // integers (a·N > ns·ct) so the filter is engine-independent, and
+    // ranking is on the ROUNDED score with a token tiebreak (the repo's
+    // rank-on-rounded determinism pattern).
+    "q106_source_keyness" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+      val tokTot = st.groupBy(col("tok")).agg(sum(col("a")).as("ct"))
+      val grand = srcTot.agg(sum(col("ns")).as("nn"))
+      val b = col("ct") - col("a")
+      val g2 = lit(2.0) * (col("a") * log((col("a") * col("nn")).cast("double")
+          / (col("ns") * col("ct")).cast("double"))
+        + when(b > 0, b * log((b * col("nn")).cast("double")
+          / (col("ct") * (col("nn") - col("ns"))).cast("double"))).otherwise(lit(0.0)))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("g2").desc, col("tok"))
+      st.join(srcTot, "source").join(tokTot, "tok").crossJoin(grand)
+        .filter(col("a") * col("nn") > col("ns") * col("ct"))
+        .withColumn("g2", round(g2, 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KEY_K)
+        .select(col("source"), col("rank"), col("tok"), col("a").as("n_in"),
+          (col("ct") - col("a")).as("n_out"), col("g2"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Zipf profile per source: OLS slope of ln(freq) on ln(rank) over the
+    // token frequency spectrum — the power-law health check that catches
+    // template spam (slope → 0) and boilerplate collapse (slope ≪ -1)
+    // per corpus slice. Determinism: ln values are quantized to integer
+    // milli-nats, all five OLS moments are exact BIGINT sums (addition-
+    // order independent), and the single closing division is IEEE-exact —
+    // bit-identical on any engine/partitioning. Plan: one (source, token)
+    // shuffle + one per-source window for ranks + a 20-row final agg.
+    "q107_zipf_slope" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("f").desc, col("tok"))
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+        .withColumn("r", row_number().over(w))
+        .select(col("source"), col("f"),
+          floor(log(col("r").cast("double")) * ZIPF_Q).cast("long").as("qx"),
+          floor(log(col("f").cast("double")) * ZIPF_Q).cast("long").as("qy"))
+      val m = tf.groupBy(col("source")).agg(
+        count(lit(1)).as("n"), sum(col("f")).as("n_tokens"),
+        sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+        sum(col("qx") * col("qy")).as("sxy"),
+        sum(col("qx") * col("qx")).as("sxx"),
+        sum(col("qy") * col("qy")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy  = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("source"), col("n").as("n_types"), col("n_tokens"),
+          round(cov.cast("double") / vx.cast("double"), 6).as("slope"),
+          round((cov.cast("double") * cov.cast("double"))
+            / (vx.cast("double") * vy.cast("double")), 6).as("r2"))
+        .orderBy(col("source"))
     })
   )
 
@@ -663,5 +732,59 @@ object SamplingPack {
     // q86_freq_sketch: rows-only (sketch candidate sets are order-sensitive
     // and not DuckDB-reproducible — guarantees pinned in FreqSketchSpec,
     // same gate shape as q79/q80).
+
+    "q106_source_keyness" -> {
+      val g2 = "2.0 * (a * ln((a * nn)::DOUBLE / (ns * ct)::DOUBLE)" +
+        " + CASE WHEN ct - a > 0 THEN (ct - a)" +
+        " * ln(((ct - a) * nn)::DOUBLE / (ct * (nn - ns))::DOUBLE)" +
+        " ELSE 0.0 END)"
+      s"""WITH st AS (
+         |  SELECT source, tok, count(*) AS a
+         |  FROM (SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), stot AS (SELECT source, sum(a)::BIGINT AS ns FROM st GROUP BY 1),
+         |ttot AS (SELECT tok, sum(a)::BIGINT AS ct FROM st GROUP BY 1),
+         |g AS (SELECT sum(ns)::BIGINT AS nn FROM stot),
+         |scored AS (
+         |  SELECT source, tok, a AS n_in, ct - a AS n_out,
+         |    ${Hashes.sqlRound(g2, 4)} AS g2
+         |  FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN g
+         |  WHERE a * nn > ns * ct
+         |)
+         |SELECT source,
+         |  row_number() OVER (PARTITION BY source ORDER BY g2 DESC, tok) AS rank,
+         |  tok, n_in, n_out, g2
+         |FROM scored
+         |QUALIFY rank <= $KEY_K
+         |ORDER BY source, rank""".stripMargin
+    },
+
+    "q107_zipf_slope" ->
+      s"""WITH tf AS (
+         |  SELECT source, tok, count(*) AS f,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY count(*) DESC, tok) AS r
+         |  FROM (SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), q AS (
+         |  SELECT source, f,
+         |    floor(ln(r::DOUBLE) * $ZIPF_Q)::BIGINT AS qx,
+         |    floor(ln(f::DOUBLE) * $ZIPF_Q)::BIGINT AS qy
+         |  FROM tf
+         |), m AS (
+         |  SELECT source, count(*) AS n, sum(f)::BIGINT AS n_tokens,
+         |    sum(qx)::BIGINT AS sx, sum(qy)::BIGINT AS sy,
+         |    sum(qx * qy)::BIGINT AS sxy,
+         |    sum(qx * qx)::BIGINT AS sxx,
+         |    sum(qy * qy)::BIGINT AS syy
+         |  FROM q GROUP BY source
+         |)
+         |SELECT source, n AS n_types, n_tokens,
+         |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+         |    AS slope,
+         |  round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+         |    / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+         |    AS r2
+         |FROM m ORDER BY source""".stripMargin
   )
 }

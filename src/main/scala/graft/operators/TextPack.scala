@@ -352,6 +352,46 @@ object TextPack {
         .select(col("doc_id"), Hashes.base60(norm).as("fp60"))
         .withColumn("group_size", count(lit(1)).over(w))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental corpus dedup: a NEW ingest batch (hash-designated ~20% of
+    // docs) deduped against the standing corpus without ever re-pairing
+    // corpus×corpus — the shape a 100 TB pipeline actually runs daily. The
+    // shingle inverted index splits by membership and only batch-side
+    // postings join corpus-side postings, so per-shingle work is
+    // |batch postings| × |corpus postings| (vs the full index's quadratic
+    // posting-list blowup) and yesterday's corpus pairs are never
+    // recomputed. Per batch doc: match count, best corpus match
+    // (max Jaccard, min corpus id on ties), and the drop verdict.
+    "q105_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (Hashes.base32(col("doc_id").cast("string")) % 5 === 0).as("is_new"))
+      val shx = shingleRows(s, d).join(docs, "doc_id")
+      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = shx.filter(col("is_new")).as("a")
+        .join(shx.filter(!col("is_new")).as("b"),
+          col("a.shingle") === col("b.shingle"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("jac", round(col("shared").cast("double")
+          / (col("ni") + col("nj") - col("shared")), 4))
+        .filter(col("jac") >= JACC_T)
+      val bw = Window.partitionBy(col("i"))
+      val matched = pairs
+        .withColumn("bj", max(col("jac")).over(bw))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n_matches"), first(col("bj")).as("best_jac"),
+          min(when(col("jac") === col("bj"), col("j"))).as("best_match"))
+      docs.filter(col("is_new")).select(col("doc_id").as("i"))
+        .join(matched, Seq("i"), "left")
+        .select(col("i").as("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+          coalesce(col("best_match"), lit(-1L)).as("best_match"),
+          coalesce(col("n_matches") > 0, lit(false)).as("is_dup"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -557,6 +597,38 @@ object TextPack {
          |  SELECT doc_id,
          |    ${Hashes.sqlBase60("trim(regexp_replace(lower(text), ' +', ' ', 'g'))")} AS fp60
          |  FROM documents
-         |) ORDER BY doc_id""".stripMargin
+         |) ORDER BY doc_id""".stripMargin,
+
+    "q105_incremental_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, ${Hashes.sqlBase32("doc_id::VARCHAR")} % 5 = 0 AS is_new
+         |  FROM documents
+         |), shx AS (
+         |  SELECT s.doc_id, shingle, m.is_new
+         |  FROM ($sqlShingleRows) s JOIN m USING (doc_id)
+         |), counts AS (
+         |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM shx a JOIN shx b ON a.shingle = b.shingle
+         |    AND a.is_new AND NOT b.is_new
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT i, j, round(shared::DOUBLE / (ci.n + cj.n - shared), 4) AS jac
+         |  FROM pr JOIN counts ci ON ci.doc_id = i JOIN counts cj ON cj.doc_id = j
+         |  WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
+         |), win AS (
+         |  SELECT i, j, jac, max(jac) OVER (PARTITION BY i) AS bj FROM scored
+         |), agg AS (
+         |  SELECT i, count(*) AS n_matches, any_value(bj) AS best_jac,
+         |    min(CASE WHEN jac = bj THEN j END) AS best_match
+         |  FROM win GROUP BY i
+         |)
+         |SELECT m.doc_id, coalesce(n_matches, 0)::BIGINT AS n_matches,
+         |  coalesce(best_jac, 0.0) AS best_jac,
+         |  coalesce(best_match, -1)::BIGINT AS best_match,
+         |  coalesce(n_matches > 0, false) AS is_dup
+         |FROM m LEFT JOIN agg ON agg.i = m.doc_id
+         |WHERE m.is_new ORDER BY m.doc_id""".stripMargin
   )
 }

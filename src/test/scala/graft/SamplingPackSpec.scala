@@ -231,6 +231,59 @@ class SamplingPackSpec extends GraftSuite {
     assert(q("q103_stratified_split").collect().toSeq == rows.toSeq)
   }
 
+  test("q106: keyness scores match independent G² recomputation; only over-represented tokens rank") {
+    val rows = q("q106_source_keyness").collect()
+    // independent driver-side recomputation from raw text
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+    val st = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = toks.length.toLong
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        "ranks must be contiguous from 1")
+    }
+    rows.foreach { r =>
+      val (src, tok, a) = (r.getString(0), r.getString(2), r.getLong(3))
+      assert(st((src, tok)) == a, "in-source count drift")
+      assert(r.getLong(4) == ct(tok) - a, "out-of-source count drift")
+      assert(a * nn > ns(src) * ct(tok), "ranked token not over-represented")
+      val b = ct(tok) - a
+      val g2 = 2.0 * (a * math.log(a.toDouble * nn / (ns(src).toDouble * ct(tok))) +
+        (if (b > 0) b * math.log(b.toDouble * nn / (ct(tok).toDouble * (nn - ns(src)))) else 0.0))
+      assert(math.abs(r.getDouble(5) - g2) < 1e-3, s"G² drift for ($src,$tok)")
+      assert(r.getDouble(5) >= 0.0, "G² of a binomial split is non-negative")
+    }
+  }
+
+  test("q107: slope recovers a planted exact power law; corpus slopes are sane") {
+    import spark.implicits._
+    // planted Zipf corpus: token t_r appears round(1000/r) times, r=1..50 —
+    // ln f = ln C - 1·ln r, so the fitted slope must be ≈ -1
+    val text = (1 to 50).flatMap(r => Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d"))
+    val planted = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq(("zipf", text.mkString(" ")))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val fit = q2(planted)("q107_zipf_slope").collect()
+    assert(fit.length == 1)
+    assert(math.abs(fit(0).getDouble(3) - (-1.0)) < 0.05,
+      s"planted slope ${fit(0).getDouble(3)} != -1")
+    assert(fit(0).getDouble(4) > 0.99, "planted fit must be near-perfect")
+    // real corpus: slope negative, r2 a valid share, moments consistent
+    q("q107_zipf_slope").collect().foreach { r =>
+      assert(r.getDouble(3) < 0.0, "frequency must fall with rank")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+    }
+  }
+
+  private def q2(dir: String)(name: String): DataFrame =
+    SamplingPack.queries(name)(spark, dir)
+
   test("q104: leakage counts partition the near-dup pair base") {
     val rows = q("q104_split_leakage").collect()
     val nPairs = graft.operators.TextPack.queries("q31_ngram_jaccard")(spark, sf).count()

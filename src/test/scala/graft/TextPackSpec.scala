@@ -66,6 +66,43 @@ class TextPackSpec extends GraftSuite {
     assert(planted.subsetOf(sim), s"simhash missed ${planted -- sim}")
   }
 
+  test("q105: incremental matches == full pair base restricted to batch×corpus") {
+    // The incremental path must find EXACTLY the q31 near-dup pairs that
+    // straddle the batch/corpus boundary — no misses (a daily ingest can't
+    // leak dups) and no corpus×corpus or batch×batch pairs (those are
+    // yesterday's work / next batch's work).
+    def isNew(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = java.lang.Long.parseLong(
+        md.digest(id.toString.getBytes("UTF-8")).take(4)
+          .map(b => f"$b%02x").mkString, 16)
+      h % 5 == 0
+    }
+    val full = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val straddling = full.flatMap { case (i, j, jac) =>
+      (isNew(i), isNew(j)) match {
+        case (true, false) => Some((i, j, jac))
+        case (false, true) => Some((j, i, jac))
+        case _             => None // both-new or both-corpus: out of scope
+      }
+    }
+    val rows = TextPack.queries("q105_incremental_dedup")(spark, sf).collect()
+    rows.foreach(r => assert(isNew(r.getLong(0)), "corpus doc in batch output"))
+    val got = rows.filter(_.getBoolean(4))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val want = straddling.groupBy(_._1).map { case (b, ms) =>
+      val bestJac = ms.map(_._3).max
+      b -> (ms.length.toLong, bestJac,
+        ms.filter(_._3 == bestJac).map(_._2).min)
+    }
+    assert(got == want, "incremental result drifts from the batch×corpus restriction")
+    // non-dup batch docs are still reported (the keep verdict), with sentinels
+    rows.filterNot(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 && r.getLong(3) == -1L)
+    }
+  }
+
   test("single-pass text queries compile to shuffle-free plans") {
     // q35/q36 are per-row scoring passes: no Exchange may appear before the
     // final presentation sort (scale guard: a shuffle here would be a bug).
