@@ -188,7 +188,7 @@ object ActivityDetectionJob {
     val events = Jobs.replayEvents(spark, sfDir, speedup)
     val ctrl = ctrlDir.map(d => spark.readStream.text(d))
     val (modelQ, classifyQ) = run(spark, events, ctrl, outDir, ckpt)
-    modelQ.awaitTermination(runSec * 1000L)
+    Jobs.await(modelQ, runSec)
     modelQ.stop(); classifyQ.stop(); spark.stop()
   }
 }

@@ -51,13 +51,19 @@ object PostStatisticsJob {
     val spark = Jobs.session("post-statistics")
     val events = Jobs.replayEvents(spark, sfDir, speedup)
     val q = run(spark, events, outDir, ckpt)
-    q.awaitTermination(runSec * 1000L)
+    Jobs.await(q, runSec)
     q.stop(); spark.stop()
   }
 }
 
 /** Shared wiring for the three streaming job mains. */
 private[jobs] object Jobs {
+  /** Wait `runSec` seconds, or forever when the product would overflow
+    * the millisecond clamp (runSeconds omitted = run-forever default). */
+  def await(q: StreamingQuery, runSec: Long): Unit =
+    if (runSec >= Long.MaxValue / 1000L) q.awaitTermination()
+    else q.awaitTermination(runSec * 1000L)
+
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val s = SparkSession.builder()

@@ -69,7 +69,7 @@ object RecommendationsJob {
     val spark = Jobs.session("recommendations")
     val events = Jobs.replayEvents(spark, sfDir, speedup)
     val q = run(spark, events, sfDir, outDir, ckpt)
-    q.awaitTermination(runSec * 1000L)
+    Jobs.await(q, runSec)
     q.stop(); spark.stop()
   }
 }

@@ -191,9 +191,17 @@ object RecommendationPack {
   private[graft] def expandClassPairs(clsSims: DataFrame, userCls: DataFrame,
                                       memberCap: Int): DataFrame = {
     require(memberCap > 0, "class member cap must be positive")
-    // deterministic truncation: the cap smallest user ids of each class
-    val members = userCls.groupBy(col("cls"))
-      .agg(slice(sort_array(collect_list(col("user_id"))), 1, memberCap).as("ms"))
+    // deterministic truncation: the cap smallest user ids of each class.
+    // The rank filter runs BEFORE collect_list (WindowGroupLimit keeps each
+    // class's cap-smallest ids pre-shuffle), so the aggregation buffer — not
+    // just the output row — is bounded at `cap` entries even for a
+    // pathological giant duplicate class.
+    val members = userCls
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cls")).orderBy(col("user_id"))))
+      .filter(col("rn") <= memberCap)
+      .groupBy(col("cls"))
+      .agg(sort_array(collect_list(col("user_id"))).as("ms"))
     clsSims
       .join(members.select(col("cls").as("ucls"), col("ms").as("us")), "ucls")
       .join(members.select(col("cls").as("ccls"), col("ms").as("cs")), "ccls")

@@ -446,10 +446,10 @@ object SamplingPack {
     // count — the standard "what characterizes this source" audit before
     // mixing corpora. Plan: one (source, token) shuffle, then the source
     // totals (|sources| rows) and token totals (vocab rows) fold back via
-    // joins Spark can broadcast; over-representation is tested on exact
-    // integers (a·N > ns·ct) so the filter is engine-independent, and
-    // ranking is on the ROUNDED score with a token tiebreak (the repo's
-    // rank-on-rounded determinism pattern).
+    // joins Spark can broadcast; over-representation compares the two
+    // rates in DOUBLE (a/ns > ct/N — the BIGINT cross-products overflow at
+    // corpus scale), and ranking is on the ROUNDED score with a token
+    // tiebreak (the repo's rank-on-rounded determinism pattern).
     "q106_source_keyness" -> ((s, d) => {
       val st = Tables.documents(s, d)
         .select(col("source"), explode(toks).as("tok"))
@@ -457,15 +457,21 @@ object SamplingPack {
       val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("ns"))
       val tokTot = st.groupBy(col("tok")).agg(sum(col("a")).as("ct"))
       val grand = srcTot.agg(sum(col("ns")).as("nn"))
+      // All products run in DOUBLE: the BIGINT products (a·nn etc.) overflow
+      // Long once nn reaches corpus scale (~1e13 tokens at 100 TB) and the
+      // over-representation filter would silently flip sign. IEEE double
+      // multiply/divide with a fixed op order is bit-deterministic, so the
+      // DuckDB twin (same shape) still hash-matches.
       val b = col("ct") - col("a")
-      val g2 = lit(2.0) * (col("a") * log((col("a") * col("nn")).cast("double")
-          / (col("ns") * col("ct")).cast("double"))
-        + when(b > 0, b * log((b * col("nn")).cast("double")
-          / (col("ct") * (col("nn") - col("ns"))).cast("double"))).otherwise(lit(0.0)))
+      val g2 = lit(2.0) * (col("a") * log((col("a").cast("double") * col("nn").cast("double"))
+          / (col("ns").cast("double") * col("ct").cast("double")))
+        + when(b > 0, b * log((b.cast("double") * col("nn").cast("double"))
+          / (col("ct").cast("double") * (col("nn") - col("ns")).cast("double")))).otherwise(lit(0.0)))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("g2").desc, col("tok"))
       st.join(srcTot, "source").join(tokTot, "tok").crossJoin(grand)
-        .filter(col("a") * col("nn") > col("ns") * col("ct"))
+        .filter(col("a").cast("double") / col("ns").cast("double")
+          > col("ct").cast("double") / col("nn").cast("double"))
         .withColumn("g2", round(g2, 4))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= KEY_K)
@@ -734,9 +740,9 @@ object SamplingPack {
     // same gate shape as q79/q80).
 
     "q106_source_keyness" -> {
-      val g2 = "2.0 * (a * ln((a * nn)::DOUBLE / (ns * ct)::DOUBLE)" +
+      val g2 = "2.0 * (a * ln((a::DOUBLE * nn::DOUBLE) / (ns::DOUBLE * ct::DOUBLE))" +
         " + CASE WHEN ct - a > 0 THEN (ct - a)" +
-        " * ln(((ct - a) * nn)::DOUBLE / (ct * (nn - ns))::DOUBLE)" +
+        " * ln(((ct - a)::DOUBLE * nn::DOUBLE) / (ct::DOUBLE * (nn - ns)::DOUBLE))" +
         " ELSE 0.0 END)"
       s"""WITH st AS (
          |  SELECT source, tok, count(*) AS a
@@ -749,7 +755,7 @@ object SamplingPack {
          |  SELECT source, tok, a AS n_in, ct - a AS n_out,
          |    ${Hashes.sqlRound(g2, 4)} AS g2
          |  FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN g
-         |  WHERE a * nn > ns * ct
+         |  WHERE a::DOUBLE / ns::DOUBLE > ct::DOUBLE / nn::DOUBLE
          |)
          |SELECT source,
          |  row_number() OVER (PARTITION BY source ORDER BY g2 DESC, tok) AS rank,
