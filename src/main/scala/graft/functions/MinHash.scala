@@ -27,9 +27,16 @@ final case class MinHash(numHashes: Int, bands: Int, seed: Long) {
 
   /** Signature table (key, m0..m{n-1}) from (key, item) rows. */
   def signature(items: DataFrame, key: String, item: String): DataFrame =
+    signature(items, Seq(key), item)
+
+  /** Multi-column-key variant — the online recommendation chain keys
+    * signatures by (user, window) so one micro-batch can carry several
+    * fired windows per user (reference: RecommendationsJob.scala:342-356,
+    * where the signature is recomputed per window fire). */
+  def signature(items: DataFrame, keys: Seq[String], item: String): DataFrame =
     items
-      .select(col(key), Hashes.base32(col(item)).as("__x"))
-      .groupBy(col(key))
+      .select(keys.map(col) :+ Hashes.base32(col(item)).as("__x"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(min(Hashes.minhashSlot(col("__x"), fam(0))).as("m0"),
         (1 until numHashes).map(i =>
           min(Hashes.minhashSlot(col("__x"), fam(i))).as(s"m$i")): _*)

@@ -3,60 +3,91 @@ package graft.jobs
 import graft.operators.RecommendationPack
 import graft.sources.KeyedUpsertSink
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The reference's Task 2 as a runnable streaming main (reference:
   * jobs/recommendations/RecommendationsJob.scala:23-196 — per-person
-  * activity collected in sliding windows; for each ACTIVE person, look up
-  * LSH candidates in the precomputed MinHash store, exclude known
-  * persons, rank by estimated Jaccard similarity, upsert the top-5).
+  * activity collected in sliding windows; for each ACTIVE person the
+  * windowed activity features are unioned with the person's static
+  * features, re-MinHashed, LSH candidates looked up in the precomputed
+  * store, known persons excluded, and the top-5 by estimated similarity
+  * upserted).
   *
-  * Spark assembly: the static store — the full scored/ranked top-N
-  * relation (the chain q53 verifies: features → MinHash → LSH buckets →
-  * candidate pairs → exclude known → estimated-similarity top-5) — is
-  * built ONCE in batch and cached, playing the role of the reference's
-  * ElasticSearch indexes built by LoadStaticDataJob. The streaming side
-  * windows the replayed events per user (the reference's activity
-  * window, RecommendationsJob.scala:342-356) and, per micro-batch,
-  * upserts the cached recommendations of exactly the users active in the
-  * fired windows, versioned by window start — the reference's "recompute
-  * recommendations for active persons at each window fire".
+  * Spark assembly: the batch-built static store
+  * ([[RecommendationPack.staticStore]] — band inverted index + stored
+  * signatures over STATIC features, the reference's indexes from
+  * LoadStaticDataJob) is cached once; the streaming side windows the
+  * replayed events per user collecting the window's ACTIVITY features
+  * (reference's activity window, RecommendationsJob.scala:342-356) and,
+  * per micro-batch, runs the full online recompute
+  * ([[RecommendationPack.onlineRecommend]]): composite activity∪static
+  * features → MinHash → LSH candidate lookup → exclude known → top-5 —
+  * so recommendations genuinely CHANGE with streaming activity, the
+  * reference's defining Task-2 behavior.
   *
   * Update mode (not append): the reference emits recommendations at every
-  * window fire including early/updated ones; the monotonic wstart version
-  * makes re-fires and replays idempotent — a user's recommendations carry
-  * the start of their LATEST activity window.
+  * window fire including early/updated ones. The store keys by user and
+  * holds the full recommendation LIST (the reference's person-id →
+  * List[(person, sim)] document, atomically replaced per fire); the
+  * version is monotonic in (window start, micro-batch), so a later fire of
+  * the SAME window — carrying a more complete activity set — supersedes
+  * the earlier one, a newer window supersedes any older one, and replays
+  * are idempotent.
   *
-  * Scale: the activity window state is bounded by the watermark; the
-  * per-batch join is active-users (small, one row per user per fired
-  * window) against the cached ranked store — AQE broadcasts the batch
-  * side. At 100 TB the static store is PrepJob's bucketed tables and the
-  * ranked relation is persisted, not cached.
+  * Scale: activity-window state is bounded by the watermark; per-fire work
+  * is |active users| × 16 band probes against the pre-bucketed static
+  * index (AQE broadcasts the fired batch — the small side). At 100 TB the
+  * static store is PrepJob's persisted bucketed tables, not executor
+  * cache.
   */
 object RecommendationsJob {
+
+  /** Batch ids occupy the low bits of the upsert version; window starts
+    * the high bits — (wstart, batchId) lexicographic order in one long.
+    * 2^20 batches ≫ any run; epoch-seconds × 2^20 ≈ 1.8e15 ≪ Long.Max. */
+  private val VerScale = 1L << 20
 
   /** Compose the job over an arbitrary (streaming) events frame —
     * injectable for tests; `main` wires the replay source. */
   def run(spark: SparkSession, events: DataFrame, sfDir: String, outDir: String,
           checkpointDir: String, watermark: String = "1 hour",
           windowSize: String = "4 hours"): StreamingQuery = {
-    // static store: ranked top-N per user (built in batch, read warm)
-    val recs = RecommendationPack.queries("q53_recommendations")(spark, sfDir)
-      .cache()
-    recs.count() // materialize before the stream starts
+    val store = RecommendationPack.staticStore(spark, sfDir)
 
-    val active = events.withWatermark("ts", watermark)
+    val fired = events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowSize).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_acts"))
-      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"))
+      .agg(collect_set(col("event_type")).as("acts"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("acts"))
 
-    active.writeStream.outputMode("update")
+    fired.writeStream.outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val updates = recs.join(batch, "user_id")
-        KeyedUpsertSink.upsert(batch.sparkSession, outDir, updates,
-          Seq("user_id", "rank"), "wstart")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The recompute references the fired frame from several plan
+        // branches (composite join, sig self-join, final left join).
+        // Re-planning a foreachBatch/RDD-backed relation under that
+        // self-referencing plan is hazardous — branch deduplication can
+        // silently rebind one branch's attributes (observed: the activity
+        // branch collapsing into the static one) — so pin ONE consistent,
+        // re-readable snapshot of the tiny fired frame as parquet first
+        // (bounded by active users per fire), exactly like the reference
+        // persists window fires before its async lookup chain.
+        val spark = batch.sparkSession
+        val stage = outDir + "__stage"
+        // a batch can carry several fired windows for one user; only the
+        // LATEST determines the stored list (older ones are superseded in
+        // the same merge anyway — skip their recompute entirely)
+        batch.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("wstart").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(stage)
+        val latest = spark.read.parquet(stage)
+        if (!latest.isEmpty) {
+          val recs = RecommendationPack.onlineRecommend(latest, store)
+            .withColumn("ver", col("wstart") * VerScale + lit(math.min(batchId, VerScale - 1)))
+          KeyedUpsertSink.upsert(spark, outDir, recs, Seq("user_id"), "ver")
+        }
       }
       .start()
   }

@@ -61,6 +61,98 @@ object RecommendationPack {
     tags.unionByName(types).distinct()
   }
 
+  /** The STATIC half of a user's features — the tag interests alone,
+    * playing the role of the reference's stored person features
+    * (interests ∪ work ∪ study, LoadStaticDataJob.scala:63-88). The
+    * event-type features are the ACTIVITY half, recomputed per window fire
+    * by the online chain (reference: RecommendationsJob.scala:276-301). */
+  private[graft] def staticFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"),
+      concat(lit("T"), regexp_extract(col("props"), "(\\d+)", 1).cast("long") % 20).as("feature"))
+      .distinct()
+
+  /** Precomputed static store for the online Task-2 chain — the Spark
+    * stand-in for the reference's ElasticSearch indexes built by
+    * LoadStaticDataJob (per-user static feature sets, LSH buckets over
+    * static signatures, and the stored signatures candidates are scored
+    * against, LoadStaticDataJob.scala:92-105). All three frames are cached
+    * and materialized before the stream starts; at 100 TB they are
+    * PrepJob's persisted bucketed tables instead of executor cache. */
+  final case class StaticStore(featureSets: DataFrame, bands: DataFrame, sigs: DataFrame)
+
+  private[graft] def staticStore(s: SparkSession, d: String): StaticStore = {
+    val feats = staticFeatures(s, d)
+    val featureSets = feats.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("feature"))).as("feats")).cache()
+    val sg = mh.signature(feats, "user_id", "feature")
+    val bands = sg.select(col("user_id"),
+      posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey"))).cache()
+    val sigs = sg.select(col("user_id"), mh.sigArray.as("sig")).cache()
+    featureSets.count(); bands.count(); sigs.count()
+    StaticStore(featureSets, bands, sigs)
+  }
+
+  private val recsType =
+    "array<struct<rank:int,rec_user_id:bigint,est_sim:double>>"
+
+  /** The reference's defining online Task-2 recompute
+    * (RecommendationsJob.scala:276-301,342-356): for each fired activity
+    * window `(user_id, wstart, acts)` — `acts` the event types the user
+    * produced inside the window — union the windowed ACTIVITY features
+    * with the user's STATIC features, re-MinHash the composite, look up
+    * LSH candidates in the static band store, exclude known users, and
+    * rank the top-N by estimated similarity against the candidates'
+    * STORED static signatures. One row per fired (user_id, wstart) with
+    * the (possibly empty) similarity-sorted recommendation list — so
+    * recommendations genuinely change with streaming activity.
+    *
+    * Scale: every join is keyed; the per-fire work is |active users| × 16
+    * band probes against the pre-bucketed static index (AQE picks
+    * broadcast when the fired batch is small — the common case), never a
+    * user×user product. */
+  private[graft] def onlineRecommend(fired: DataFrame, store: StaticStore): DataFrame = {
+    val keys = Seq("user_id", "wstart")
+    // single pass over `fired` (no self-union): per fired row, activity
+    // features ("E"+type) ∪ the user's static feature set — array_union
+    // dedups per row, so no distinct shuffle before the signature agg
+    val composite = fired.join(store.featureSets, Seq("user_id"), "left")
+      .select(col("user_id"), col("wstart"),
+        explode(array_union(
+          transform(col("acts"), et => concat(lit("E"), et)),
+          coalesce(col("feats"), array().cast("array<string>")))).as("feature"))
+    val sg = mh.signature(composite, keys, "feature")
+    val bands = sg.select(col("user_id"), col("wstart"),
+      posexplode(array(mh.bandKeys: _*)).as(Seq("band", "bandkey")))
+    val cands = bands
+      .join(store.bands.select(col("user_id").as("c"), col("band"), col("bandkey")),
+        Seq("band", "bandkey"))
+      .select(col("user_id").as("u"), col("wstart"), col("c"))
+      .distinct()
+      .filter(col("u") =!= col("c") && abs(col("u") - col("c")) > KNOWN_DIST)
+    val scored = cands
+      .join(sg.select(col("user_id").as("u"), col("wstart"), mh.sigArray.as("sig_u")),
+        Seq("u", "wstart"))
+      .join(store.sigs.select(col("user_id").as("c"), col("sig").as("sig_c")), "c")
+      .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
+      .filter(col("est_sim") >= MIN_SIM)
+    val w = Window.partitionBy(col("u"), col("wstart"))
+      .orderBy(col("est_sim").desc, col("c"))
+    val recs = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_N)
+      .groupBy(col("u").as("user_id"), col("wstart"))
+      .agg(sort_array(collect_list(struct(
+        col("rank").cast("int").as("rank"),
+        col("c").as("rec_user_id"),
+        col("est_sim")))).as("recs"))
+    // users active in the window but with no candidate >= MIN_SIM still get
+    // a (replaced, possibly empty) recommendation row — the reference emits
+    // a Recommendation record per active person regardless
+    fired.select(col("user_id"), col("wstart"))
+      .join(recs, keys, "left")
+      .withColumn("recs", coalesce(col("recs"), array().cast(recsType)))
+  }
+
   private val sqlFeatures: String =
     """SELECT DISTINCT user_id, feature FROM (
       |    SELECT user_id,

@@ -61,23 +61,78 @@ class JobsSpec extends GraftSuite {
       "incremental upserts did not converge to the batch twin")
   }
 
-  test("RecommendationsJob: active users carry their latest-window recommendations") {
+  /** The job's fired-window frame recomputed in batch: per (4h window,
+    * user), the set of event types — the activity features' raw form. */
+  private def firedTwin(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(collect_set(col("event_type")).as("acts"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("acts"))
+
+  /** Latest fired window per user — what the monotonic upsert converges to. */
+  private def latestPerUser(fired: org.apache.spark.sql.DataFrame) =
+    fired.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("wstart").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
+  test("RecommendationsJob: store equals the online composite-feature recompute of each user's latest window") {
     val out = tmp("rj_out"); val ckpt = tmp("rj_ckpt")
     val q = RecommendationsJob.run(spark, replayed, sf, out, ckpt)
     try q.processAllAvailable() finally q.stop()
-    val got = spark.read.parquet(out)
-    // batch twin: q53's ranked store, stamped with each user's latest
-    // 4h activity-window start
-    val lastWin = Tables.events(spark, sf)
-      .groupBy(window(col("ts"), "4 hours").as("w"), col("user_id")).count()
-      .groupBy(col("user_id"))
-      .agg(max(unix_timestamp(col("w.start"))).as("wstart"))
+    val got = spark.read.parquet(out).select("user_id", "wstart", "recs")
+    // batch twin: the SAME online chain (activity ∪ static features →
+    // MinHash → LSH candidates from the static store → exclude known →
+    // top-5) evaluated on each user's latest complete window
+    val store = graft.operators.RecommendationPack.staticStore(spark, sf)
     val want = graft.operators.RecommendationPack
-      .queries("q53_recommendations")(spark, sf)
-      .join(lastWin, "user_id")
-    assert(got.count() == want.count())
+      .onlineRecommend(latestPerUser(firedTwin(Tables.events(spark, sf))), store)
+    assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-      "upserted recommendations diverge from the ranked store + latest window")
+      "upserted recommendations diverge from the composite-feature online recompute")
+    // the online result is NOT the static-only ranked store: at least one
+    // user's list must reflect their windowed activity
+    val staticOnly = graft.operators.RecommendationPack
+      .onlineRecommend(latestPerUser(firedTwin(Tables.events(spark, sf)))
+        .withColumn("acts", array().cast("array<string>")), store)
+    assert(want.exceptAll(staticOnly).count() > 0,
+      "recommendations must change with streaming activity, not just re-stamp the static store")
+  }
+
+  test("RecommendationsJob: within-window activity growth updates the stored list (monotonic re-fire)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = tmp("rj2_out"); val ckpt = tmp("rj2_ckpt")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = RecommendationsJob.run(spark,
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      sf, out, ckpt)
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .orderBy("user_id").limit(3).as[Long].collect()
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 01:00:00")
+    def ev(id: Long, u: Long, et: String) = (id, t0, u, et, 1.0)
+    val phase1Rows = users.zipWithIndex
+      .map { case (u, i) => ev(i.toLong, u, "view") }.toIndexedSeq
+    val phase2Rows = users.zipWithIndex
+      .map { case (u, i) => ev(100L + i, u, "purchase") }.toIndexedSeq
+    val store = graft.operators.RecommendationPack.staticStore(spark, sf)
+    def twin(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      graft.operators.RecommendationPack.onlineRecommend(
+        firedTwin(rows.toDF("event_id", "ts", "user_id", "event_type", "value")), store)
+    try {
+      // phase 1: the users are active with "view" only
+      stream.addData(phase1Rows); q.processAllAvailable()
+      val phase1 = spark.read.parquet(out).select("user_id", "wstart", "recs")
+      val want1 = twin(phase1Rows)
+      assert(phase1.exceptAll(want1).isEmpty && want1.exceptAll(phase1).isEmpty,
+        "phase-1 store must equal the view-only composite recompute")
+      // phase 2: more activity in the SAME window — the re-fire must
+      // supersede phase 1's rows (version monotonic in batch id)
+      stream.addData(phase2Rows); q.processAllAvailable()
+      val phase2 = spark.read.parquet(out).select("user_id", "wstart", "recs")
+      val want2 = twin(phase1Rows ++ phase2Rows)
+      assert(phase2.exceptAll(want2).isEmpty && want2.exceptAll(phase2).isEmpty,
+        "phase-2 store must equal the view+purchase composite recompute")
+    } finally q.stop()
   }
 
   /** event_id → feature vector, recomputed in batch for audit asserts. */
