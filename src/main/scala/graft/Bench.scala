@@ -49,7 +49,15 @@ object Bench {
       "trained centroids) are materialized by an untimed warm pass at the " +
       "target SF before the timed reps, so per-query numbers are pure query " +
       "cost over a built index.")
+    // One UNTIMED run immediately before each query's timed reps: under
+    // memory pressure across 100+ queries the global warm pass's cached
+    // artifacts can be EVICTED mid-sweep, and the rebuild cost would land
+    // inside whichever timed rep touches the artifact next (r6 verdict:
+    // 3-7x phantom regressions on q43/q51/q53 — first rep 5-8 s, steady
+    // state 0.8-1.4 s). The per-query untimed run absorbs any rebuild so
+    // the timed best-of-3 always measures a warm plan.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      timeOnce(name, fn) // untimed rebuild absorber (result discarded)
       name -> Seq.fill(3)(timeOnce(name, fn)).min
     }
     def r3(v: Double): String =

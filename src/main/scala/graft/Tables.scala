@@ -25,15 +25,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** `ts` arrives as nanos-since-epoch (Long, see load()); convert to a
-    * TimestampType truncated to µs — the same truncation DuckDB applies when
-    * it reads TIMESTAMP(NANOS) into its µs-precision TIMESTAMP, so oracle
-    * comparisons see identical instants. Integer `div` (not `/`) because ns
-    * values ~1.7e18 exceed Double's 2^53 exact-integer range.
+  /** `ts` has shipped in two physical forms across testdata generations:
+    * TIMESTAMP(NANOS) (surfaced as nanos-since-epoch Long under
+    * `nanosAsLong`, see load()) and plain TIMESTAMP(MICROS) (a native
+    * TimestampType). Normalize both to µs-precision TimestampType — the
+    * same truncation DuckDB applies when reading TIMESTAMP(NANOS) into its
+    * µs TIMESTAMP, so oracle comparisons see identical instants. Integer
+    * `div` (not `/`) because ns values ~1.7e18 exceed Double's 2^53
+    * exact-integer range.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // isAdjustedToUTC=false parquet surfaces as NTZ; the session runs in
+      // UTC, so the cast re-labels the same instant (exactly how DuckDB
+      // reads the naive value) and downstream ops see one timestamp type
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

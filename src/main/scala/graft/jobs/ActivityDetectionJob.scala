@@ -99,6 +99,30 @@ object ActivityDetectionJob {
       KMeans.Cluster(i, c.toVector, m.weights(i))
     }.toVector)
 
+  /** Recover the latest model from the durable store (`<outDir>/models`).
+    * The reference restores its broadcast model from checkpointed state on
+    * restart (reference: jobs/clustering/ClassifyEventsFunction.scala:16-47);
+    * Spark's foreachBatch hands the model across queries through a
+    * driver-side ref that a restart would otherwise reset to None — and
+    * every event until the next window fire (up to a full 12 h window)
+    * would be silently dropped even though the newest model sits in the
+    * store. Seeding the ref from `max(version)` of the store closes that
+    * hole; a handful of model rows, driver-side by design. */
+  def bootstrapModel(spark: SparkSession, outDir: String): Option[(Int, KMeans.Model)] = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/models")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else scala.util.Try {
+      spark.read.parquet(path.toString)
+        .select("version", "n_points", "centroids", "weights", "labels",
+          "avg_shift", "k_diff")
+        .as[ModelRow].collect()
+        .maxByOption(_.version)
+        .map(m => (m.version, toModel(m)))
+    }.toOption.flatten
+  }
+
   /** The clustering-model query: featurized points ∪ control lines →
     * clusterWindows → model store (`<outDir>/models`, keyed by version,
     * drift metadata included) + publish to `latest`. */
@@ -167,11 +191,23 @@ object ActivityDetectionJob {
           k: Int = 4, decay: Double = 0.2,
           windowSizeMs: Long = 12 * 3600 * 1000L,
           minCount: Int = 20, maxCount: Int = 200,
-          watermark: String = "1 hour"): (StreamingQuery, StreamingQuery) = {
+          watermark: String = "1 hour"): (StreamingQuery, StreamingQuery) =
+    run(spark, events, events, ctrl, outDir, checkpointDir, k, decay,
+      windowSizeMs, minCount, maxCount, watermark)
+
+  /** Same composition with the two queries' inputs separately injectable
+    * (each chain reads the source through its own scan in production too;
+    * tests sequence the two frames for a deterministic interleaving). */
+  def run(spark: SparkSession, eventsModel: DataFrame, eventsClassify: DataFrame,
+          ctrl: Option[DataFrame], outDir: String, checkpointDir: String,
+          k: Int, decay: Double, windowSizeMs: Long,
+          minCount: Int, maxCount: Int,
+          watermark: String): (StreamingQuery, StreamingQuery) = {
     val latest = newModelRef
-    val modelQ = modelQuery(spark, events, ctrl, outDir, s"$checkpointDir/model",
+    bootstrapModel(spark, outDir).foreach(m => latest.set(Some(m)))
+    val modelQ = modelQuery(spark, eventsModel, ctrl, outDir, s"$checkpointDir/model",
       latest, k, decay, windowSizeMs, minCount, maxCount, watermark)
-    val classifyQ = classifyQuery(spark, events, outDir,
+    val classifyQ = classifyQuery(spark, eventsClassify, outDir,
       s"$checkpointDir/classify", latest)
     (modelQ, classifyQ)
   }

@@ -72,6 +72,37 @@ object ReplaySource {
 
   private def eventsFile(path: String) = s"$path/events.parquet"
 
+  /** Storage ticks of the ts column per µs, from the file's logical-type
+    * annotation — testdata generations have shipped the column as both
+    * TIMESTAMP(NANOS) (1000 ticks/µs) and TIMESTAMP(MICROS) (1). MILLIS is
+    * encoded as its negative µs-per-tick (-1000) so all three fit one Long.
+    * Cached per path: one footer read, driver or executor. */
+  private val unitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def tsUnit(path: String): Long = {
+    unitCache.computeIfAbsent(path, { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(eventsFile(p)), new Configuration()))
+      try {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        val field = rd.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        field.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case TimeUnit.NANOS  => 1000L
+              case TimeUnit.MICROS => 1L
+              case TimeUnit.MILLIS => -1000L
+            }
+          case _ => 1000L // raw int64: historical generations stored nanos
+        }
+      } finally rd.close()
+    })
+  }
+
+  /** storage ticks → µs under unit `u` (contract of tsUnit above). */
+  private def ticksToMicros(v: Long, u: Long): Long =
+    if (u > 0) Math.floorDiv(v, u) else v * (-u)
+
   /** Event-time bounds (micros) + file length, from the parquet footer —
     * the ONLY thing the driver reads (three longs, any input size). Falls
     * back to a streaming one-pass scan if a writer omitted stats. */
@@ -85,9 +116,10 @@ object ReplaySource {
           .map(_.getStatistics)
       }
       if (stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue)) {
+        val u = tsUnit(path)
         val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
         val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-        (Math.floorDiv(mins.min, 1000L), Math.floorDiv(maxs.max, 1000L),
+        (ticksToMicros(mins.min, u), ticksToMicros(maxs.max, u),
           file.getLength)
       } else {
         // ±Long extremes saturate inside scanRange to an always-true
@@ -101,28 +133,32 @@ object ReplaySource {
     } finally rd.close()
   }
 
-  /** micros → upper-bounding nanos (·1000 + 999), SATURATED at the Long
-    * range: the stats-missing full-scan fallback passes ±Long extremes,
-    * and a wrapped product would make the pushed predicate unsatisfiable
+  /** micros → the largest storage value still ≤ m µs under unit `u`
+    * (e.g. nanos: m·1000 + 999), SATURATED at the Long range: the
+    * stats-missing full-scan fallback passes ±Long extremes, and a
+    * wrapped product would make the pushed predicate unsatisfiable
     * (a silent empty replay instead of a scan). */
-  private def microsToNanosUpper(m: Long): Long =
-    if (m >= Long.MaxValue / 1000L) Long.MaxValue
-    else if (m <= Long.MinValue / 1000L) Long.MinValue
-    else m * 1000L + 999L
+  private def microsToStorageUpper(m: Long, u: Long): Long =
+    if (u > 0) {
+      if (m >= Long.MaxValue / u) Long.MaxValue
+      else if (m <= Long.MinValue / u) Long.MinValue
+      else m * u + (u - 1)
+    } else Math.floorDiv(m, -u)
 
   /** Executor-side range scan: events with ts_micros in (lo, hi] from the
     * row groups whose midpoint falls in file-byte range [byteStart,
     * byteEnd) — contiguous byte ranges tile the file with each row group
     * decoded EXACTLY once (the standard Hadoop split rule). The ts
     * predicate is pushed into the read (row-group pruning + record
-    * filter). The parquet stores TIMESTAMP(NANOS): micros > lo ⟺
-    * nanos > lo·1000 + 999, micros ≤ hi ⟺ nanos ≤ hi·1000 + 999. */
+    * filter), expressed in the file's own storage unit (tsUnit) — e.g.
+    * under TIMESTAMP(NANOS): micros > lo ⟺ nanos > lo·1000 + 999. */
   def scanRange(path: String, loMicros: Long, hiMicros: Long,
                 byteStart: Long, byteEnd: Long): Iterator[Ev] = {
+    val u = tsUnit(path)
     val tsCol = FilterApi.longColumn("ts")
     val pred = FilterApi.and(
-      FilterApi.gt(tsCol, java.lang.Long.valueOf(microsToNanosUpper(loMicros))),
-      FilterApi.ltEq(tsCol, java.lang.Long.valueOf(microsToNanosUpper(hiMicros))))
+      FilterApi.gt(tsCol, java.lang.Long.valueOf(microsToStorageUpper(loMicros, u))),
+      FilterApi.ltEq(tsCol, java.lang.Long.valueOf(microsToStorageUpper(hiMicros, u))))
     val reader: ParquetReader[org.apache.parquet.example.data.Group] =
       ParquetReader.builder(new GroupReadSupport(), new Path(eventsFile(path)))
         .withConf(new Configuration())
@@ -139,7 +175,7 @@ object ReplaySource {
           val g = reader.read()
           if (g == null) { done = true; reader.close() }
           else {
-            val micros = Math.floorDiv(g.getLong("ts", 0), 1000L)
+            val micros = ticksToMicros(g.getLong("ts", 0), u)
             val props =
               if (g.getFieldRepetitionCount("props") == 0) null
               else g.getString("props", 0)

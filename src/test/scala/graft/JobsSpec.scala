@@ -235,6 +235,75 @@ class JobsSpec extends GraftSuite {
     } finally { modelQ.stop(); classifyQ.stop() }
   }
 
+  test("ActivityDetectionJob: restarted driver classifies under the RECOVERED model; both stores converge to the uninterrupted run") {
+    // verdict items #2/#7: a driver restart must not silently drop events
+    // until the next window fire — `run` re-seeds the classifier's model
+    // channel from max(version) of `<outDir>/models` (the reference
+    // recovers its broadcast model from checkpointed state,
+    // ClassifyEventsFunction.scala:16-47). Deterministic restart via a
+    // file-backed stream (the RecoverySpec pattern): both queries are
+    // stopped after the first fire and restarted on input that does NOT
+    // fire another model — so any classification in run 2 can only come
+    // from the recovered model.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_adj_restart").toString
+    def chunk(base: Long, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until n).map(i => (base + i, new java.sql.Timestamp((base + i) * 1000L),
+        i.toLong % 3, if (i % 2 == 0) "view" else "click", (i % 5).toDouble))
+    val partA = chunk(100, 8) // maxCount=8 -> fires model v1
+    val partB = chunk(200, 4) // below maxCount, window never closes: NO new fire
+
+    def runJob(tag: String, feed: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double)]])
+        : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val inM = s"$base/$tag/inM"; val inC = s"$base/$tag/inC"
+      val out = s"$base/$tag/out"; val ckpt = s"$base/$tag/ckpt"
+      val sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
+      new java.io.File(inM).mkdirs(); new java.io.File(inC).mkdirs()
+      feed.foreach { c =>
+        // the two chains each read the source independently (as in the
+        // main); separate file feeds sequence them deterministically:
+        // the model always fires BEFORE the classifier sees the chunk
+        val (modelQ, classifyQ) = ActivityDetectionJob.run(spark,
+          spark.readStream.schema(sch).parquet(inM),
+          spark.readStream.schema(sch).parquet(inC),
+          None, out, ckpt, k = 3, decay = 0.2,
+          windowSizeMs = 12 * 3600 * 1000L, minCount = 2, maxCount = 8,
+          watermark = "1 hour")
+        try {
+          c.toDF("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("append").parquet(inM)
+          modelQ.processAllAvailable()
+          c.toDF("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("append").parquet(inC)
+          classifyQ.processAllAvailable()
+        } finally { modelQ.stop(); classifyQ.stop() } // "crash" between chunks
+      }
+      (spark.read.parquet(s"$out/models").collect().toSeq,
+        spark.read.parquet(s"$out/classified").collect().toSeq)
+    }
+
+    val (mRestart, cRestart) = runJob("restarted", Seq(partA, partB))
+    val (mStraight, cStraight) = runJob("straight", Seq(partA ++ partB))
+    // exactly one model fired (v1, from partA's 8 points) in both runs
+    assert(mRestart.map(_.getAs[Int]("version")).toSeq == Seq(1))
+    assert(mStraight.map(_.getAs[Int]("version")).toSeq == Seq(1))
+    // partB was classified AFTER the restart, under the recovered v1 —
+    // without the bootstrap those 4 events would be dropped
+    val gotB = cRestart.filter(_.getAs[Long]("event_id") >= 200)
+    assert(gotB.length == partB.length,
+      "post-restart events must classify under the store-recovered model, not drop")
+    assert(gotB.forall(_.getAs[Int]("model_version") == 1))
+    // and per-row equal to the batch classification under the stored model
+    val want = ActivityDetectionJob.classifyDf(
+      ActivityDetectionJob.featurize(
+        partB.toDF("event_id", "ts", "user_id", "event_type", "value")),
+      modelAt(mRestart.head), 1).collect().toSeq
+    assert(gotB.toSet == want.toSet)
+    // full convergence: restarted stores equal the uninterrupted run's
+    assert(mRestart.toSet == mStraight.toSet, "model stores diverged across restart")
+    assert(cRestart.toSet == cStraight.toSet, "classified stores diverged across restart")
+  }
+
   test("ActivityDetectionJob.run: composed job races safely; every classified row is consistent with its recorded model") {
     val out = tmp("adj3_out"); val ckpt = tmp("adj3_ckpt")
     val (modelQ, classifyQ) = ActivityDetectionJob.run(spark, replayed, None,
