@@ -22,8 +22,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale design (100 TB):
   *  - shingle → pair joins shuffle on the shingle; ultra-frequent shingles
-  *    are skew keys — production config adds a document-frequency cap on
-  *    shingles before the join (kept off here to match the oracle exactly);
+  *    are skew keys — `graft.shingle.maxDocFreq` (session conf, default
+  *    off = oracle-exact) drops shingles whose posting list exceeds the
+  *    cap BEFORE any pair join (see [[cappedShingleRows]]), bounding
+  *    per-shingle join work under boilerplate skew;
   *  - MinHash/LSH replaces the quadratic pair join with #bands bucket joins:
   *    only same-bucket docs are compared (the MMDS ch.3 construction);
   *  - signatures are 64 longs/doc — 512 B/doc state, broadcastable per
@@ -67,7 +69,7 @@ object TextPack {
     * once per session; at cluster scale this is the persisted candidate-
     * pair table every dedup pass downstream reads. */
   private[operators] def pairBase(s: SparkSession, d: String): DataFrame = {
-    val shx = shingleRows(s, d)
+    val shx = cappedShingleRows(s, d)
     val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     shx.as("a")
       .join(shx.as("b"), col("a.shingle") === col("b.shingle")
@@ -101,6 +103,37 @@ object TextPack {
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(shinglesOf(col("t"))).as("shingle"))
       .cache()
+
+  /** Session conf knob for the hot-shingle document-frequency cap: a
+    * shingle appearing in more than this many documents is dropped from
+    * the posting lists BEFORE any pair join. Unset (default) = off, which
+    * keeps every pair query byte-exact against its DuckDB oracle. */
+  private[operators] val MaxDocFreqKey = "graft.shingle.maxDocFreq"
+
+  private def dfCap(s: SparkSession): Option[Long] =
+    s.conf.getOption(MaxDocFreqKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+
+  /** [[shingleRows]] with the document-frequency cap applied when
+    * configured. A boilerplate-heavy corpus — the norm at 100 TB — puts a
+    * near-identical header shingle in millions of docs; its posting list
+    * makes every posting-list self-join quadratic IN THAT ONE KEY. The cap
+    * drops such shingles from the similarity universe entirely (they carry
+    * no discriminative signal — the same reasoning as stopword removal, and
+    * the standard spam/C4-style dedup configuration), so set sizes (`ni`,
+    * `nj`) and intersections downstream are consistently measured over the
+    * capped universe. Plan: one count per shingle + an anti-join against
+    * the over-cap shingle set, which is at most |postings|/cap keys — AQE
+    * broadcasts it when small. */
+  private[operators] def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
+    val shx = shingleRows(s, d)
+    dfCap(s) match {
+      case None => shx
+      case Some(cap) =>
+        val hot = shx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        shx.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
 
   private[operators] val sqlShingleRows: String =
     s"""SELECT doc_id, unnest(s) AS shingle FROM (
@@ -366,7 +399,7 @@ object TextPack {
     "q105_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         (Hashes.base32(col("doc_id").cast("string")) % 5 === 0).as("is_new"))
-      val shx = shingleRows(s, d).join(docs, "doc_id")
+      val shx = cappedShingleRows(s, d).join(docs, "doc_id")
       val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = shx.filter(col("is_new")).as("a")
         .join(shx.filter(!col("is_new")).as("b"),
