@@ -21,6 +21,96 @@ import org.apache.spark.sql.expressions.Window
 object RelationalPack {
   type Q = (SparkSession, String) => DataFrame
 
+  // ---- q79: deterministic HyperLogLog over the cross-engine hash ----
+  // A from-scratch HLL (Flajolet et al. 2007) on Hashes.base32, so the
+  // register state AND the estimate are bit-identical in Spark and DuckDB
+  // — the q51 determinism pattern applied to the sketch family, which
+  // upgrades q79 from a rows-only gate to a full hash-checked oracle.
+  // The state is the classic mergeable form (per-bucket max of rho), so
+  // partial sketches from any partitioning fold to the same registers.
+  private[operators] val HLL_P = 8
+  private[operators] val HLL_M = 1 << HLL_P           // 256 registers
+  private val HLL_WBITS = 32 - HLL_P                  // rho over remaining 24 bits
+  private val HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+  // raw-estimate numerator alpha*m^2, pre-scaled by 2^(WBITS+1) because the
+  // register sum is kept as the EXACT integer sum of 2^(WBITS+1-reg)
+  // (empty bucket = 2^(WBITS+1)): integer sums are order-insensitive where
+  // a float 2^-reg sum would not be hash-stable across engines.
+  private val HLL_CRAW =
+    HLL_ALPHA * HLL_M * HLL_M * (1L << (HLL_WBITS + 1)).toDouble
+  // linear-counting small-range correction m*ln(m/V) as a LITERAL table
+  // indexed by m_used (V = m - m_used): ln is not guaranteed identically
+  // rounded across libm implementations, so both engines look the value up
+  // from the same Scala-computed constants instead of computing ln.
+  private val hllLc: IndexedSeq[Double] =
+    (1 until HLL_M).map(mu => HLL_M * math.log(HLL_M.toDouble / (HLL_M - mu))) :+ 0.0
+
+  /** Registers (event_type, bucket, reg) of the deterministic HLL. */
+  private def hllRegs(s: SparkSession, d: String) = {
+    import graft.functions.Hashes
+    Tables.events(s, d)
+      .select(col("event_type"),
+        Hashes.base32(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), (col("h") % HLL_M).as("bucket"),
+        expr(s"h div $HLL_M").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(HLL_WBITS + 1))
+          .otherwise(lit(HLL_WBITS + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Estimate + exact register-state summary per group. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
+    val raw = lit(HLL_CRAW) / col("s_scaled").cast("double")
+    val lcArr = array(hllLc.map(lit(_)): _*) // element_at is 1-based: [m_used]
+    regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m_used"),
+        sum(col("reg")).cast("long").as("reg_sum"),
+        sum(pow(lit(2.0), lit(HLL_WBITS + 1) - col("reg"))).cast("long").as("s_part"))
+      .withColumn("s_scaled", col("s_part")
+        + (lit(HLL_M) - col("m_used")) * lit(1L << (HLL_WBITS + 1)))
+      .withColumn("est_users",
+        floor(when(raw <= lit(2.5 * HLL_M) && col("m_used") < HLL_M,
+            element_at(lcArr, col("m_used").cast("int")))
+          .otherwise(raw)).cast("long"))
+      .select(col("event_type"), col("m_used"), col("reg_sum"), col("est_users"))
+  }
+
+  /** DuckDB twin of the whole q79 pipeline (same constants, same table). */
+  private[operators] val sqlHll: String = {
+    import graft.functions.Hashes
+    val lcCase = hllLc.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}" }
+      .mkString("CASE m_used ", " ", " END")
+    val raw = s"($HLL_CRAW / s_scaled::DOUBLE)"
+    s"""WITH hb AS (
+       |  SELECT event_type,
+       |    ${Hashes.sqlBase32("user_id::VARCHAR")} % $HLL_M AS bucket,
+       |    ${Hashes.sqlBase32("user_id::VARCHAR")} // $HLL_M AS w
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, bucket,
+       |    max(CASE WHEN w = 0 THEN ${HLL_WBITS + 1}
+       |             ELSE ${HLL_WBITS + 1} - length(bin(w)) END) AS reg
+       |  FROM hb GROUP BY 1, 2
+       |), ra AS (
+       |  SELECT 'ALL' AS event_type, bucket, max(reg) AS reg FROM r GROUP BY 2
+       |), u AS (
+       |  SELECT * FROM r UNION ALL SELECT * FROM ra
+       |), agg AS (
+       |  SELECT event_type, count(*)::BIGINT AS m_used,
+       |    sum(reg)::BIGINT AS reg_sum,
+       |    (sum(1::BIGINT << (${HLL_WBITS + 1} - reg))
+       |      + ($HLL_M - count(*)) * ${1L << (HLL_WBITS + 1)})::BIGINT AS s_scaled
+       |  FROM u GROUP BY 1
+       |)
+       |SELECT event_type, m_used, reg_sum,
+       |  floor(CASE WHEN $raw <= ${2.5 * HLL_M} AND m_used < $HLL_M
+       |             THEN $lcCase ELSE $raw END)::BIGINT AS est_users
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // A-basic aggregation (reference A1-family: grouped counters/sums;
     // reference: jobs/activeposts/PostStatisticsFunction.scala computes
@@ -403,32 +493,60 @@ object RelationalPack {
         .orderBy(col("month"))
     }),
 
+    // A7's sketch form at 100 TB: per-type distinct users via the
+    // deterministic HLL (constants above). State per group is m=256
+    // registers — fixed-size, mergeable (per-bucket max) — and the plan is
+    // two hash aggregations (register build, then per-type fold), both with
+    // map-side partials. The ALL row folds the per-type registers, NOT the
+    // raw rows — the reaggregation property a 1000-executor rollup relies
+    // on. Output: estimate + exact register-state summary, all
+    // hash-checked against the DuckDB twin of the same construction.
     "q79_hll_distinct" -> ((s, d) => {
-      val sk = Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      val perType = sk.select(col("event_type"),
-        hll_sketch_estimate(col("sk")).as("est_users"))
-      val all = sk
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("est_users"))
-        .select(lit("ALL").as("event_type"), col("est_users"))
-      perType.unionByName(all).orderBy(col("event_type"))
+      val perType = hllRegs(s, d)
+      val all = perType.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        .withColumn("event_type", lit("ALL"))
+      hllEstimate(perType.select(col("event_type"), col("bucket"), col("reg"))
+          .unionByName(all.select(col("event_type"), col("bucket"), col("reg"))))
+        .orderBy(col("event_type"))
     }),
 
     // q19's 100 TB path: Greenwald-Khanna approximate percentiles. Exact
     // per-group percentiles hold sorted state linear in the group; the GK
     // sketch is a bounded-size mergeable summary, so the plan keeps
     // map-side partial aggregation and the shuffle carries summaries, not
-    // values. Deterministic but (like q79) not DuckDB-reproducible →
-    // rows-only gate; ε-error vs the exact quantiles pinned in spec.
+    // values. The sketch VALUES are not DuckDB-reproducible (different GK
+    // impls), so the oracle-checked output is the deterministic invariant
+    // form: exact discrete quantiles (kth-smallest, pure selection — bit-
+    // identical across engines) plus booleans asserting the approx values
+    // sit within the GK rank-error bound — the oracle emits the exact
+    // quantiles and TRUE, so a broken sketch breaks the hash.
     "q80_quantile_sketch" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"),
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("a90"),
           count(lit(1)).as("n"))
+      val ranked = ev.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      // one pass computes both the exact quantiles and the approx values'
+      // true ranks (lo = #values strictly below, hi = #values at-or-below)
+      val tol = col("n") / lit(1000.0) + lit(1.0)
+      def rankOk(q: Double, lo: org.apache.spark.sql.Column,
+                 hi: org.apache.spark.sql.Column) =
+        (lit(q) * col("n") >= lo - tol) && (lit(q) * col("n") <= hi + tol)
+      ranked.join(approx, "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          min(when(col("rn") >= ceil(lit(0.5) * col("n")), col("value"))).as("p50_exact"),
+          min(when(col("rn") >= ceil(lit(0.9) * col("n")), col("value"))).as("p90_exact"),
+          sum(when(col("value") < col("a50"), 1).otherwise(0)).as("lo50"),
+          sum(when(col("value") <= col("a50"), 1).otherwise(0)).as("hi50"),
+          sum(when(col("value") < col("a90"), 1).otherwise(0)).as("lo90"),
+          sum(when(col("value") <= col("a90"), 1).otherwise(0)).as("hi90"))
+        .select(col("event_type"), col("n"),
+          col("p50_exact"), col("p90_exact"),
+          rankOk(0.5, col("lo50"), col("hi50")).as("p50_ok"),
+          rankOk(0.9, col("lo90"), col("hi90")).as("p90_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -677,6 +795,26 @@ object RelationalPack {
         |  CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
         |  'U' || user_id AS feature_id,
         |  md5(event_type) AS etype_md5
-        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    // full DuckDB twin of the deterministic HLL (registers + estimate)
+    "q79_hll_distinct" -> sqlHll,
+
+    // exact discrete quantiles re-derived in SQL; the GK rank-bound
+    // booleans are the invariant the Spark side must satisfy (TRUE here)
+    "q80_quantile_sketch" ->
+      """WITH n AS (
+        |  SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM events
+        |)
+        |SELECT r.event_type, any_value(n.n) AS n,
+        |  min(CASE WHEN rn >= ceil(0.5 * n.n) THEN value END) AS p50_exact,
+        |  min(CASE WHEN rn >= ceil(0.9 * n.n) THEN value END) AS p90_exact,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM r JOIN n USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -386,19 +386,37 @@ object SamplingPack {
     // Mergeable frequent-items sketch (Misra-Gries) per source — q81's
     // one-pass bounded-memory twin for streams/hierarchical rollups, the
     // third classic sketch beside q79's HLL and q80's GK quantiles.
-    // Candidate SETS are order-sensitive (any MG run is); the guarantees
-    // (superset of true heavy hitters, undercount ≤ N/(k+1)) are pinned in
-    // FreqSketchSpec, so like q79/q80 this is a rows-only gate.
+    // Candidate SETS are order-sensitive (any MG run is), so the
+    // oracle-checked output is the deterministic invariant form: exact
+    // heavy-hitter count (reproduced by the DuckDB twin) plus booleans
+    // asserting the MG guarantees — candidates cover every true heavy
+    // hitter (count > N/(k+1)) and every estimate undercounts by at most
+    // N/(k+1). The oracle emits the exact counts and TRUE, so a broken
+    // sketch breaks the hash. FreqSketchSpec additionally pins the
+    // candidate-level guarantees on the aggregator itself.
     "q86_freq_sketch" -> ((s, d) => {
-      import s.implicits._
       val mg = udaf(new FreqSketch(MG_K))
-      Tables.documents(s, d)
+      val tok = Tables.documents(s, d)
         .select(col("source"), explode(toks).as("tok"))
-        .groupBy(col("source"))
+      val sk = tok.groupBy(col("source"))
         .agg(mg(col("tok")).as("sk"), count(lit(1)).as("n_tokens"))
-        .select(col("source"), col("n_tokens"),
-          size(col("sk")).as("n_candidates"),
-          array_join(sort_array(map_keys(col("sk"))), ",").as("candidates"))
+      val exact = tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      // integer-exact bound checks: c*(k+1) > N  <=>  c > N/(k+1)
+      exact.join(sk, "source")
+        .withColumn("est", element_at(col("sk"), col("tok")))
+        .withColumn("is_heavy", col("c") * (MG_K + 1) > col("n_tokens"))
+        .groupBy(col("source"))
+        .agg(first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("is_heavy"), 1).otherwise(0)).cast("long").as("n_heavy"),
+          (sum(when(col("is_heavy") && col("est").isNull, 1).otherwise(0)) === 0)
+            .as("covered"),
+          (sum(when(col("est").isNotNull &&
+              (col("est") > col("c")
+                || col("est") * (MG_K + 1) + col("n_tokens") < col("c") * (MG_K + 1)),
+              1).otherwise(0)) === 0).as("bounds_ok"))
+        .select(col("source"), col("n_tokens"), col("n_heavy"),
+          col("covered"), col("bounds_ok"))
         .orderBy(col("source"))
     }),
 
@@ -735,9 +753,22 @@ object SamplingPack {
          |  JOIN split sj ON sj.doc_id = j
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // q86_freq_sketch: rows-only (sketch candidate sets are order-sensitive
-    // and not DuckDB-reproducible — guarantees pinned in FreqSketchSpec,
-    // same gate shape as q79/q80).
+    // q86: exact heavy-hitter counts re-derived in SQL; the MG coverage/
+    // undercount booleans are the invariant the Spark sketch must satisfy
+    "q86_freq_sketch" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents
+         |), n AS (
+         |  SELECT source, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1
+         |), c AS (
+         |  SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2
+         |)
+         |SELECT c.source, any_value(n.n_tokens) AS n_tokens,
+         |  sum(CASE WHEN c.c * ${MG_K + 1} > n.n_tokens THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_heavy,
+         |  true AS covered, true AS bounds_ok
+         |FROM c JOIN n USING (source)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q106_source_keyness" -> {
       val g2 = "2.0 * (a * ln((a::DOUBLE * nn::DOUBLE) / (ns::DOUBLE * ct::DOUBLE))" +

@@ -61,12 +61,11 @@ class EdgeCaseSpec extends GraftSuite {
 
   test("oracle keys and query keys are mutually consistent") {
     val qs = SparkEntry.queries.keySet
-    // permanently rows-only: the three sketch operators (HLL distinct,
-    // GK quantiles, Misra-Gries frequent items — not DuckDB-reproducible;
-    // the media decode graduated to hash-checked via its modular
-    // polynomial checksum)
-    val sketchy = Set("q79_hll_distinct",
-      "q80_quantile_sketch", "q86_freq_sketch")
+    // every query is oracle-checked: the three sketches graduated to
+    // deterministic invariant outputs (q79's cross-engine HLL, q80/q86's
+    // exact-stats + in-bound booleans), the media decode via its modular
+    // polynomial checksum
+    val sketchy = Set.empty[String]
     // static oracles (no sf dir known): the data-dependent q43/q62/q78
     // are additionally rows-only until Verify provides the sf context
     SparkEntry.oracleContext = None

@@ -63,7 +63,7 @@ class FreqSketchSpec extends AnyFunSuite {
     }
   }
 
-  test("distributed q86 candidates cover each source's true heavy hitters") {
+  test("distributed q86 audit agrees with a local exact recount") {
     import org.apache.spark.sql.functions._
     val spark = SparkTestBase.spark
     val out = graft.operators.SamplingPack.queries("q86_freq_sketch")(
@@ -76,11 +76,14 @@ class FreqSketchSpec extends AnyFunSuite {
     out.foreach { r =>
       val src = r.getString(r.fieldIndex("source"))
       val n = r.getLong(r.fieldIndex("n_tokens"))
-      val cands = r.getString(r.fieldIndex("candidates")).split(",").toSet
-      val heavy = exactCounts(src).filter(_.getLong(2) > n / 9) // k=8
-        .map(_.getString(1)).toSet
-      assert(heavy.subsetOf(cands),
-        s"source $src: heavy hitters ${heavy.diff(cands)} missing")
+      // n_heavy equals the locally recomputed heavy-hitter count, and the
+      // in-query coverage/undercount audit of the sketch passed
+      val heavy = exactCounts(src).count(_.getLong(2) * 9 > n) // k=8
+      assert(r.getLong(r.fieldIndex("n_heavy")) == heavy.toLong)
+      assert(r.getBoolean(r.fieldIndex("covered")),
+        s"source $src: candidates missed a true heavy hitter")
+      assert(r.getBoolean(r.fieldIndex("bounds_ok")),
+        s"source $src: an estimate left the undercount bound")
     }
   }
 }

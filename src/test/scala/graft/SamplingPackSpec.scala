@@ -157,14 +157,18 @@ class SamplingPackSpec extends GraftSuite {
       ev.map(_.getLong(5)).distinct.length.toLong)
   }
 
-  test("q86: one row per source, candidate sets within the counter budget") {
+  test("q86: one row per source; the in-query MG audit passes everywhere") {
     val rows = q("q86_freq_sketch").collect()
     val nSources = Tables.documents(spark, sf)
       .select(countDistinct(col("source"))).head().getLong(0)
     assert(rows.length.toLong === nSources)
     rows.foreach { r =>
-      assert(r.getInt(r.fieldIndex("n_candidates")) <= 8)
       assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
+      assert(r.getLong(r.fieldIndex("n_heavy")) >= 0)
+      assert(r.getBoolean(r.fieldIndex("covered")),
+        "sketch candidates must cover every true heavy hitter")
+      assert(r.getBoolean(r.fieldIndex("bounds_ok")),
+        "sketch estimates must stay within the N/(k+1) undercount bound")
     }
   }
 
