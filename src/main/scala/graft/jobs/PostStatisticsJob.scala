@@ -43,14 +43,77 @@ object PostStatisticsJob {
       }
       .start()
 
-  /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] */
+  /** The reference's FULL Task-1 chain (ActivePostStatisticsJob.scala:48-66):
+    * the comment stream is first resolved to its transitive root post by
+    * the reply-tree builder, the resolved events rejoin the root events,
+    * and the sliding statistics are computed PER ROOT POST — so a reply
+    * deep in a thread counts toward its post's statistics, not its own id.
+    *
+    * Spark assembly: watermark → derive the edge relation (q45's
+    * deterministic parent rule: 'click' events are replies) →
+    * [[graft.streaming.ReplyTreeOp.resolveEvicting]] (roots resolve to
+    * themselves, replies transitively; dangling replies evict at the
+    * watermark like the reference's side-output drop) → the resolved
+    * stream carries each event's own payload, so the SAME slidingStats
+    * transform runs keyed by `root_id` — two chained stateful operators,
+    * exactly the reference's process-function pipeline shape.
+    *
+    * Scale: the resolver is the documented single-group frontier op (its
+    * 100 TB form is the per-micro-batch fixpoint against a persisted
+    * mapping store — PipelineSpec's job); the downstream window agg and
+    * upsert shuffle on (window, root) as in [[run]]. */
+  def runResolved(spark: SparkSession, events: DataFrame, outDir: String,
+                  checkpointDir: String, watermark: String = "1 hour"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"),
+        when(col("event_type") === "click",
+          col("event_id") - 1
+            - (regexp_extract(col("props"), "(\\d+)", 1).cast("long") % 4))
+          .otherwise(lit(null).cast("long")).as("parent_id"),
+        col("user_id"), col("event_type"))
+      .as[graft.streaming.EdgeEventT]
+    val resolved = graft.streaming.ReplyTreeOp.resolveEvicting(edges)
+      .filter(!col("dropped"))
+      .select(col("ts"), col("root_id"), col("event_type"))
+    // Spark rejects stateful-after-stateful by default because the upstream
+    // operator may emit rows behind the global watermark. Here that is the
+    // INTENDED semantics and the loss window is already bounded: the
+    // resolver evicts any pending reply the watermark has passed (so a
+    // reply can resolve at most one trigger behind the watermark), and the
+    // reference accepts exactly the same drop through its own allowed
+    // lateness (BuildReplyTreeProcessFunction's watermark eviction +
+    // side output). Scope the opt-out to this query's startup.
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try
+      StreamOps.slidingStatsBy(resolved, "root_id")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          KeyedUpsertSink.upsert(batch.sparkSession, outDir, batch,
+            Seq("wstart", "root_id"), "n_events")
+        }
+        .start()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] [resolved]
+    * — pass `resolved` as the 6th arg to run the full reply-resolved chain. */
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, ckpt) = (args(0), args(1), args(2))
     val speedup = args.lift(3).getOrElse("10000")
     val runSec = args.lift(4).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Jobs.session("post-statistics")
     val events = Jobs.replayEvents(spark, sfDir, speedup)
-    val q = run(spark, events, outDir, ckpt)
+    val q =
+      if (args.lift(5).contains("resolved")) runResolved(spark, events, outDir, ckpt)
+      else run(spark, events, outDir, ckpt)
     Jobs.await(q, runSec)
     q.stop(); spark.stop()
   }

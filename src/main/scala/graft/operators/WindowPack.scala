@@ -34,18 +34,19 @@ object WindowPack {
     * `approx_count_distinct` (countDistinct is unsupported on streams and
     * its state is unbounded at scale).
     */
-  def slidingStats(events: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+  def slidingStats(events: DataFrame, exactDistinct: Boolean = true,
+                   key: String = "user_id"): DataFrame = {
     val distinctTypes =
       if (exactDistinct) countDistinct(col("event_type"))
       else approx_count_distinct(col("event_type"))
     events
-      .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col("user_id"))
+      .groupBy(window(col("ts"), "12 hours", "30 minutes").as("w"), col(key))
       .agg(
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         count(when(col("event_type") === "click", 1)).as("n_click"),
         distinctTypes.as("n_types"))
-      .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"),
+      .select(unix_timestamp(col("w.start")).as("wstart"), col(key),
         col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
   }
 

@@ -5,8 +5,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** One edge event: a root (parent_id = None) or a reply pointing at its
   * parent (reference: RawCommentEvent with replyToPostId/replyToCommentId,
-  * model/Events.scala:111-120). */
-final case class EdgeEvent(event_id: Long, tsec: Long, parent_id: Option[Long])
+  * model/Events.scala:111-120). The trailing payload fields (defaulted for
+  * pure-graph callers) ride along so a resolved event can feed downstream
+  * per-root statistics without a stream-stream re-join — the reference's
+  * comment payload travels through its tree builder the same way
+  * (BuildReplyTreeProcessFunction emits whole enriched comments). `ts`
+  * carries the exact µs event time; `tsec` stays the resolver's causality
+  * clock. */
+final case class EdgeEvent(event_id: Long, tsec: Long, parent_id: Option[Long],
+                           user_id: Long = 0L, event_type: String = "",
+                           ts: java.sql.Timestamp = null)
 
 /** A resolved event: its transitive root, chain depth, whole-chain
   * causality flag. */
@@ -18,16 +26,22 @@ final case class TreeState(resolved: Map[Long, (Long, Int, Boolean, Long)],
                            pending: Map[Long, Seq[EdgeEvent]])
 
 /** Edge event with a real event-time column — the watermark carrier for
-  * the evicting resolver. */
+  * the evicting resolver. Payload fields as in [[EdgeEvent]]. */
 final case class EdgeEventT(event_id: Long, ts: java.sql.Timestamp,
-                            parent_id: Option[Long])
+                            parent_id: Option[Long],
+                            user_id: Long = 0L, event_type: String = "")
 
 /** Evicting-resolver output: a resolved event (`dropped` false) or an
   * evicted dangling reply (`dropped` true, root/depth sentinel −1) — the
   * reference's main + side output collapsed onto one stream, split by the
-  * caller with a filter (R3 side-output pattern). */
+  * caller with a filter (R3 side-output pattern). The trailing payload
+  * columns (the event's own exact event time + attributes) let callers
+  * window/aggregate the resolved stream directly; they append AFTER the
+  * original five so positional consumers are unaffected. */
 final case class TreeOut(event_id: Long, root_id: Long, depth: Int,
-                         causal: Boolean, dropped: Boolean)
+                         causal: Boolean, dropped: Boolean,
+                         ts: java.sql.Timestamp = null,
+                         user_id: Long = 0L, event_type: String = "")
 
 /** Streaming reply-tree resolution — SURVEY §7.4 Plan A (reference:
   * streams/BuildReplyTreeProcessFunction.scala:28-409). Events arrive in
@@ -138,7 +152,8 @@ object ReplyTreeOp {
           def settle(e: EdgeEvent, p: (Long, Int, Boolean, Long)): Unit = {
             val entry = (p._1, p._2 + 1, p._3 && e.tsec >= p._4, e.tsec)
             st = st.copy(resolved = st.resolved + (e.event_id -> entry))
-            out += TreeOut(e.event_id, entry._1, entry._2, entry._3, dropped = false)
+            out += TreeOut(e.event_id, entry._1, entry._2, entry._3,
+              dropped = false, e.ts, e.user_id, e.event_type)
             drain(e.event_id)
           }
 
@@ -154,7 +169,8 @@ object ReplyTreeOp {
           // dropped regardless of their own timestamps)
           val droppedIds = scala.collection.mutable.Set.empty[Long]
           def dropWithChildren(e: EdgeEvent): Unit = if (droppedIds.add(e.event_id)) {
-            out += TreeOut(e.event_id, -1L, -1, causal = false, dropped = true)
+            out += TreeOut(e.event_id, -1L, -1, causal = false, dropped = true,
+              e.ts, e.user_id, e.event_type)
             st.pending.get(e.event_id).foreach { kids =>
               st = st.copy(pending = st.pending - e.event_id)
               kids.sortBy(_.event_id).foreach(dropWithChildren)
@@ -179,12 +195,14 @@ object ReplyTreeOp {
           evict() // watermark advanced since the last invocation
           if (!state.hasTimedOut) {
             it.toSeq.sortBy(_.event_id).foreach { et =>
-              val e = EdgeEvent(et.event_id, et.ts.getTime, et.parent_id)
+              val e = EdgeEvent(et.event_id, et.ts.getTime, et.parent_id,
+                et.user_id, et.event_type, et.ts)
               e.parent_id match {
                 case None =>
                   st = st.copy(resolved =
                     st.resolved + (e.event_id -> (e.event_id, 0, true, e.tsec)))
-                  out += TreeOut(e.event_id, e.event_id, 0, causal = true, dropped = false)
+                  out += TreeOut(e.event_id, e.event_id, 0, causal = true,
+                    dropped = false, e.ts, e.user_id, e.event_type)
                   drain(e.event_id)
                 case Some(pid) =>
                   st.resolved.get(pid) match {

@@ -67,6 +67,12 @@ object StreamOps {
   def slidingStats(events: DataFrame): DataFrame =
     graft.operators.WindowPack.slidingStats(events, exactDistinct = false)
 
+  /** [[slidingStats]] keyed by an arbitrary column — the per-ROOT-POST
+    * form the full Task-1 chain aggregates after reply resolution
+    * (reference: post id, ActivePostStatisticsJob.scala:48-66). */
+  def slidingStatsBy(events: DataFrame, key: String): DataFrame =
+    graft.operators.WindowPack.slidingStats(events, exactDistinct = false, key = key)
+
   /** Windowed distinct-user counts as DataSketches HLL — q79's streaming
     * twin. Sketch state is fixed-size per (window, type) group regardless
     * of cardinality (vs collect_set's linear state), and the stored
