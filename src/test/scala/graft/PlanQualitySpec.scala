@@ -216,6 +216,40 @@ class PlanQualitySpec extends GraftSuite {
         hints.map(_.output.map(_.name).mkString("[", ",", "]")).mkString(", "))
   }
 
+  test("q79: register build and estimate fold both do partial aggregation; scan prunes to two columns") {
+    val df = RelationalPack.queries("q79_hll_distinct")(spark, sf)
+    val plan = executedPlan(df)
+    // the deterministic HLL is two hash aggregations (event_type, bucket)
+    // then (event_type); BOTH must keep map-side partials so the shuffle
+    // carries registers/partial sums, never raw rows — the property that
+    // makes the sketch reaggregate across a 1000-executor rollup
+    val partials = plan.sliding("partial_".length).count(_ == "partial_")
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    assert(partials >= 2, s"expected >=2 partial aggs, got $partials:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && readSchema.contains("user_id"),
+      s"expected 2-column scan: $readSchema")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("deterministic HLL registers are partition-invariant (mergeable state)") {
+    // the per-bucket max-of-rho state must fold to the same registers under
+    // ANY partitioning/arrival order — re-run the register build under
+    // different shuffle partition counts and on a shuffled row order
+    import graft.operators.RelationalPack
+    def regs(): Array[org.apache.spark.sql.Row] =
+      RelationalPack.queries("q79_hll_distinct")(spark, sf).collect()
+    val base = regs()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(regs().toSeq == base.toSeq, "registers changed with partitioning")
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(regs().toSeq == base.toSeq, "registers changed with partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE

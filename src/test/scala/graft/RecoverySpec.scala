@@ -14,6 +14,57 @@ import java.nio.file.Files
   */
 class RecoverySpec extends GraftSuite {
 
+  test("runResolved chain resumes from checkpoint: BOTH stateful operators recover") {
+    // The full Task-1 chain holds two stateful operators in one query
+    // (reply-tree resolver + sliding window agg). A reply arriving AFTER
+    // the restart whose parent resolved BEFORE it can only resolve if the
+    // resolver's state recovered; its window contribution can only be
+    // correct if the agg state recovered too. props="0" makes the q45
+    // parent rule parent = event_id - 1 (clicks chain off the previous id).
+    import graft.jobs.PostStatisticsJob
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_rec_resolved").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val twinDir = s"$base/twin"
+    new java.io.File(in).mkdirs()
+    val sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    def ev(id: Long, et: String) =
+      (id, new java.sql.Timestamp(1700000000000L + id * 1000L), id % 5, et, 1.0, "0")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // run 1: roots 100-104 + the chain's first reply 105 (parent 104)
+    val partA = Seq(ev(100, "view"), ev(101, "view"), ev(102, "purchase"),
+      ev(103, "view"), ev(104, "view"), ev(105, "click"))
+    // run 2: replies 106 (parent 105 — resolved pre-restart) and 107
+    val partB = Seq(ev(106, "click"), ev(107, "click"))
+
+    def runOnce(c: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val q = PostStatisticsJob.runResolved(spark,
+        spark.readStream.schema(sch).parquet(in), out, ckpt)
+      try {
+        c.toDF(cols: _*).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop() // "crash" between chunks
+    }
+    runOnce(partA); runOnce(partB)
+
+    // twin: the batch fixpoint + per-root sliding stats over ALL events
+    (partA ++ partB).toDF(cols: _*).write.parquet(s"$twinDir/events.parquet")
+    val resolved = graft.operators.GraphPack.resolveRoots(spark, twinDir)
+      .select(col("event_id"), col("root_id"))
+    val want = graft.operators.WindowPack.slidingStats(
+      Tables.events(spark, twinDir).join(resolved, "event_id")
+        .select(col("ts"), col("root_id"), col("event_type")),
+      exactDistinct = false, key = "root_id")
+    val got = spark.read.parquet(out)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "restarted chained job diverged from the batch twin")
+    // the post-restart replies really landed on root 104's statistics
+    assert(got.filter(col("root_id") === 104).agg(max(col("n_click")))
+      .head().getLong(0) == 3L,
+      "replies must chain through state recovered across the restart")
+  }
+
   test("streaming agg resumes from checkpoint after a stop: result = batch, exactly-once") {
     val base = Files.createTempDirectory("graft_recovery").toString
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
