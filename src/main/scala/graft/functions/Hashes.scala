@@ -46,6 +46,24 @@ object Hashes {
   def minhashSlot(x: Column, ab: (Long, Long)): Column =
     (x * lit(ab._1) + lit(ab._2)) % lit(P)
 
+  // ---- deterministic-HLL register coordinates (q79's construction) ----
+  // Shared by the batch query, its DuckDB oracle, and the streaming
+  // register build so all three derive the SAME registers from base32(h).
+
+  /** HLL bucket: low p bits of a base32 hash (h ≥ 0, so the bitmask
+    * equals h % 2^p — the form the oracle SQL uses). */
+  def hllBucket(h: Column, p: Int): Column =
+    h.bitwiseAND(lit((1L << p) - 1))
+
+  /** HLL rho: 1 + leading-zero count of the remaining (32-p)-bit window
+    * w = h >> p, via the minimal-binary-length identity
+    * rho = (32-p) + 1 - len(bin(w)) (w = 0 → the full (32-p)+1). */
+  def hllRho(h: Column, p: Int): Column = {
+    val w = shiftright(h, p)
+    when(w === 0, lit(32 - p + 1))
+      .otherwise(lit(32 - p + 1) - length(bin(w)))
+  }
+
   // ---- DuckDB SQL fragments (same semantics, for oracle generation) ----
 
   /** DuckDB: base32 of expression `e`. */

@@ -28,8 +28,8 @@ object RelationalPack {
   // upgrades q79 from a rows-only gate to a full hash-checked oracle.
   // The state is the classic mergeable form (per-bucket max of rho), so
   // partial sketches from any partitioning fold to the same registers.
-  private[operators] val HLL_P = 8
-  private[operators] val HLL_M = 1 << HLL_P           // 256 registers
+  private[graft] val HLL_P = 8
+  private[graft] val HLL_M = 1 << HLL_P               // 256 registers
   private val HLL_WBITS = 32 - HLL_P                  // rho over remaining 24 bits
   private val HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
   // raw-estimate numerator alpha*m^2, pre-scaled by 2^(WBITS+1) because the
@@ -45,17 +45,18 @@ object RelationalPack {
   private val hllLc: IndexedSeq[Double] =
     (1 until HLL_M).map(mu => HLL_M * math.log(HLL_M.toDouble / (HLL_M - mu))) :+ 0.0
 
-  /** Registers (event_type, bucket, reg) of the deterministic HLL. */
+  /** Registers (event_type, bucket, reg) of the deterministic HLL —
+    * the bucket/rho coordinates come from [[graft.functions.Hashes]] so
+    * the batch query, the DuckDB oracle, and the streaming register build
+    * ([[graft.streaming.StreamOps.sketchDistinctDetRegs]]) share one
+    * construction. */
   private def hllRegs(s: SparkSession, d: String) = {
     import graft.functions.Hashes
     Tables.events(s, d)
       .select(col("event_type"),
         Hashes.base32(col("user_id").cast("string")).as("h"))
-      .select(col("event_type"), (col("h") % HLL_M).as("bucket"),
-        expr(s"h div $HLL_M").as("w"))
-      .select(col("event_type"), col("bucket"),
-        when(col("w") === 0, lit(HLL_WBITS + 1))
-          .otherwise(lit(HLL_WBITS + 1) - length(bin(col("w")))).as("rho"))
+      .select(col("event_type"), Hashes.hllBucket(col("h"), HLL_P).as("bucket"),
+        Hashes.hllRho(col("h"), HLL_P).as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
   }

@@ -73,12 +73,15 @@ object StreamOps {
   def slidingStatsBy(events: DataFrame, key: String): DataFrame =
     graft.operators.WindowPack.slidingStats(events, exactDistinct = false, key = key)
 
-  /** Windowed distinct-user counts as DataSketches HLL — q79's streaming
-    * twin. Sketch state is fixed-size per (window, type) group regardless
-    * of cardinality (vs collect_set's linear state), and the stored
+  /** Windowed distinct-user counts as DataSketches HLL — the
+    * production-grade streaming sketch (lgK=12, ~1.6% error). Sketch
+    * state is fixed-size per (window, type) group regardless of
+    * cardinality (vs collect_set's linear state), and the stored
     * register state is a max-merge, so partial sketches from any partition
     * or micro-batch order converge to the same state — the property that
-    * makes the estimate reaggregatable across a 1000-executor topology. */
+    * makes the estimate reaggregatable across a 1000-executor topology.
+    * [[sketchDistinctDetRegs]] is the cross-engine-DETERMINISTIC sibling
+    * (q79's exact construction). */
   def sketchDistinct(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "4 hours"), col("event_type"))
@@ -86,6 +89,31 @@ object StreamOps {
         .as("est_users"))
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("est_users"))
+
+  /** Windowed register state of q79's DETERMINISTIC HyperLogLog — the
+    * same md5-derived bucket/rho coordinates as the batch query and its
+    * DuckDB oracle ([[graft.functions.Hashes.hllBucket]]/`hllRho`), so the
+    * streamed registers are BYTE-equal to a batch recomputation of the
+    * same window (StreamingSpec pins the parity through micro-batched,
+    * re-ordered arrival). State per (window, type) is ≤ m=256 register
+    * rows, maintained by a plain max-merge aggregation — estimates are a
+    * cheap projection over the stored registers downstream, which is how
+    * a 1000-executor rollup reaggregates sketches without touching raw
+    * ids. */
+  def sketchDistinctDetRegs(events: DataFrame): DataFrame = {
+    import graft.functions.Hashes
+    import graft.operators.RelationalPack.HLL_P
+    events
+      .select(col("ts"), col("event_type"),
+        Hashes.base32(col("user_id").cast("string")).as("h"))
+      .select(col("ts"), col("event_type"),
+        Hashes.hllBucket(col("h"), HLL_P).as("bucket"),
+        Hashes.hllRho(col("h"), HLL_P).as("rho"))
+      .groupBy(window(col("ts"), "4 hours"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("bucket"), col("reg"))
+  }
 
   /** Windowed frequent-items census as a Misra-Gries sketch — q86's
     * streaming twin (the third sketch beside the HLL above and q80's GK).

@@ -112,6 +112,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("deterministic HLL: streamed registers are byte-equal to the batch construction") {
+    // q79's cross-engine-deterministic sketch under Structured Streaming:
+    // the per-(window, type, bucket) max-of-rho state must converge to the
+    // EXACT batch registers under chunked, re-ordered arrival — the
+    // max-merge mergeability the oracle-checked batch query relies on,
+    // demonstrated end-to-end through micro-batches
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sketchDistinctDetRegs(stream.toDF())
+      .writeStream.format("memory").queryName("det_hll_parity")
+      .outputMode("complete").start()
+    try {
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("det_hll_parity")
+        .orderBy(col("wstart"), col("event_type"), col("bucket")).collect()
+      val batch = StreamOps.sketchDistinctDetRegs(Tables.events(spark, sf))
+        .orderBy(col("wstart"), col("event_type"), col("bucket")).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.sameElements(batch),
+        "streamed deterministic-HLL registers diverged from batch")
+    } finally q.stop()
+  }
+
   test("freq sketch: streaming MG windows keep every true heavy hitter with bounded undercount") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
