@@ -521,6 +521,11 @@ object RelationalPack {
     // identical across engines) plus booleans asserting the approx values
     // sit within the GK rank-error bound — the oracle emits the exact
     // quantiles and TRUE, so a broken sketch breaks the hash.
+    // SCALE NOTE: the exact columns (row_number sort + rank counts) are
+    // the VERIFICATION HARNESS — they exist to make the sketch auditable
+    // at oracle scale. The production projection at 100 TB is the approx
+    // aggregation alone (bounded mergeable state, no per-group sort); a
+    // caller samples or windows the audit, never runs it on the corpus.
     "q80_quantile_sketch" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
       val approx = ev.groupBy(col("event_type"))
