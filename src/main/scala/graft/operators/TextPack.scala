@@ -425,6 +425,31 @@ object TextPack {
           coalesce(col("best_match"), lit(-1L)).as("best_match"),
           coalesce(col("n_matches") > 0, lit(false)).as("is_dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge-candidate counting — the distributed inner loop of
+    // byte-pair-encoding tokenizer training (Sennrich et al. 2016): count
+    // adjacent symbol pairs across the corpus weighted by word frequency;
+    // the argmax pair is the next merge rule. This is the first
+    // iteration's candidate table (symbols = characters); the training
+    // loop re-runs the same distributed step after applying each merge.
+    // Scale: the corpus collapses to the word-frequency table FIRST (one
+    // shuffle on the word, vocabulary-sized), pairs then explode from the
+    // (word, count) relation — pair volume ∝ Σ|word| over the VOCABULARY,
+    // not over the corpus; the final count is a second vocabulary-sized
+    // shuffle. Integer counts, total order, top-20 → hash-exact.
+    "q108_bpe_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -662,6 +687,18 @@ object TextPack {
          |  coalesce(best_match, -1)::BIGINT AS best_match,
          |  coalesce(n_matches > 0, false) AS is_dup
          |FROM m LEFT JOIN agg ON agg.i = m.doc_id
-         |WHERE m.is_new ORDER BY m.doc_id""".stripMargin
+         |WHERE m.is_new ORDER BY m.doc_id""".stripMargin,
+
+    "q108_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY 1
+        |), p AS (
+        |  SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, wc
+        |  FROM w
+        |)
+        |SELECT pair, sum(wc)::BIGINT AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

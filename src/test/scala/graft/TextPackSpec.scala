@@ -103,6 +103,23 @@ class TextPackSpec extends GraftSuite {
     }
   }
 
+  test("q108: BPE pair counts equal a brute-force recount; top-20 is the true argmax prefix") {
+    import org.apache.spark.sql.functions._
+    // brute force: every adjacent char pair of every word OCCURRENCE
+    val truth = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val got = TextPack.queries("q108_bpe_pairs")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == math.min(20, truth.size))
+    got.foreach { case (p, n) => assert(truth(p) == n, s"pair $p: $n vs ${truth(p)}") }
+    // the reported pairs are exactly the top-20 of the true distribution
+    val want = truth.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+  }
+
   test("single-pass text queries compile to shuffle-free plans") {
     // q35/q36 are per-row scoring passes: no Exchange may appear before the
     // final presentation sort (scale guard: a shuffle here would be a bug).
