@@ -244,7 +244,12 @@ private final class EvReadSupport
 
       private val root = new GroupConverter {
         override def getConverter(fieldIndex: Int): Converter = converters(fieldIndex)
-        override def start(): Unit = { props = null } // only nullable column
+        // reset the reference slots each record: the file schema marks all
+        // columns optional (pandas writer default), and a null must yield
+        // null — not the previous row's value. Numeric nulls remain
+        // out-of-contract, exactly as in the Group-based reader this
+        // replaced (getLong on a missing field threw there).
+        override def start(): Unit = { etype = null; props = null }
         override def end(): Unit = ()
       }
 
