@@ -134,6 +134,30 @@ object StreamOps {
         col("n"), map_keys(col("sk")).as("candidates"))
   }
 
+  /** Windowed weighted sample under Structured Streaming — the
+    * training-pipeline eval-set sampler as a streaming operator. Scoring
+    * is batch q82's Efraimidis–Spirakis construction on the stateless
+    * hash (u = hash-uniform of the event id, weight = |value| + 1), so
+    * the sample is a pure function of the window's data; state per window
+    * is the [[graft.functions.WeightedReservoir]]'s k best candidates —
+    * O(k) regardless of stream length, mergeable across micro-batches
+    * (StreamingSpec pins streamed == batch exactly). */
+  def weightedSampleWindow(events: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.{Hashes, WeightedReservoir}
+    val denom = 1L << 20
+    val u = (Hashes.base32(col("event_id").cast("string")) % denom + 1L)
+      .cast("double") / lit(denom.toDouble)
+    val res = org.apache.spark.sql.functions.udaf(new WeightedReservoir(k))
+    events
+      .select(col("ts"), (log(u) / (abs(col("value")) + 1)).as("score"),
+        col("event_id"))
+      .groupBy(window(col("ts"), "4 hours"))
+      .agg(res(col("score"), col("event_id")).as("sample"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("n"), col("sample"))
+  }
+
   /** Session funnel under Structured Streaming — q91's streaming twin.
     * One session_window aggregation collects the stage events; the
     * ordered view→click→purchase minima are then per-row array folds

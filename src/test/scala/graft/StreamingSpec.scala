@@ -112,6 +112,48 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("weighted reservoir: streamed window sample equals batch and the brute-force top-k") {
+    // Efraimidis–Spirakis keys are a pure function of the data (hash
+    // uniforms, no RNG state), so the streamed reservoir must equal BOTH a
+    // batch run of the same transform and a brute-force recomputation —
+    // through chunked, re-ordered micro-batch arrival (merge-boundedness)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.weightedSampleWindow(stream.toDF(), k = 5)
+      .writeStream.format("memory").queryName("wres_parity")
+      .outputMode("complete").start()
+    try {
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = spark.table("wres_parity").orderBy(col("wstart")).collect()
+      val batch = StreamOps.weightedSampleWindow(Tables.events(spark, sf), k = 5)
+        .orderBy(col("wstart")).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.sameElements(batch), "streamed sample diverged from batch")
+      // brute force: recompute every event's key locally per 4h window
+      val denom = (1L << 20).toDouble
+      def key(id: Long, v: Double): Double = {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md5.take(4).map(b => f"$b%02x").mkString, 16)
+        math.log((h % (1L << 20) + 1L) / denom) / (math.abs(v) + 1)
+      }
+      val byWindow = all.groupBy(e => e.ts.getTime / 1000 / 14400 * 14400)
+      streamed.foreach { r =>
+        val ws = r.getLong(0)
+        val evs = byWindow(ws)
+        val want = evs.map(e => (key(e.event_id, e.value), e.event_id))
+          .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSeq
+        val got = r.getAs[scala.collection.Seq[Long]]("sample").toSeq
+        assert(got == want, s"window $ws: $got vs $want")
+        assert(r.getAs[Long]("n") == evs.length)
+      }
+    } finally q.stop()
+  }
+
   test("deterministic HLL: streamed registers are byte-equal to the batch construction") {
     // q79's cross-engine-deterministic sketch under Structured Streaming:
     // the per-(window, type, bucket) max-of-rho state must converge to the
