@@ -74,7 +74,9 @@ object RecommendationsJob {
         // (bounded by active users per fire), exactly like the reference
         // persists window fires before its async lookup chain.
         val spark = batch.sparkSession
-        val stage = outDir + "__stage"
+        // staged under the checkpoint dir: scratch state lives with the
+        // query's other transient state, not beside the result store
+        val stage = s"$checkpointDir/fired_stage"
         // a batch can carry several fired windows for one user; only the
         // LATEST determines the stored list (older ones are superseded in
         // the same merge anyway — skip their recompute entirely)

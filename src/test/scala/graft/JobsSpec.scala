@@ -285,6 +285,14 @@ class JobsSpec extends GraftSuite {
       val sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
       new java.io.File(inM).mkdirs(); new java.io.File(inC).mkdirs()
       feed.foreach { c =>
+        // the model chunk is FULLY written before the query starts: a
+        // write racing a live file-source listing can split the chunk
+        // into arbitrary micro-batches, and the clustering buffer's
+        // point order is batch-boundary-sensitive (the flaky-suite
+        // lesson); the classify feed below stays mid-stream — per-batch
+        // stateless classification is split-insensitive
+        c.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("append").parquet(inM)
         // the two chains each read the source independently (as in the
         // main); separate file feeds sequence them deterministically:
         // the model always fires BEFORE the classifier sees the chunk
@@ -295,8 +303,6 @@ class JobsSpec extends GraftSuite {
           windowSizeMs = 12 * 3600 * 1000L, minCount = 2, maxCount = 8,
           watermark = "1 hour")
         try {
-          c.toDF("event_id", "ts", "user_id", "event_type", "value")
-            .write.mode("append").parquet(inM)
           modelQ.processAllAvailable()
           c.toDF("event_id", "ts", "user_id", "event_type", "value")
             .write.mode("append").parquet(inC)
@@ -341,17 +347,19 @@ class JobsSpec extends GraftSuite {
     new java.io.File(in).mkdirs()
     val sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
     try {
+      // input fully written before the query starts — the TWS chain's
+      // per-user counters and clustering buffer are batch-boundary
+      // sensitive, and a write racing the file listing splits batches
+      // arbitrarily
+      (0 until 8).map(i => (100L + i, new java.sql.Timestamp((100L + i) * 1000L),
+          i.toLong % 3, "view", (i % 5).toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(in)
       val q = ActivityDetectionJob.runTws(spark,
         spark.readStream.schema(sch).parquet(in),
         out, ckpt, k = 3, decay = 0.2,
         windowSizeMs = 12 * 3600 * 1000L, minCount = 2, maxCount = 6)
-      try {
-        (0 until 8).map(i => (100L + i, new java.sql.Timestamp((100L + i) * 1000L),
-            i.toLong % 3, "view", (i % 5).toDouble))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .write.mode("append").parquet(in)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       val models = spark.read.parquet(s"$out/models").collect()
       assert(models.map(_.getAs[Int]("version")).toSeq == Seq(1),
         "maxCount=6 must fire exactly one model from 8 points")

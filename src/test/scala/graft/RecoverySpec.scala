@@ -38,12 +38,13 @@ class RecoverySpec extends GraftSuite {
     val partB = Seq(ev(106, "click"), ev(107, "click"))
 
     def runOnce(c: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      // chunk fully written before the query starts (no mid-write listing
+      // races; the chain converges under any batch split, but the test
+      // should exercise the intended two-batch restart shape)
+      c.toDF(cols: _*).write.mode("append").parquet(in)
       val q = PostStatisticsJob.runResolved(spark,
         spark.readStream.schema(sch).parquet(in), out, ckpt)
-      try {
-        c.toDF(cols: _*).write.mode("append").parquet(in)
-        q.processAllAvailable()
-      } finally q.stop() // "crash" between chunks
+      try q.processAllAvailable() finally q.stop() // "crash" between chunks
     }
     runOnce(partA); runOnce(partB)
 
