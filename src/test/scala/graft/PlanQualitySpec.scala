@@ -250,6 +250,27 @@ class PlanQualitySpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q108: corpus collapses to the vocabulary before the pair explode; top-20 is a heap, not a sort") {
+    import graft.operators.TextPack
+    val df = TextPack.queries("q108_bpe_pairs")(spark, sf)
+    df.collect()
+    // AQE prints the final plan followed by the initial one — audit only
+    // the final section, else every exchange counts twice
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // exactly two hash shuffles (word rollup, pair rollup) — pair volume
+    // must scale with the vocabulary, not the corpus
+    val exchanges = "ShuffleQueryStage".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 shuffle stages, got $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps, not a global sort:\n$plan")
+    // the explode consumes the AGGREGATED (word, count) relation: the word
+    // rollup appears below the pair-generating explode in the plan tree
+    val gen = plan.indexOf("substring(w")
+    val wordAgg = plan.indexOf("partial_count(1)")
+    assert(gen >= 0 && wordAgg > gen,
+      s"word collapse must precede the pair explode:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE

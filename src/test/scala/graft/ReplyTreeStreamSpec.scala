@@ -131,6 +131,51 @@ class ReplyTreeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("property: random forests under random arrival orders and chunkings resolve to the local fixpoint") {
+    // randomized depth over the recursive drain logic: parents always
+    // precede children in ID (so no danglers), but arrival order and
+    // micro-batch boundaries are shuffled per sample — every node must
+    // emit exactly once with the locally-computed (root, depth, causal)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 6).foreach { sample =>
+      val n = 8 + rnd.nextInt(25)
+      val nodes = (0L until n).map { i =>
+        val parent = if (i == 0 || rnd.nextInt(4) == 0) None
+                     else Some(rnd.nextLong(i)) // any earlier node
+        EdgeEvent(i, rnd.nextInt(1000).toLong, parent)
+      }
+      // local fixpoint: ids ascend from roots, so one forward pass settles
+      val expect = scala.collection.mutable.Map.empty[Long, (Long, Int, Boolean)]
+      nodes.foreach { e =>
+        e.parent_id match {
+          case None => expect(e.event_id) = (e.event_id, 0, true)
+          case Some(p) =>
+            val (r, d, c) = expect(p)
+            val pts = nodes(p.toInt).tsec
+            expect(e.event_id) = (r, d + 1, c && e.tsec >= pts)
+        }
+      }
+      val arrival = rnd.shuffle(nodes)
+      val stream = MemoryStream[EdgeEvent]
+      val q = ReplyTreeOp.resolve(stream.toDS()).writeStream
+        .format("memory").queryName(s"rt_prop_$sample").outputMode("append").start()
+      try {
+        var rest = arrival.toList
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.length)
+          stream.addData(rest.take(take)); q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        val got = spark.table(s"rt_prop_$sample").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3))))
+        assert(got.length == n, s"sample $sample: ${got.length} emissions for $n nodes")
+        assert(got.toMap == expect.toMap, s"sample $sample diverged")
+      } finally q.stop()
+    }
+  }
+
   test("each event is emitted exactly once across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
