@@ -199,6 +199,9 @@ object SamplingPack {
     // only prunes less, never changes the output (SCALE.md "Bloom
     // decontamination at corpus scale").
     "q85_bloom_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftglue.ColumnGlue
       val split = Tables.documents(s, d)
         .select(col("doc_id"), isTest.as("is_test"))
       val tagged = spanHashes(s, d).join(split, "doc_id")
@@ -207,11 +210,26 @@ object SamplingPack {
       val nTrain = math.max(1000L, math.round(1.1 *
         tagged.filter(!col("is_test"))
           .agg(approx_count_distinct(col("h"))).head().getLong(0)))
-      val bf = trainH.stat.bloomFilter("h", nTrain, BLOOM_FPP)
-      val mightContain = udf((h: Long) => bf.mightContainLong(h))
+      // the filter is BUILT AS AN AGGREGATE (Spark's runtime-filter
+      // expressions, surfaced through the glue): partial filters merge on
+      // the executors and the one-row result broadcasts into the probe's
+      // codegen'd might_contain — the filter never materializes on the
+      // driver (stat.bloomFilter collects it there, which is what caps
+      // the old form at corpus scale)
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(nTrain, BLOOM_FPP)
+      val bfAgg = ColumnGlue.column(new BloomFilterAggregate(
+        ColumnGlue.expression(col("h")),
+        org.apache.spark.sql.catalyst.expressions.Literal(nTrain),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+      val filt = trainH.agg(bfAgg.as("bf"))
       val totals = testSpans.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"))
-      val hits = testSpans.filter(mightContain(col("h")))
+      val hits = testSpans
+        .filter(ColumnGlue.column(new BloomFilterMightContain(
+          ColumnGlue.expression(ColumnGlue.scalarSubquery(filt)),
+          ColumnGlue.expression(col("h")))))
         .join(trainH.withColumn("hit", lit(1)), Seq("h"), "left")
         .groupBy(col("doc_id")).agg(count(col("hit")).as("nh"))
       totals.join(hits, Seq("doc_id"), "left")

@@ -19,4 +19,10 @@ object ColumnGlue {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A one-row one-column DataFrame as a scalar-subquery Column — the form
+    * expressions like `might_contain` require their build side in. */
+  def scalarSubquery(df: DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan))
 }

@@ -184,12 +184,16 @@ class PlanQualitySpec extends GraftSuite {
       s"token-stream join regressed to SMJ:\n$plan")
   }
 
-  test("q85: bloom prune filters the test span stream before the confirm join") {
+  test("q85: bloom prune is the native might_contain predicate, applied before the confirm join") {
     val df = graft.operators.SamplingPack.queries("q85_bloom_decontam")(spark, sf)
     val plan = executedPlan(df)
     val joinAt = plan.indexOf("Join")
     assert(joinAt >= 0, s"no confirm join:\n$plan")
-    assert(plan.contains("UDF"), s"bloom prune UDF missing from plan:\n$plan")
+    // the filter is Spark's runtime-filter expression pair (distributed
+    // bloom_filter_agg build + codegen'd might_contain probe via a scalar
+    // subquery) — no Scala UDF anywhere in the pipeline
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"unexpected UDF in q85 plan:\n$plan")
   }
 
   test("q101: source-overlap pair join is an equi-join on the span hash, never a cross product") {
