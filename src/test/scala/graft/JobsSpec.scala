@@ -86,6 +86,58 @@ class JobsSpec extends GraftSuite {
     assert(got.agg(sum(col("n_click"))).head().getLong(0) > 0)
   }
 
+  test("all three analytic jobs run CONCURRENTLY in one session and converge (the reference's sustained-jobs anchor)") {
+    // BASELINE.md row "sustained stable speedup, all 3 analytic jobs":
+    // the reference's headline is THREE jobs running at once. Here all
+    // three mains (Task-1 per-root chain included) share one session and
+    // one replay directory; each must converge to its own batch twin with
+    // none interfering with the others (session-conf toggles inside the
+    // job builders must not leak across the concurrent startups).
+    import org.apache.spark.sql.functions._
+    val o1 = tmp("cc1_out"); val c1 = tmp("cc1_ckpt")
+    val o2 = tmp("cc2_out"); val c2 = tmp("cc2_ckpt")
+    val o3 = tmp("cc3_out"); val c3 = tmp("cc3_ckpt")
+    val q1 = PostStatisticsJob.runResolved(spark, replayed, o1, c1)
+    val q2 = RecommendationsJob.run(spark, replayed, sf, o2, c2)
+    // early-fire params (as in the standalone composed-job test): model
+    // fires on count, independent of the watermark closing a window
+    val (m3, cl3) = ActivityDetectionJob.run(spark, replayed, None, o3, c3,
+      k = 3, minCount = 5, maxCount = 50,
+      windowSizeMs = 3650L * 24 * 3600 * 1000)
+    try {
+      Seq(q1, q2, m3, cl3).foreach(_.processAllAvailable())
+      // Task 1: per-root stats equal the batch fixpoint composition
+      val resolved = graft.operators.GraphPack.resolveRoots(spark, sf)
+        .select(col("event_id"), col("root_id"))
+      val want1 = graft.operators.WindowPack.slidingStats(
+        Tables.events(spark, sf).join(resolved, "event_id")
+          .select(col("ts"), col("root_id"), col("event_type")),
+        exactDistinct = false, key = "root_id")
+      val got1 = spark.read.parquet(o1)
+      assert(got1.exceptAll(want1).isEmpty && want1.exceptAll(got1).isEmpty,
+        "concurrent Task-1 store diverged from its batch twin")
+      // Task 2: store equals the composite-feature online recompute
+      val store = graft.operators.RecommendationPack.staticStore(spark, sf)
+      val want2 = graft.operators.RecommendationPack
+        .onlineRecommend(latestPerUser(firedTwin(Tables.events(spark, sf))), store)
+      val got2 = spark.read.parquet(o2).select("user_id", "wstart", "recs")
+      assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+        "concurrent Task-2 store diverged from its batch twin")
+      // Task 3: a model fired; classification may have raced entirely
+      // ahead of the first model (reference pre-model drop semantics) —
+      // but any row that WAS scored must cite a stored model version
+      val models = spark.read.parquet(s"$o3/models")
+      assert(models.count() > 0, "concurrent Task-3 trained no model")
+      val versions = models.select("version").collect().map(_.getInt(0)).toSet
+      if (new java.io.File(s"$o3/classified").exists()) {
+        val classified = spark.read.parquet(s"$o3/classified")
+        assert(classified.select("model_version").distinct().collect()
+          .map(_.getInt(0)).toSet.subsetOf(versions),
+          "concurrent Task-3 classified under an unknown model version")
+      }
+    } finally Seq(q1, q2, m3, cl3).foreach(_.stop())
+  }
+
   /** The job's fired-window frame recomputed in batch: per (4h window,
     * user), the set of event types — the activity features' raw form. */
   private def firedTwin(events: org.apache.spark.sql.DataFrame) =
