@@ -120,7 +120,16 @@ object ActivityDetectionJob {
         .as[ModelRow].collect()
         .maxByOption(_.version)
         .map(m => (m.version, toModel(m)))
-    }.toOption.flatten
+    } match {
+      case scala.util.Success(m) => m
+      case scala.util.Failure(e) =>
+        // a CORRUPT store must be distinguishable from a cold start: the
+        // pre-model drop window this bootstrap exists to close would
+        // otherwise silently reopen on every restart
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"model bootstrap from $path failed; starting without a model", e)
+        None
+    }
   }
 
   /** The clustering-model query: featurized points ∪ control lines →
@@ -204,26 +213,39 @@ object ActivityDetectionJob {
              minCount: Int = 20, maxCount: Int = 200,
              watermark: String = "1 hour"): StreamingQuery = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the provider conf is read at query START and frozen into the query's
+    // checkpoint; restore the session's previous value afterwards so later
+    // queries on the shared session keep their own backend (mirrors
+    // runResolved's checkCorrectness handling)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val latest = newModelRef
-    bootstrapModel(spark, outDir).foreach(m => latest.set(Some(m)))
-    val evs = events
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .withWatermark("ts", watermark)
-      .as[graft.streaming.Ev]
-    StreamOps.enrichedClusterChain(evs, k, decay, windowSizeMs, minCount, maxCount)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$checkpointDir/model")
-      .foreachBatch { (batch: Dataset[ModelRow], _: Long) =>
-        val rows = batch.collect().sortBy(_.version) // a handful of models
-        rows.lastOption.foreach(m => latest.set(Some((m.version, toModel(m)))))
-        if (rows.nonEmpty)
-          KeyedUpsertSink.upsert(spark, s"$outDir/models",
-            spark.createDataset(rows.toIndexedSeq).toDF(), Seq("version"), "version")
+    try {
+      val latest = newModelRef
+      bootstrapModel(spark, outDir).foreach(m => latest.set(Some(m)))
+      val evs = events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withWatermark("ts", watermark)
+        .as[graft.streaming.Ev]
+      StreamOps.enrichedClusterChain(evs, k, decay, windowSizeMs, minCount, maxCount)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointDir/model")
+        .foreachBatch { (batch: Dataset[ModelRow], _: Long) =>
+          val rows = batch.collect().sortBy(_.version) // a handful of models
+          rows.lastOption.foreach(m => latest.set(Some((m.version, toModel(m)))))
+          if (rows.nonEmpty)
+            KeyedUpsertSink.upsert(spark, s"$outDir/models",
+              spark.createDataset(rows.toIndexedSeq).toDF(), Seq("version"), "version")
+        }
+        .start()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
       }
-      .start()
+    }
   }
 
   /** Compose the full job (both queries, racing on the shared source —

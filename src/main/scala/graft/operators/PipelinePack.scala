@@ -397,8 +397,16 @@ object PipelinePack {
         .orderBy(col("doc_id"))),
 
     // Bigram vocabulary: top-10 bigrams per source by frequency —
-    // n-gram LM count tables / vocab induction. Same two-phase shape as
-    // any heavy-hitter query: explode → count → per-group top-k.
+    // n-gram LM count tables / vocab induction. Two-phase heavy-hitter
+    // shape, HASH-KEYED: the count/rank shuffles move (source, 64-bit
+    // bigram hash) longs — never the bigram STRINGS, which at corpus scale
+    // dominate the shuffle bytes (only 10×|sources| winners ever need
+    // their text). Candidates are picked with rank() (ties share a rank),
+    // so every bigram that could reach the top under the final
+    // (n desc, bigram) tie-break survives to the resolve phase, where the
+    // exact string order is restored — byte-identical to the one-phase
+    // string plan. 64-bit collisions within a source would merge counts:
+    // P ≈ D²/2⁶⁵, negligible below ~10¹² distinct bigrams per source.
     "q65_bigram_counts" -> ((s, d) => {
       // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
       // into the lambda body would re-split the doc per element (O(n²))
@@ -406,12 +414,29 @@ object PipelinePack {
         transform(sequence(lit(1), size(col("t")) - 1),
           i => concat_ws(" ", slice(col("t"), i, lit(2)))))
         .otherwise(array().cast("array<string>"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n").desc, col("bigram"))
-      Tables.documents(s, d)
+      val ex = Tables.documents(s, d)
         .select(col("source"), toks.as("t"))
         .select(col("source"), explode(bigrams).as("bigram"))
-        .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("n"))
+      // PHASE 1 — count + candidate-rank over hashes only (WindowGroupLimit
+      // keeps the rank top-k partial per map task, same as before)
+      val counted = ex
+        .select(col("source"), xxhash64(col("bigram")).as("bh"))
+        .groupBy(col("source"), col("bh")).agg(count(lit(1)).as("n"))
+      val cand = counted
+        .withColumn("r", rank().over(
+          Window.partitionBy(col("source")).orderBy(col("n").desc)))
+        .filter(col("r") <= BIGRAM_TOP).drop("r")
+      // PHASE 2 — resolve candidate strings: broadcast the tiny candidate
+      // set against the re-exploded stream; non-winners die map-side and
+      // the partial agg collapses duplicates before the (tiny) shuffle
+      val resolved = ex
+        .select(col("source"), col("bigram"), xxhash64(col("bigram")).as("bh"))
+        .join(broadcast(cand), Seq("source", "bh"))
+        .groupBy(col("source"), col("bh"), col("n"))
+        .agg(min(col("bigram")).as("bigram"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("bigram"))
+      resolved
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= BIGRAM_TOP)
         .select(col("source"), col("rank"), col("bigram"), col("n"))

@@ -111,7 +111,15 @@ object TextPack {
   private[operators] val MaxDocFreqKey = "graft.shingle.maxDocFreq"
 
   private def dfCap(s: SparkSession): Option[Long] =
-    s.conf.getOption(MaxDocFreqKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    s.conf.getOption(MaxDocFreqKey).map(_.trim).filter(_.nonEmpty).map { v =>
+      val cap = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxDocFreqKey must be a positive integer, got '$v'")
+      }
+      require(cap >= 1,
+        s"$MaxDocFreqKey must be >= 1 (a cap of $cap would drop every shingle)")
+      cap
+    }
 
   /** [[shingleRows]] with the document-frequency cap applied when
     * configured. A boilerplate-heavy corpus — the norm at 100 TB — puts a

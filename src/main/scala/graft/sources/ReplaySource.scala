@@ -192,14 +192,28 @@ object ReplaySource {
   * so repeated values (event_type) decode each distinct string once per
   * page, not once per row. The `ts` slot carries the RAW storage value;
   * the caller applies the unit conversion (tsUnit contract). */
+private object EvReadSupport {
+  val fieldNames: Set[String] =
+    Set("event_id", "ts", "user_id", "event_type", "value", "props")
+}
+
 private final class EvReadSupport
     extends org.apache.parquet.hadoop.api.ReadSupport[ReplaySource.Ev] {
   import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
   import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
   import org.apache.parquet.schema.MessageType
 
-  override def init(context: InitContext): ReadSupport.ReadContext =
-    new ReadSupport.ReadContext(context.getFileSchema)
+  // Project the read schema down to the six known event columns: extra
+  // columns from a future testdata generation (e.g. a pandas index) are
+  // neither decoded nor looked up in byName — tolerant of writer drift AND
+  // prunes their I/O entirely.
+  override def init(context: InitContext): ReadSupport.ReadContext = {
+    val file = context.getFileSchema
+    val known = (0 until file.getFieldCount)
+      .map(file.getType)
+      .filter(t => EvReadSupport.fieldNames.contains(t.getName))
+    new ReadSupport.ReadContext(new MessageType(file.getName, known.asJava))
+  }
 
   override def prepareForRead(conf: Configuration,
                               keyValueMetaData: java.util.Map[String, String],
@@ -238,9 +252,12 @@ private final class EvReadSupport
         "event_type" -> new StringSlot(etype = _),
         "value"      -> new DoubleSlot(value = _),
         "props"      -> new StringSlot(props = _))
+      // index by the REQUESTED schema (the init() projection): parquet-mr
+      // drives the materializer against it, and it contains only known names
+      private val requested = readContext.getRequestedSchema
       private val converters: Array[Converter] =
-        (0 until fileSchema.getFieldCount)
-          .map(i => byName(fileSchema.getFieldName(i))).toArray
+        (0 until requested.getFieldCount)
+          .map(i => byName(requested.getFieldName(i))).toArray
 
       private val root = new GroupConverter {
         override def getConverter(fieldIndex: Int): Converter = converters(fieldIndex)

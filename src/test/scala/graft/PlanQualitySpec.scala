@@ -275,6 +275,23 @@ class PlanQualitySpec extends GraftSuite {
       s"word collapse must precede the pair explode:\n$plan")
   }
 
+  test("q65: count/rank shuffles are keyed by the 64-bit bigram hash, never the string") {
+    // the heavy-hitter count shuffle must move (source, bh) longs; bigram
+    // STRINGS may only ride the tiny broadcast-pruned resolve stage
+    val df = graft.operators.PipelinePack.queries("q65_bigram_counts")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty, s"expected hash exchanges:\n$plan")
+    hashEx.foreach(l => assert(!l.contains("bigram#"),
+      s"bigram string used as a shuffle key: $l"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"candidate rank lost the WindowGroupLimit pushdown:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate resolve must broadcast the winner set:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
