@@ -50,16 +50,22 @@ object RecommendationPack {
   // it's a config knob, not a semantic difference.
   private val ACTIVE_SEC = 21600L
 
-  /** (user_id, feature) distinct rows: tag features "T<k mod 20>" (F4
-    * prefixing, RecommendationUtils.toFeature:95) + event-type features. */
-  private[graft] def features(s: SparkSession, d: String): DataFrame = {
+  /** (user_id, feature) rows WITH duplicates: tag features "T<k mod 20>"
+    * (F4 prefixing, RecommendationUtils.toFeature:95) + event-type
+    * features. Set-semantics consumers either distinct (features()) or
+    * fold into a set-valued agg directly (q51's collect_set). */
+  private[graft] def rawFeatures(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val tags = ev.select(col("user_id"),
       concat(lit("T"), regexp_extract(col("props"), "(\\d+)", 1).cast("long") % 20).as("feature"))
     val types = ev.select(col("user_id"),
       concat(lit("E"), col("event_type")).as("feature"))
-    tags.unionByName(types).distinct()
+    tags.unionByName(types)
   }
+
+  /** (user_id, feature) distinct rows. */
+  private[graft] def features(s: SparkSession, d: String): DataFrame =
+    rawFeatures(s, d).distinct()
 
   /** The STATIC half of a user's features — the tag interests alone,
     * playing the role of the reference's stored person features
@@ -181,12 +187,24 @@ object RecommendationPack {
         .orderBy(col("user_id"))),
 
     // MinHash signatures, canonical comma-joined form (reference F6; stored
-    // Base64 in db/PersonMinHashIndex — canonical string here).
-    "q51_user_minhash" -> ((s, d) =>
-      sig(s, d)
+    // Base64 in db/PersonMinHashIndex — canonical string here). Built via
+    // the one-pass [[graft.functions.MinHashSig]] codegen kernel over each
+    // user's collected feature set — one narrow agg + a map-only signature
+    // pass — instead of the 64-min-agg-column relational build (identical
+    // values by the Hashes.family parity contract; ~4× faster, the plan
+    // width was the cost, not the data).
+    "q51_user_minhash" -> ((s, d) => {
+      // rawFeatures, not features(): collect_set dedups, so the upstream
+      // distinct's shuffle is pure waste here — ONE shuffle total (map-side
+      // partial sets), then the map-only signature pass
+      rawFeatures(s, d)
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("feature")).as("feats"))
         .select(col("user_id"),
-          array_join(mh.sigArray, ",").as("signature"))
-        .orderBy(col("user_id"))),
+          array_join(graft.functions.MinHashSig.of(col("feats"), mh.numHashes, mh.seed), ",")
+            .as("signature"))
+        .orderBy(col("user_id"))
+    }),
 
     // LSH bucket inverted index (reference A5: bucket → member list,
     // LoadStaticDataJob.scala:99-105). Only multi-member buckets are
