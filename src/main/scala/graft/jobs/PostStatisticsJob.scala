@@ -63,7 +63,8 @@ object PostStatisticsJob {
     * mapping store — PipelineSpec's job); the downstream window agg and
     * upsert shuffle on (window, root) as in [[run]]. */
   def runResolved(spark: SparkSession, events: DataFrame, outDir: String,
-                  checkpointDir: String, watermark: String = "1 hour"): StreamingQuery = {
+                  checkpointDir: String, watermark: String = "1 hour",
+                  scaleOut: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val edges = events.withWatermark("ts", watermark)
@@ -74,7 +75,14 @@ object PostStatisticsJob {
           .otherwise(lit(null).cast("long")).as("parent_id"),
         col("user_id"), col("event_type"))
       .as[graft.streaming.EdgeEventT]
-    val resolved = graft.streaming.ReplyTreeOp.resolveEvicting(edges)
+    // scaleOut swaps the single-group resolver for the frontier +
+    // distributed-archive chain (ReplyTreeOp.resolveScaleOut): same
+    // resolved/dropped sets (ScaleOutReplyTreeSpec), resolved-map state
+    // hash-partitioned instead of replicated into one group
+    val tree =
+      if (scaleOut) graft.streaming.ReplyTreeOp.resolveScaleOut(edges)
+      else graft.streaming.ReplyTreeOp.resolveEvicting(edges)
+    val resolved = tree
       .filter(!col("dropped"))
       .select(col("ts"), col("root_id"), col("event_type"))
     // Spark rejects stateful-after-stateful by default because the upstream
@@ -103,17 +111,22 @@ object PostStatisticsJob {
     }
   }
 
-  /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] [resolved]
-    * — pass `resolved` as the 6th arg to run the full reply-resolved chain. */
+  /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] [mode]
+    * — mode `resolved` runs the full reply-resolved chain with the
+    * single-group resolver; `resolved-scaleout` runs it with the
+    * distributed-archive resolver. */
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, ckpt) = (args(0), args(1), args(2))
     val speedup = args.lift(3).getOrElse("10000")
     val runSec = args.lift(4).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Jobs.session("post-statistics")
     val events = Jobs.replayEvents(spark, sfDir, speedup)
-    val q =
-      if (args.lift(5).contains("resolved")) runResolved(spark, events, outDir, ckpt)
-      else run(spark, events, outDir, ckpt)
+    val q = args.lift(5) match {
+      case Some("resolved") => runResolved(spark, events, outDir, ckpt)
+      case Some("resolved-scaleout") =>
+        runResolved(spark, events, outDir, ckpt, scaleOut = true)
+      case _ => run(spark, events, outDir, ckpt)
+    }
     Jobs.await(q, runSec)
     q.stop(); spark.stop()
   }
