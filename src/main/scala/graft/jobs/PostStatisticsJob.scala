@@ -82,9 +82,18 @@ object PostStatisticsJob {
     val tree =
       if (scaleOut) graft.streaming.ReplyTreeOp.resolveScaleOut(edges)
       else graft.streaming.ReplyTreeOp.resolveEvicting(edges)
+    // RE-DECLARE the watermark on the resolver's output: the simulation
+    // does not propagate the input watermark through a fMGWS (its output
+    // event times are arbitrary), so without this node the downstream
+    // aggregation's eviction watermark stays frozen at 0 and its state
+    // grows monotonically — unbounded under sustained replay (caught by
+    // the SoakBench plateau metric; pinned in StatePlateauSpec). The
+    // re-derived watermark tracks resolver OUTPUT timestamps, so the
+    // one-trigger-behind loss window is unchanged.
     val resolved = tree
       .filter(!col("dropped"))
       .select(col("ts"), col("root_id"), col("event_type"))
+      .withWatermark("ts", watermark)
     // Spark rejects stateful-after-stateful by default because the upstream
     // operator may emit rows behind the global watermark. Here that is the
     // INTENDED semantics and the loss window is already bounded: the
