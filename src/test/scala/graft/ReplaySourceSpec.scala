@@ -98,6 +98,56 @@ class ReplaySourceSpec extends GraftSuite {
       s"full-range scan returned $got rows — predicate overflow regressed")
   }
 
+  test("PrepJob ts-sorted layout: row groups are ts-disjoint so batch ranges prune") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val out = java.nio.file.Files.createTempDirectory("replay_sorted").toString
+    graft.jobs.PrepJob.prepReplayEvents(spark, sf, out, rowGroupBytes = 4096)
+    // the replay source on the new layout is event-complete
+    val q = spark.readStream.format(fmt)
+      .option("path", out).option("speedup", "1e15").load()
+      .writeStream.format("memory").queryName("replay_sorted").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("replay_sorted")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val src = Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+        "sorted-layout replay diverges from the batch read")
+    } finally q.stop()
+    // footer: several row groups whose ts statistics are ASCENDING and
+    // DISJOINT — the precondition the pushed ts-range predicate prunes on
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$out/events.parquet"),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    val (ranges, tsIdx) = try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val idx = schema.getFieldIndex("ts")
+      import scala.jdk.CollectionConverters._
+      (reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val st = b.getColumns.get(idx).getStatistics
+        (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+      }, idx)
+    } finally reader.close()
+    assert(tsIdx >= 0)
+    assert(ranges.length >= 3, s"expected several row groups, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) =>
+        assert(prevMax <= nextMin,
+          s"row-group ts ranges overlap: $ranges — layout not sorted")
+      case _ => ()
+    }
+    // a batch-sized window (10% of the span) intersects only a sliver of
+    // the row groups — the reader decodes just those
+    val lo = ranges.head._1; val hi = ranges.last._2
+    val (wLo, wHi) = (lo + (hi - lo) * 45 / 100, lo + (hi - lo) * 55 / 100)
+    val touched = ranges.count { case (mn, mx) => mx >= wLo && mn <= wHi }
+    assert(touched <= ranges.length / 3,
+      s"$touched of ${ranges.length} row groups overlap a 10% window — no pruning win")
+  }
+
   test("restart resumes the scaled clock from the checkpointed frontier (no stall)") {
     // after a checkpoint restart the engine replays the offset log through
     // deserializeOffset BEFORE requesting offsets; the scaled clock must
