@@ -83,13 +83,16 @@ final case class ArchiveEntry(root_id: Long, depth: Int, causal: Boolean,
   * NOTE on the fully-partitioned form: a reply resolved in this batch must
   * be able to resolve ITS children, which wait under a different key —
   * that feedback edge cannot exist inside one streaming stateful operator
-  * (no cycles in a streaming plan). The production-scale answer is the
-  * per-micro-batch fixpoint against a persisted mapping store partitioned
-  * by comment id — exactly PipelineSpec's end-to-end resolution job
-  * (`foreachBatch` + GraphPack fixpoint + KeyedUpsertSink), which has no
-  * single-group bottleneck; THIS operator is the reference-faithful
-  * in-graph form (the reference replicates its mapping state to every
-  * worker too, BuildReplyTreeProcessFunction.scala:207-214).
+  * (no cycles in a streaming plan). Two distributed answers exist:
+  * [[resolveScaleOut]] unrolls the feedback a bounded number of times
+  * (frontier + chained archive hops — the resolved map lives in
+  * hash-partitioned keyed state), and the per-micro-batch fixpoint against
+  * a persisted mapping store partitioned by comment id — PipelineSpec's
+  * end-to-end resolution job (`foreachBatch` + GraphPack fixpoint +
+  * KeyedUpsertSink) — remains the unbounded-depth form. THIS operator is
+  * the reference-faithful in-graph form (the reference replicates its
+  * mapping state to every worker too,
+  * BuildReplyTreeProcessFunction.scala:207-214).
   */
 object ReplyTreeOp {
 
