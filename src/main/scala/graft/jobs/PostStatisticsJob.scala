@@ -87,13 +87,20 @@ object PostStatisticsJob {
     // event times are arbitrary), so without this node the downstream
     // aggregation's eviction watermark stays frozen at 0 and its state
     // grows monotonically — unbounded under sustained replay (caught by
-    // the SoakBench plateau metric; pinned in StatePlateauSpec). The
-    // re-derived watermark tracks resolver OUTPUT timestamps, so the
-    // one-trigger-behind loss window is unchanged.
+    // the SoakBench plateau metric; pinned in StatePlateauSpec). For the
+    // single-group resolver the same delay keeps the one-trigger-behind
+    // loss window unchanged (a drained child is never behind the previous
+    // batch's watermark — it would have been evicted). The scale-out
+    // resolver's probe rows, by contrast, fire EXACTLY when the watermark
+    // passes them, i.e. at-or-behind it — an equal downstream delay would
+    // drop every slow-path row from the statistics, so the stats window
+    // gets double the delay (covers any probe lag up to one batch of
+    // event-time stride; beyond that is the documented allowed-lateness
+    // drop).
     val resolved = tree
       .filter(!col("dropped"))
       .select(col("ts"), col("root_id"), col("event_type"))
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", if (scaleOut) doubled(watermark) else watermark)
     // Spark rejects stateful-after-stateful by default because the upstream
     // operator may emit rows behind the global watermark. Here that is the
     // INTENDED semantics and the loss window is already bounded: the
@@ -105,9 +112,15 @@ object PostStatisticsJob {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
+    // Output cadence: the single-group chain upserts continuously (update
+    // mode). A query holding MULTIPLE flatMapGroupsWithStates must itself
+    // run in append mode (planner rule), so the scale-out chain emits each
+    // window once, when the watermark closes it — which is the reference's
+    // own firing semantics (Flink event-time windows fire on watermark
+    // passage); windows still open at end-of-input stay unemitted.
     try
       StreamOps.slidingStatsBy(resolved, "root_id")
-        .writeStream.outputMode("update")
+        .writeStream.outputMode(if (scaleOut) "append" else "update")
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           KeyedUpsertSink.upsert(batch.sparkSession, outDir, batch,
@@ -118,6 +131,14 @@ object PostStatisticsJob {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** "N unit" → "2N unit" (e.g. "1 hour" → "2 hour"); non-trivial interval
+    * strings pass through unchanged. */
+  private[jobs] def doubled(w: String): String = w.trim.split("\\s+", 2) match {
+    case Array(n, unit) if n.nonEmpty && n.forall(_.isDigit) =>
+      s"${n.toLong * 2} $unit"
+    case _ => w
   }
 
   /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] [mode]

@@ -86,6 +86,35 @@ class JobsSpec extends GraftSuite {
     assert(got.agg(sum(col("n_click"))).head().getLong(0) > 0)
   }
 
+  test("PostStatisticsJob.runResolved(scaleOut): distributed-resolver chain equals the same batch twin") {
+    // the full Task-1 chain with the frontier+archive resolver — six
+    // stateful operators in one query — must land on exactly the
+    // composition the single-group chain produces. The scale-out chain
+    // emits in APPEND mode (a multi-fMGWS query's planner requirement =
+    // the reference's fire-on-close semantics), so the comparison is over
+    // the FINALIZED windows: those the final watermark closed.
+    import org.apache.spark.sql.functions._
+    val out = tmp("psjs_out"); val ckpt = tmp("psjs_ckpt")
+    val q = PostStatisticsJob.runResolved(spark, replayed, out, ckpt, scaleOut = true)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    val resolved = graft.operators.GraphPack.resolveRoots(spark, sf)
+      .select(col("event_id"), col("root_id"))
+    // final downstream watermark = max event time − the doubled 1h delay;
+    // a 12h window is finalized when its end is at or behind it
+    val wmSec = Tables.events(spark, sf)
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0) - 2 * 3600
+    val want = graft.operators.WindowPack.slidingStats(
+      Tables.events(spark, sf).join(resolved, "event_id")
+        .select(col("ts"), col("root_id"), col("event_type")),
+      exactDistinct = false, key = "root_id")
+      .filter(col("wstart") + 12 * 3600 <= wmSec)
+    assert(got.count() == want.count() && got.count() > 0,
+      s"got ${got.count()} vs want ${want.count()} finalized windows")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "scale-out chained job diverged from the batch twin on finalized windows")
+  }
+
   test("all three analytic jobs run CONCURRENTLY in one session and converge (the reference's sustained-jobs anchor)") {
     // BASELINE.md row "sustained stable speedup, all 3 analytic jobs":
     // the reference's headline is THREE jobs running at once. Here all

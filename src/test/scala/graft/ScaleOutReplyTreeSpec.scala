@@ -158,6 +158,54 @@ class ScaleOutReplyTreeSpec extends GraftSuite {
     }
   }
 
+  test("archive survives a restart: a post-restart probe resolves against recovered hop state") {
+    // Run 1 resolves root 100 at the frontier (registered in hop 1) and
+    // drives the watermark far enough that the 6h recent horizon evicts
+    // 100 from the frontier's own map. After the "crash", a reply to 100
+    // arrives: it can only resolve through a probe against the ARCHIVE
+    // state recovered from the checkpoint — the frontier no longer knows
+    // the parent.
+    import spark.implicits._
+    withOptOut {
+      val base = java.nio.file.Files.createTempDirectory("so_restart").toString
+      val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+      new java.io.File(in).mkdirs()
+      val sch = "event_id long, ts timestamp, parent_id long, user_id long, event_type string"
+      val cols = Seq("event_id", "ts", "parent_id", "user_id", "event_type")
+      val H = 3600L
+      def row(id: Long, sec: Long, parent: java.lang.Long) =
+        (id, t(sec), parent, 0L, "")
+      def runOnce(chunk: Seq[(Long, java.sql.Timestamp, java.lang.Long, Long, String)]): Unit = {
+        chunk.toDF(cols: _*).write.mode("append").parquet(in)
+        val edges = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "1 hour").as[EdgeEventT]
+        val q = ReplyTreeOp.resolveScaleOut(edges).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[TreeOut], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }.start()
+        try q.processAllAvailable() finally q.stop() // "crash" between chunks
+      }
+      // roots 100 (t=1000) and 200 (t=+10h): the second drives the
+      // watermark past 100's horizon expiry, evicting it from the frontier
+      runOnce(Seq(row(100, 1000, null), row(200, 1000 + 10 * H, null)))
+      // reply 101 -> 100 (t=+12h) parks, then root 300 (t=+14h) pushes the
+      // watermark past it -> probe -> must hit hop-1's RECOVERED entry
+      runOnce(Seq(row(101, 1000 + 12 * H, 100L), row(300, 1000 + 14 * H, null)))
+      val rows = spark.read.parquet(out)
+        .select("event_id", "root_id", "depth", "causal", "dropped")
+        .distinct().collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4))))
+        .toMap
+      assert(rows(100) == ((100L, 0, true, false)))
+      assert(rows(200) == ((200L, 0, true, false)))
+      assert(rows(300) == ((300L, 0, true, false)))
+      assert(rows.get(101).contains((100L, 1, true, false)),
+        s"reply must resolve via the recovered archive, got ${rows.get(101)}")
+      assert(rows.size == 4)
+    }
+  }
+
   test("archive state rows distribute across >=2 state partitions (the point of the design)") {
     withOptOut {
       val dir = java.nio.file.Files.createTempDirectory("so_dist").toString
