@@ -44,6 +44,7 @@ object CurationPack {
   private val TOP_TOK_T   = 0.12  // Gopher-style: max single-token mass
   private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
   private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
+  private val PREFIX_BLOCK = 64L  // doc_id-range width of a prefix-sum block (q109)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
   private val SPAN        = 6     // span-dedup width (tokens)
 
@@ -160,6 +161,41 @@ object CurationPack {
         .select(col("source"), col("doc_id"), col("n_tokens"), col("start_pos"),
           col("first_seq"), col("last_seq"), col("n_seqs"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // q58's GLOBAL form: one corpus-wide token stream, one packed layout —
+    // the "one concatenated dataset" contract some training stacks require
+    // — WITHOUT a single-partition global window. Distributed two-pass
+    // prefix sum: docs fall into deterministic doc_id-range blocks; pass 1
+    // computes per-block local cumsums (window partitioned by block —
+    // fully parallel) and per-block totals (one partial-agg shuffle of
+    // |blocks| rows); pass 2 turns block totals into block offsets (a
+    // window over the REDUCED |blocks|-row relation — recurse the same
+    // trick if even that overflows one task) and broadcasts them back.
+    // global_cum = block_offset + local_cum, exactly; no row ever crosses
+    // the corpus in sorted order. Block width is a layout knob: pick
+    // ~rows-per-task at the target scale.
+    "q109_global_prefix_pack" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          (col("doc_id") / PREFIX_BLOCK).cast("long").as("blk"))
+      val wLoc = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("blk"))
+        .agg(sum(col("n_tokens")).as("bsum"))
+        .withColumn("off", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+        .select(col("blk"), col("off"))
+      base.withColumn("lcum", sum(col("n_tokens")).over(wLoc))
+        .join(broadcast(offsets), "blk")
+        .withColumn("cum", col("lcum") + col("off"))
+        .withColumn("start_pos", col("cum") - col("n_tokens"))
+        .withColumn("first_seq", (col("start_pos") / SEQ_LEN).cast("long"))
+        .withColumn("last_seq", ((col("cum") - 1) / SEQ_LEN).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+          col("first_seq"), col("last_seq"))
+        .orderBy(col("doc_id"))
     }),
 
     // Domain rebalancing: downsample every source to the smallest source's
@@ -295,6 +331,21 @@ object CurationPack {
          |  FROM (SELECT source, doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens
          |        FROM documents)
          |) ORDER BY source, doc_id""".stripMargin,
+
+    // The oracle states the SPEC (one global ordered cumsum); the Spark
+    // plan reaches the same rows via the two-pass block decomposition.
+    "q109_global_prefix_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens,
+         |  (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_pos,
+         |  ((sum(n_tokens) OVER w - n_tokens) // $SEQ_LEN)::BIGINT AS first_seq,
+         |  ((sum(n_tokens) OVER w - 1) // $SEQ_LEN)::BIGINT AS last_seq
+         |FROM base
+         |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |ORDER BY doc_id""".stripMargin,
 
     "q59_domain_rebalance" ->
       s"""WITH perdoc AS (

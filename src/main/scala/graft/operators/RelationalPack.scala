@@ -28,22 +28,15 @@ object RelationalPack {
   // upgrades q79 from a rows-only gate to a full hash-checked oracle.
   // The state is the classic mergeable form (per-bucket max of rho), so
   // partial sketches from any partitioning fold to the same registers.
-  private[graft] val HLL_P = 8
-  private[graft] val HLL_M = 1 << HLL_P               // 256 registers
-  private val HLL_WBITS = 32 - HLL_P                  // rho over remaining 24 bits
-  private val HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
-  // raw-estimate numerator alpha*m^2, pre-scaled by 2^(WBITS+1) because the
-  // register sum is kept as the EXACT integer sum of 2^(WBITS+1-reg)
-  // (empty bucket = 2^(WBITS+1)): integer sums are order-insensitive where
-  // a float 2^-reg sum would not be hash-stable across engines.
-  private val HLL_CRAW =
-    HLL_ALPHA * HLL_M * HLL_M * (1L << (HLL_WBITS + 1)).toDouble
-  // linear-counting small-range correction m*ln(m/V) as a LITERAL table
-  // indexed by m_used (V = m - m_used): ln is not guaranteed identically
-  // rounded across libm implementations, so both engines look the value up
-  // from the same Scala-computed constants instead of computing ln.
-  private val hllLc: IndexedSeq[Double] =
-    (1 until HLL_M).map(mu => HLL_M * math.log(HLL_M.toDouble / (HLL_M - mu))) :+ 0.0
+  // Constants and numeric-determinism rationale live in the shared
+  // [[graft.functions.Hll]] module (one construction for q79, q110's
+  // overlap algebra, and the streaming register build); the local names
+  // below are kept for this pack's oracle-SQL generation.
+  private[graft] val HLL_P = graft.functions.Hll.P
+  private[graft] val HLL_M = graft.functions.Hll.M
+  private val HLL_WBITS = graft.functions.Hll.WBITS
+  private val HLL_CRAW = graft.functions.Hll.CRAW
+  private val hllLc: IndexedSeq[Double] = graft.functions.Hll.lc
 
   /** Registers (event_type, bucket, reg) of the deterministic HLL —
     * the bucket/rho coordinates come from [[graft.functions.Hashes]] so
@@ -61,22 +54,10 @@ object RelationalPack {
       .agg(max(col("rho")).as("reg"))
   }
 
-  /** Estimate + exact register-state summary per group. */
-  private def hllEstimate(regs: DataFrame): DataFrame = {
-    val raw = lit(HLL_CRAW) / col("s_scaled").cast("double")
-    val lcArr = array(hllLc.map(lit(_)): _*) // element_at is 1-based: [m_used]
-    regs.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("m_used"),
-        sum(col("reg")).cast("long").as("reg_sum"),
-        sum(pow(lit(2.0), lit(HLL_WBITS + 1) - col("reg"))).cast("long").as("s_part"))
-      .withColumn("s_scaled", col("s_part")
-        + (lit(HLL_M) - col("m_used")) * lit(1L << (HLL_WBITS + 1)))
-      .withColumn("est_users",
-        floor(when(raw <= lit(2.5 * HLL_M) && col("m_used") < HLL_M,
-            element_at(lcArr, col("m_used").cast("int")))
-          .otherwise(raw)).cast("long"))
-      .select(col("event_type"), col("m_used"), col("reg_sum"), col("est_users"))
-  }
+  /** Estimate + exact register-state summary per group
+    * ([[graft.functions.Hll.estimate]] keyed by event_type). */
+  private def hllEstimate(regs: DataFrame): DataFrame =
+    graft.functions.Hll.estimate(regs, Seq("event_type"), "est_users")
 
   /** DuckDB twin of the whole q79 pipeline (same constants, same table). */
   private[operators] val sqlHll: String = {

@@ -324,6 +324,50 @@ object SamplingPack {
         .orderBy(col("s1"), col("s2"))
     }),
 
+    // q101's sketch twin at 100 TB: the same per-source-pair overlap
+    // question answered from fixed 256-register deterministic-HLL sketches
+    // ([[graft.functions.Hll]]) instead of the distinct (source, hash)
+    // relation. One pass over the span stream builds |sources|×256
+    // registers; every pairwise estimate after that is pure sketch algebra
+    // — union = per-bucket max, overlap = inclusion–exclusion
+    // est(A)+est(B)−est(A∪B) — that never revisits the corpus. The
+    // estimate matrix costs O(|sources|²·256) no matter the corpus size,
+    // where q101's distinct-relation self-join shuffles every distinct
+    // span hash; at 100 TB the sketches are also what a daily pipeline
+    // persists and folds incrementally (registers merge by max). The
+    // 60-bit span hash is re-hashed to the 32-bit HLL coordinate space
+    // through the cross-engine base32, so registers — and therefore every
+    // estimate — are bit-identical in Spark and DuckDB: fully hash-checked.
+    "q110_overlap_sketch" -> ((s, d) => {
+      import graft.functions.Hll
+      val sh = spanHashes(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), Hashes.base32(col("h").cast("string")).as("h32"))
+      val regs = sh
+        .select(col("source"), Hll.bucket(col("h32")).as("bucket"),
+          Hll.rho(col("h32")).as("rho"))
+        .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("reg"))
+      val per = Hll.estimate(regs, Seq("source"), "est")
+      val srcs = regs.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("s1"))
+        .crossJoin(srcs.select(col("source").as("s2")))
+        .filter(col("s1") < col("s2"))
+      val uregs = regs.join(broadcast(pairs),
+          col("source") === col("s1") || col("source") === col("s2"))
+        .groupBy(col("s1"), col("s2"), col("bucket")).agg(max(col("reg")).as("reg"))
+      Hll.estimate(uregs, Seq("s1", "s2"), "est_union")
+        .select(col("s1"), col("s2"), col("est_union"))
+        .join(broadcast(per.select(col("source").as("s1"), col("est").as("est1"))), "s1")
+        .join(broadcast(per.select(col("source").as("s2"), col("est").as("est2"))), "s2")
+        .withColumn("est_overlap",
+          greatest(col("est1") + col("est2") - col("est_union"), lit(0L)))
+        .withColumn("jaccard_est", round(col("est_overlap").cast("double")
+          / col("est_union"), 6))
+        .select(col("s1"), col("s2"), col("est1"), col("est2"),
+          col("est_union"), col("est_overlap"), col("jaccard_est"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // Vocabulary-growth profile per source: token total, type count,
     // hapax count, type-token ratio, hapax share — the Heaps'-law corpus
     // profile that calibrates tokenizer vocab size and dedup thresholds.
@@ -713,6 +757,41 @@ object SamplingPack {
          |  JOIN per p1 ON p1.source = s1
          |  JOIN per p2 ON p2.source = s2
          |ORDER BY s1, s2""".stripMargin,
+
+    "q110_overlap_sketch" -> {
+      import graft.functions.Hll
+      s"""WITH sp AS (
+         |  $sqlSpanHashes
+         |), sh AS (
+         |  SELECT d.source, ${Hashes.sqlBase32("sp.h::VARCHAR")} AS h32
+         |  FROM sp JOIN documents d USING (doc_id)
+         |), regs AS (
+         |  SELECT source, bucket, max(rho) AS reg FROM (
+         |    SELECT source, ${Hll.sqlRegCoords("h32")} FROM sh
+         |  ) GROUP BY 1, 2
+         |), per AS (
+         |  ${Hll.sqlEstimate("regs", Seq("source"), "est")}
+         |), pairs AS (
+         |  SELECT a.source AS s1, b.source AS s2
+         |  FROM (SELECT DISTINCT source FROM regs) a
+         |  JOIN (SELECT DISTINCT source FROM regs) b ON a.source < b.source
+         |), uregs AS (
+         |  SELECT s1, s2, bucket, max(reg) AS reg
+         |  FROM regs JOIN pairs ON source = s1 OR source = s2
+         |  GROUP BY 1, 2, 3
+         |), uest AS (
+         |  ${Hll.sqlEstimate("uregs", Seq("s1", "s2"), "est_union")}
+         |)
+         |SELECT s1, s2, p1.est AS est1, p2.est AS est2, est_union,
+         |  greatest(p1.est + p2.est - est_union, 0)::BIGINT AS est_overlap,
+         |  ${Hashes.sqlRound(
+              "greatest(p1.est + p2.est - est_union, 0)::DOUBLE / est_union", 6)}
+         |    AS jaccard_est
+         |FROM uest
+         |  JOIN per p1 ON p1.source = s1
+         |  JOIN per p2 ON p2.source = s2
+         |ORDER BY s1, s2""".stripMargin
+    },
 
     "q102_vocab_growth" ->
       s"""WITH c AS (

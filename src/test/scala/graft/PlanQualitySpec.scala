@@ -292,6 +292,37 @@ class PlanQualitySpec extends GraftSuite {
       s"candidate resolve must broadcast the winner set:\n$plan")
   }
 
+  test("q109: the corpus-wide prefix sum never windows the doc relation in one partition") {
+    // two Window nodes by design: the per-block cumsum (partitioned by blk —
+    // fully parallel over the data) and the block-offset fold (global, but
+    // over the REDUCED |blocks|-row aggregate, never the docs); the offsets
+    // rejoin must broadcast
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q109_global_prefix_pack")(spark, sf))
+    val wins = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.exists(_.contains("windowspecdefinition(blk")),
+      s"per-block window lost its blk partitioning:\n$plan")
+    // any globally-ordered window must sit ABOVE the block aggregate
+    // (consume bsum), never the raw doc rows
+    wins.filterNot(_.contains("windowspecdefinition(blk")).foreach(l =>
+      assert(l.contains("bsum"), s"global window over the doc relation: $l"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block offsets must broadcast back:\n$plan")
+  }
+
+  test("q110: overlap estimates come from folded registers — partial aggs, broadcast estimates") {
+    // the sketch algebra must stay mergeable end-to-end: register builds and
+    // union folds all keep map-side partial max/sums, and the per-source
+    // estimate table (|sources| rows) broadcasts onto the pair estimates —
+    // the corpus is touched exactly once, by the span scan
+    val plan = executedPlan(
+      graft.operators.SamplingPack.queries("q110_overlap_sketch")(spark, sf))
+    val partials = "partial_max".r.findAllIn(plan).length
+    assert(partials >= 2, s"register folds lost map-side partials:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source estimates must broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
