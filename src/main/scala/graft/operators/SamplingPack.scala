@@ -350,7 +350,7 @@ object SamplingPack {
       val per = Hll.estimate(regs, Seq("source"), "est")
       val srcs = regs.select(col("source")).distinct()
       val pairs = srcs.select(col("source").as("s1"))
-        .crossJoin(srcs.select(col("source").as("s2")))
+        .crossJoin(broadcast(srcs.select(col("source").as("s2"))))
         .filter(col("s1") < col("s2"))
       val uregs = regs.join(broadcast(pairs),
           col("source") === col("s1") || col("source") === col("s2"))

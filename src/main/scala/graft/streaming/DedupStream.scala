@@ -3,7 +3,8 @@ package graft.streaming
 import graft.functions.{Hashes, MinHashSig}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A document arriving on the ingest stream. */
 final case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
@@ -84,6 +85,29 @@ object DedupStream {
       .as[BucketDoc]
   }
 
+  /** The bucket transition shared by BOTH state-API forms (the
+    * ClusterWindowLogic pattern — one core, two adapters, cannot drift):
+    * fold a batch of arrivals in (ts, doc_id) order through the bucket's
+    * canonical entry. */
+  private[streaming] def foldBucket(st0: Option[BucketState], rows: Seq[BucketDoc])
+      : (Option[BucketState], Seq[DedupCand]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[DedupCand]
+    rows.sortBy(b => (b.ts.getTime, b.doc_id)).foreach { b =>
+      st match {
+        case None =>
+          st = Some(BucketState(b.doc_id, b.sig))
+          out += DedupCand(b.doc_id, b.ts, b.band, -1L, 0.0)
+        case Some(s0) if s0.firstDoc != b.doc_id =>
+          val eq = b.sig.iterator.zip(s0.sig.iterator).count { case (x, y) => x == y }
+          out += DedupCand(b.doc_id, b.ts, b.band, s0.firstDoc,
+            eq.toDouble / NumHashes)
+        case _ => () // replayed delivery of the canonical doc itself
+      }
+    }
+    (st, out.toSeq)
+  }
+
   /** Stage B (keyed index): one fMGWS group per LSH bucket holding the
     * canonical entry; emits a [[DedupCand]] row per (doc, bucket). */
   def candidates(docs: Dataset[DocEv]): Dataset[DedupCand] = {
@@ -94,23 +118,48 @@ object DedupStream {
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[BucketDoc], state: GroupState[BucketState]) => {
-          var st = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[DedupCand]
-          it.toSeq.sortBy(b => (b.ts.getTime, b.doc_id)).foreach { b =>
-            st match {
-              case None =>
-                st = Some(BucketState(b.doc_id, b.sig))
-                out += DedupCand(b.doc_id, b.ts, b.band, -1L, 0.0)
-              case Some(s0) if s0.firstDoc != b.doc_id =>
-                val eq = b.sig.iterator.zip(s0.sig.iterator).count { case (x, y) => x == y }
-                out += DedupCand(b.doc_id, b.ts, b.band, s0.firstDoc,
-                  eq.toDouble / NumHashes)
-              case _ => () // replayed delivery of the canonical doc itself
-            }
-          }
+          val (st, out) = foldBucket(state.getOption, it.toSeq)
           st.foreach(state.update)
           out.iterator
         })
+  }
+
+  /** [[candidates]] on the transformWithState API. The declarative
+    * `TTLConfig` is what makes this form the DEDUP-WITHIN-HORIZON
+    * deployment: with a TTL, a bucket whose canonical entry hasn't been
+    * touched for the horizon is dropped by the store itself, bounding the
+    * index to recently-seen content (the NoTimeout fMGWS form keeps the
+    * index forever — the persisted-corpus-index deployment). Requires the
+    * RocksDB state store provider (Spark's TWS contract). */
+  def candidatesTws(docs: Dataset[DocEv],
+                    ttl: TTLConfig = TTLConfig.NONE): Dataset[DedupCand] = {
+    implicit val outEnc = Encoders.product[DedupCand]
+    implicit val keyEnc = Encoders.STRING
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    bandRows(docs)
+      .groupByKey(_.bkey)
+      .transformWithState(new BucketIndexProcessor(ttl), timeMode,
+        OutputMode.Append())
+  }
+
+  /** The bucket-index [[StatefulProcessor]] — same [[foldBucket]] core as
+    * the fMGWS form. */
+  class BucketIndexProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[String, BucketDoc, DedupCand] {
+    @transient private var canonical: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canonical = getHandle.getValueState[BucketState]("canonical",
+        Encoders.product[BucketState], ttl)
+
+    override def handleInputRows(bkey: String, rows: Iterator[BucketDoc],
+                                 timerValues: TimerValues): Iterator[DedupCand] = {
+      val st0 = if (canonical.exists()) Some(canonical.get()) else None
+      val (st, out) = foldBucket(st0, rows.toSeq)
+      st.foreach(canonical.update)
+      out.iterator
+    }
   }
 
   /** Stage C (windowed verdicts): per-doc rollup over the doc's ≤16

@@ -108,6 +108,96 @@ class DedupStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("bucket index survives a restart: post-restart copy matches the pre-restart canonical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_rec").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    val sch = "doc_id long, ts timestamp, text string"
+    val t0 = 1700000000000L
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def runOnce(chunk: Seq[DocEv]): Unit = {
+      chunk.toDF().write.mode("append").parquet(in)
+      val q = DedupStream.candidates(
+          spark.readStream.schema(sch).parquet(in).as[DocEv])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop() // "crash" between chunks
+    }
+    runOnce(Seq(
+      DocEv(10L, new java.sql.Timestamp(t0), text),
+      DocEv(11L, new java.sql.Timestamp(t0 + 60000L),
+        "a completely different document about spark structured streaming state")))
+    runOnce(Seq(
+      DocEv(12L, new java.sql.Timestamp(t0 + 120000L), text)))
+    val matches = spark.read.parquet(out).as[DedupCand].collect()
+      .filter(_.cand_of >= 0)
+    // doc 12 can only match doc 10 if every bucket's canonical entry was
+    // recovered from the checkpoint across the stop/start
+    assert(matches.length == DedupStream.Bands &&
+      matches.forall(c => c.doc_id == 12L && c.cand_of == 10L && c.est_sim == 1.0),
+      s"post-restart match set wrong: ${matches.toSeq}")
+  }
+
+  test("transformWithState index equals the fMGWS index across micro-batches") {
+    // the two state-API forms share the foldBucket core; this pins the
+    // adapters (ValueState plumbing vs GroupState)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = docEvs(120)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String, f: org.apache.spark.sql.Dataset[DocEv] => org.apache.spark.sql.Dataset[DedupCand]) = {
+        val stream = MemoryStream[DocEv]
+        val q = f(stream.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          docs.grouped(docs.length / 4 + 1).foreach { c =>
+            stream.addData(c); q.processAllAvailable()
+          }
+          spark.table(name).as[DedupCand].collect().map(key).sorted.toSeq
+        } finally q.stop()
+      }
+      val tws = run("dedup_tws", ds => DedupStream.candidatesTws(ds))
+      val classic = run("dedup_classic", ds => DedupStream.candidates(ds))
+      assert(tws.nonEmpty && tws == classic,
+        s"tws=${tws.size} classic=${classic.size} diverge")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("bucket-index state distributes across >=2 state partitions, one row per bucket") {
+    // the index is keyed by LSH bucket — state must hash-spread across the
+    // shuffle partitions (the scale property: no single-task index), and a
+    // bucket holds exactly ONE canonical entry no matter how many docs
+    // hashed into it
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = docEvs(120)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_state").toString
+    val stream = MemoryStream[DocEv]
+    val q = DedupStream.candidates(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_state_dist")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nBuckets = DedupStream.bandRows(docs.toDS())
+      .select(col("bkey")).distinct().count()
+    val store = spark.read.format("statestore").load(ckpt)
+    assert(store.count() == nBuckets,
+      s"expected one state row per bucket ($nBuckets), got ${store.count()}")
+    assert(store.select("partition_id").distinct().count() >= 2,
+      "bucket index sits in one state partition — not distributed")
+  }
+
   test("windowed verdicts: per-doc rollup emits on window close with correct is_dup") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

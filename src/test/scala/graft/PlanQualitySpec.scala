@@ -323,6 +323,35 @@ class PlanQualitySpec extends GraftSuite {
       s"per-source estimates must broadcast:\n$plan")
   }
 
+  test("no query plans an all-pairs join outside the known tiny-side whitelist") {
+    // Global guard over the ENTIRE query surface: a nested-loop/cartesian
+    // join is only acceptable when one side is provably corpus-independent
+    // — a 1-row global total, a ≤|sources| dimension, or a bounded query
+    // set. Everything on the whitelist is such a case (audited r9); any
+    // NEW name failing here is an accidental all-pairs scan and must be
+    // fixed, not whitelisted, unless its tiny side is argued in a comment.
+    val tinySideCross = Set(
+      "q106_source_keyness",   // |sources|-row totals rejoin
+      "q110_overlap_sketch",   // |sources|² pair seed over the sketch table
+      "q34_simhash_neardup",   // 1-row radius/threshold constant
+      "q40_cosine_topk",       // bounded query-vector set (brute baseline)
+      "q41_embed_neardup",     // 1-row threshold constant
+      "q59_domain_rebalance",  // 1-row min-tokens total
+      "q63_tfidf",             // 1-row corpus-size total
+      "q81_heavy_hitters",     // 1-row corpus-token total
+      "q83_lm_quality",        // 1-row vocab-size total
+      "q84_mix_temperature",   // 1-row max-tokens total
+      "q90_bm25",              // 1-row avgdl total + bounded query set
+      "q98_pmi_phrases")       // 1-row corpus-size total
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!tinySideCross(name)) {
+        val plan = executedPlan(fn(spark, sf))
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name grew an all-pairs join:\n$plan")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
