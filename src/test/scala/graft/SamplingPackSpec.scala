@@ -200,6 +200,42 @@ class SamplingPackSpec extends GraftSuite {
     assert(rows.length == expectedPairs)
   }
 
+  test("q110: sketch estimates sit within HLL error of the exact overlap matrix") {
+    // accuracy contract of the sketch twin: with m=256 registers the
+    // asymptotic standard error is 1.04/sqrt(256) ~ 6.5%, but the sf0.001
+    // span sets (~300-600 distinct) sit squarely in the classic
+    // raw-estimate bias region (m < n < 5m — the zone HLL++'s empirical
+    // bias table exists for; Heule et al., EDBT 2013), where the plain
+    // Flajolet construction overestimates by up to ~25%. The test's job is
+    // to catch WRONG constructions (order-of-magnitude drift), so assert
+    // 35% on the cardinalities and 40% of the UNION on the overlap (the
+    // overlap's error scales with the set sizes, not the overlap itself)
+    val spanSets = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap { r =>
+        val t = r.getString(1).split(" ")
+        t.grouped(6).map(_.mkString(" "))
+      }.toSet).toMap
+    val rows = q("q110_overlap_sketch").collect()
+    assert(rows.length == spanSets.size * (spanSets.size - 1) / 2,
+      "sketch matrix must cover every source pair")
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (a, b) = (spanSets(s1), spanSets(s2))
+      val (est1, est2, estU, estO) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      def close(est: Long, exact: Int) =
+        math.abs(est - exact) <= math.max(3, 0.35 * exact)
+      assert(close(est1, a.size), s"($s1,$s2) est1=$est1 exact=${a.size}")
+      assert(close(est2, b.size), s"($s1,$s2) est2=$est2 exact=${b.size}")
+      val u = a.union(b).size
+      assert(close(estU, u), s"($s1,$s2) estU=$estU exact=$u")
+      assert(math.abs(estO - a.intersect(b).size) <= math.max(3, 0.40 * u),
+        s"($s1,$s2) overlap est $estO vs exact ${a.intersect(b).size} (union $u)")
+    }
+  }
+
   test("q102: vocabulary profile matches driver-side token counting") {
     val rows = q("q102_vocab_growth").collect()
     val bySrc = Tables.documents(spark, sf)
