@@ -30,13 +30,8 @@ object RelationalPack {
   // partial sketches from any partitioning fold to the same registers.
   // Constants and numeric-determinism rationale live in the shared
   // [[graft.functions.Hll]] module (one construction for q79, q110's
-  // overlap algebra, and the streaming register build); the local names
-  // below are kept for this pack's oracle-SQL generation.
-  private[graft] val HLL_P = graft.functions.Hll.P
-  private[graft] val HLL_M = graft.functions.Hll.M
-  private val HLL_WBITS = graft.functions.Hll.WBITS
-  private val HLL_CRAW = graft.functions.Hll.CRAW
-  private val hllLc: IndexedSeq[Double] = graft.functions.Hll.lc
+  // overlap algebra, and the streaming register build).
+  private val HLL_P = graft.functions.Hll.P
 
   /** Registers (event_type, bucket, reg) of the deterministic HLL —
     * the bucket/rho coordinates come from [[graft.functions.Hashes]] so
@@ -59,38 +54,25 @@ object RelationalPack {
   private def hllEstimate(regs: DataFrame): DataFrame =
     graft.functions.Hll.estimate(regs, Seq("event_type"), "est_users")
 
-  /** DuckDB twin of the whole q79 pipeline (same constants, same table). */
+  /** DuckDB twin of the whole q79 pipeline — generated from the SAME
+    * shared [[graft.functions.Hll]] SQL builders q110's oracle uses, so
+    * the two oracles cannot drift from each other or from the Spark
+    * construction. */
   private[operators] val sqlHll: String = {
-    import graft.functions.Hashes
-    val lcCase = hllLc.zipWithIndex
-      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}" }
-      .mkString("CASE m_used ", " ", " END")
-    val raw = s"($HLL_CRAW / s_scaled::DOUBLE)"
-    s"""WITH hb AS (
-       |  SELECT event_type,
-       |    ${Hashes.sqlBase32("user_id::VARCHAR")} % $HLL_M AS bucket,
-       |    ${Hashes.sqlBase32("user_id::VARCHAR")} // $HLL_M AS w
-       |  FROM events
-       |), r AS (
-       |  SELECT event_type, bucket,
-       |    max(CASE WHEN w = 0 THEN ${HLL_WBITS + 1}
-       |             ELSE ${HLL_WBITS + 1} - length(bin(w)) END) AS reg
-       |  FROM hb GROUP BY 1, 2
+    import graft.functions.{Hashes, Hll}
+    val h = Hashes.sqlBase32("user_id::VARCHAR")
+    s"""WITH r AS (
+       |  SELECT event_type, bucket, max(rho) AS reg FROM (
+       |    SELECT event_type, ${Hll.sqlRegCoords(h)} FROM events
+       |  ) GROUP BY 1, 2
        |), ra AS (
        |  SELECT 'ALL' AS event_type, bucket, max(reg) AS reg FROM r GROUP BY 2
        |), u AS (
        |  SELECT * FROM r UNION ALL SELECT * FROM ra
-       |), agg AS (
-       |  SELECT event_type, count(*)::BIGINT AS m_used,
-       |    sum(reg)::BIGINT AS reg_sum,
-       |    (sum(1::BIGINT << (${HLL_WBITS + 1} - reg))
-       |      + ($HLL_M - count(*)) * ${1L << (HLL_WBITS + 1)})::BIGINT AS s_scaled
-       |  FROM u GROUP BY 1
        |)
-       |SELECT event_type, m_used, reg_sum,
-       |  floor(CASE WHEN $raw <= ${2.5 * HLL_M} AND m_used < $HLL_M
-       |             THEN $lcCase ELSE $raw END)::BIGINT AS est_users
-       |FROM agg ORDER BY event_type""".stripMargin
+       |SELECT event_type, m_used, reg_sum, est_users
+       |FROM (${Hll.sqlEstimate("u", Seq("event_type"), "est_users")})
+       |ORDER BY event_type""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -352,8 +352,12 @@ object SamplingPack {
       val pairs = srcs.select(col("source").as("s1"))
         .crossJoin(broadcast(srcs.select(col("source").as("s2"))))
         .filter(col("s1") < col("s2"))
-      val uregs = regs.join(broadcast(pairs),
-          col("source") === col("s1") || col("source") === col("s2"))
+      // each pair contributes its two member sources as equi-join rows —
+      // a hash join at O(|sources|²·256), where the naive OR-condition
+      // join would be a nested-loop at O(|sources|³·256)
+      val pairSides = pairs.select(col("s1").as("source"), col("s1"), col("s2"))
+        .unionByName(pairs.select(col("s2").as("source"), col("s1"), col("s2")))
+      val uregs = regs.join(broadcast(pairSides), "source")
         .groupBy(col("s1"), col("s2"), col("bucket")).agg(max(col("reg")).as("reg"))
       Hll.estimate(uregs, Seq("s1", "s2"), "est_union")
         .select(col("s1"), col("s2"), col("est_union"))

@@ -34,33 +34,26 @@ import org.apache.spark.sql.expressions.Window
 object TextPack {
   type Q = (SparkSession, String) => DataFrame
 
-  // shared config — single source of truth for Spark AND oracle SQL
-  private val W          = 3      // shingle width (words)
-  private val NUM_HASHES = 64
-  private val BANDS      = 16     // 16 bands x 4 rows: s-curve threshold ~0.5
-  private val ROWS       = NUM_HASHES / BANDS
-  private val SEED       = 42L
+  // shared config — single source of truth for Spark, oracle SQL, AND the
+  // streaming index lives in graft.functions.TextLsh (the batch/stream
+  // bit-identical-signature contract; parity pinned in DedupStreamSpec)
+  private val W          = graft.functions.TextLsh.ShingleW
+  private val NUM_HASHES = graft.functions.TextLsh.NumHashes
+  private val BANDS      = graft.functions.TextLsh.Bands
+  private val ROWS       = graft.functions.TextLsh.Rows
+  private val SEED       = graft.functions.TextLsh.Seed
   private val JACC_T     = 0.5
   private val fam        = Hashes.family(NUM_HASHES, SEED)
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct W-gram word shingles of `text` (empty when too short). */
-  /** Distinct W-token shingles of a PRE-PROJECTED token-array column.
-    * `t` must be an attribute, not the `split(...)` expression itself:
-    * higher-order functions are CodegenFallback, so any non-attribute the
-    * lambda body references is RE-EVALUATED per element — with `toks`
-    * inlined, every shingle re-split the whole document (O(n²·len) per
-    * doc; measured ~3× slower on the shingle build at sf0.1). */
+  /** Distinct W-token shingles of a pre-projected token-array attribute
+    * ([[graft.functions.TextLsh.shinglesOf]] — see its codegen note). */
   private def shinglesOf(t: Column): Column =
-    when(size(t) >= W,
-      array_distinct(transform(sequence(lit(1), size(t) - lit(W - 1)),
-        i => concat_ws(" ", slice(t, i, lit(W))))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextLsh.shinglesOf(t)
 
   /** DuckDB equivalent of [[shinglesOf]] (1-based inclusive slices). */
-  private val sqlShingles: String =
-    s"list_distinct([array_to_string(t[i:i+${W - 1}], ' ') FOR i IN range(1, len(t) - ${W - 2})])"
+  private val sqlShingles: String = graft.functions.TextLsh.sqlShingles
 
   /** The overlap-pair base relation (i, j, shared, ni, nj): doc pairs with
     * ≥1 common shingle, their intersection size, and both set sizes — the

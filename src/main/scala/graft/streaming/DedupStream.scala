@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.{Hashes, MinHashSig}
+import graft.functions.{MinHashSig, TextLsh}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -52,20 +52,15 @@ final case class DedupCand(doc_id: Long, ts: java.sql.Timestamp, band: Int,
   * checkpointed index, so verdicts never regress (RecoverySpec pattern).
   */
 object DedupStream {
-  val NumHashes = 64
-  val Bands     = 16
-  val Rows      = NumHashes / Bands
-  val Seed      = 42L
-  val ShingleW  = 3
+  // the ONE shared text-LSH configuration (graft.functions.TextLsh) — the
+  // batch/stream bit-identical-signature contract is by construction, and
+  // DedupStreamSpec pins it against TextPack's batch signature build
+  val NumHashes: Int = TextLsh.NumHashes
+  val Bands: Int     = TextLsh.Bands
+  val Rows: Int      = TextLsh.Rows
+  val Seed: Long     = TextLsh.Seed
 
-  /** Distinct W-token shingles of a pre-projected token-array attribute
-    * (TextPack's shinglesOf; see its codegen note on why `t` must be an
-    * attribute). */
-  private def shinglesOf(t: Column): Column =
-    when(size(t) >= ShingleW,
-      array_distinct(transform(sequence(lit(1), size(t) - lit(ShingleW - 1)),
-        i => concat_ws(" ", slice(t, i, lit(ShingleW))))))
-      .otherwise(array().cast("array<string>"))
+  private def shinglesOf(t: Column): Column = TextLsh.shinglesOf(t)
 
   /** Stage A (stateless, map-only): signature + band fan-out. Docs too
     * short to shingle produce no rows — they cannot collide. */
@@ -99,6 +94,14 @@ object DedupStream {
           st = Some(BucketState(b.doc_id, b.sig))
           out += DedupCand(b.doc_id, b.ts, b.band, -1L, 0.0)
         case Some(s0) if s0.firstDoc != b.doc_id =>
+          // NOTE on redelivery: an at-least-once source that re-sends a
+          // non-canonical doc re-emits its candidate rows (tracking emitted
+          // docs per bucket would grow state per arrival — defeating the
+          // one-entry-per-bucket design), so downstream consumers must be
+          // duplicate-insensitive — [[verdicts]] aggregates with
+          // max/collect_set only. A re-sent CANONICAL doc emits nothing
+          // (its -1 row already committed with the batch that set the
+          // state; exactly-once sinks keep it).
           val eq = b.sig.iterator.zip(s0.sig.iterator).count { case (x, y) => x == y }
           out += DedupCand(b.doc_id, b.ts, b.band, s0.firstDoc,
             eq.toDouble / NumHashes)
@@ -163,8 +166,9 @@ object DedupStream {
   }
 
   /** Stage C (windowed verdicts): per-doc rollup over the doc's ≤16
-    * candidate rows — best match by estimated similarity (smallest
-    * canonical id on ties), duplicate iff best_sim ≥ `simT`. The watermark
+    * candidate rows — n_hits = distinct matched canonicals, best match by
+    * estimated similarity (smallest canonical id on ties), duplicate iff
+    * best_sim ≥ `simT`. The watermark
     * is RE-DECLARED on the fMGWS output (a flatMapGroupsWithState does not
     * propagate its input watermark — the r9 soak lesson, SCALE.md), so
     * the rollup state is evicted as windows close. */
@@ -178,7 +182,10 @@ object DedupStream {
     candidates(docs)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"), col("doc_id"))
-      .agg(count(when(col("cand_of") >= 0, 1)).as("n_hits"),
+      // n_hits counts DISTINCT matched canonicals (bounded by #bands), so
+      // at-least-once redelivery of candidate rows cannot inflate it —
+      // every aggregate here is duplicate-insensitive (see foldBucket)
+      .agg(size(collect_set(when(col("cand_of") >= 0, col("cand_of")))).as("n_hits"),
         max(struct(col("est_sim"), (-col("cand_of")).as("nc"))).as("best"))
       .select(col("doc_id"), unix_timestamp(col("w.start")).as("w_start"),
         col("n_hits"),

@@ -102,7 +102,7 @@ object StreamOps {
     * ids. */
   def sketchDistinctDetRegs(events: DataFrame): DataFrame = {
     import graft.functions.Hashes
-    import graft.operators.RelationalPack.HLL_P
+    import graft.functions.Hll.{P => HLL_P}
     events
       .select(col("ts"), col("event_type"),
         Hashes.base32(col("user_id").cast("string")).as("h"))

@@ -140,6 +140,29 @@ class DedupStreamSpec extends GraftSuite {
       s"post-restart match set wrong: ${matches.toSeq}")
   }
 
+  test("streaming signatures equal the relational MinHash build (shared TextLsh config)") {
+    // bandRows computes signatures with the MinHashSig codegen expression;
+    // the batch dedup stack's relational explode→64-min-agg build
+    // (MinHash.signature) is an INDEPENDENT construction of the same
+    // contract — both read graft.functions.TextLsh, so agreeing here pins
+    // the batch/stream bit-identical-signature claim
+    import graft.functions.{MinHash, TextLsh}
+    import spark.implicits._
+    val docs = docEvs(60)
+    val items = docs.toDS().toDF()
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(TextLsh.shinglesOf(col("t"))).as("shingle"))
+    val mh = MinHash(TextLsh.NumHashes, TextLsh.Bands, TextLsh.Seed)
+    val expected = mh.signature(items, "doc_id", "shingle")
+      .select(col("doc_id"), mh.sigArray.as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val got = DedupStream.bandRows(docs.toDS())
+      .select(col("doc_id"), col("sig")).distinct()
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.nonEmpty && got == expected,
+      s"streaming=${got.size} relational=${expected.size} signatures diverge")
+  }
+
   test("transformWithState index equals the fMGWS index across micro-batches") {
     // the two state-API forms share the foldBucket core; this pins the
     // adapters (ValueState plumbing vs GroupState)
