@@ -362,6 +362,26 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("no query global-sorts mid-plan: at most one range exchange (the presentation sort)") {
+    // Every query ends in a total ORDER BY for the deterministic oracle
+    // compare — exactly ONE range exchange. A SECOND one means a global
+    // sort crept into the middle of the plan (a sort-the-corpus stage a
+    // 100 TB run cannot afford); rank/top-k must stay WindowGroupLimit /
+    // TakeOrderedAndProject, prefix sums per-partition (q58/q109).
+    val cachedSubplanPrint = Set(
+      // q34 joins a .cache()d q33 against itself: the cached subplan (with
+      // its own presentation sort) prints under BOTH InMemoryRelation
+      // sides, inflating the textual count; execution sorts once.
+      "q34_simhash_neardup")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!cachedSubplanPrint(name)) {
+        val plan = executedPlan(fn(spark, sf))
+        val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+        assert(ranges <= 1, s"$name global-sorts mid-plan ($ranges range exchanges):\n$plan")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline of q02") {
     val df = RelationalPack.queries("q02_filter_project")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
