@@ -271,13 +271,16 @@ object TextPack {
     // natural language the profiles are per-language stopword lists; the
     // plan shape (one codegen'd pass, no shuffle) is the point.
     "q35_langid_markers" -> ((s, d) => {
+      // token array projected ONCE for the three marker scans (the inline
+      // form re-split the text per profile)
       Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
         .withColumn("s_storage", expr(
-          "size(filter(split(text, ' '), t -> t IN ('table', 'row', 'scan', 'part', 'key')))"))
+          "size(filter(t, w -> w IN ('table', 'row', 'scan', 'part', 'key')))"))
         .withColumn("s_compute", expr(
-          "size(filter(split(text, ' '), t -> t IN ('join', 'merge', 'batch', 'hash', 'agg')))"))
+          "size(filter(t, w -> w IN ('join', 'merge', 'batch', 'hash', 'agg')))"))
         .withColumn("s_stream", expr(
-          "size(filter(split(text, ' '), t -> t IN ('window', 'filter', 'order', 'data', 'value')))"))
+          "size(filter(t, w -> w IN ('window', 'filter', 'order', 'data', 'value')))"))
         .withColumn("pred_profile",
           when(col("s_storage") >= col("s_compute") && col("s_storage") >= col("s_stream"), "storage")
             .when(col("s_compute") >= col("s_stream"), "compute")
@@ -289,13 +292,16 @@ object TextPack {
 
     // Quality scoring: type-token ratio, stopword ratio, length credit —
     // the standard cheap pre-filter of a training-data pipeline.
+    // the token array is projected ONCE and reused by all three measures —
+    // the inline form re-split the text per derived column (3 splits/row)
     "q36_quality_score" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_distinct", size(array_distinct(toks)))
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("n_distinct", size(array_distinct(col("t"))))
         .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
         .withColumn("stop_ratio", round(
-          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'value')))").cast("double")
+          expr("size(filter(t, w -> w IN ('the', 'a', 'value')))").cast("double")
             / col("n_tokens"), 4))
         .withColumn("quality", round(
           lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
@@ -350,13 +356,16 @@ object TextPack {
     // scrubbing the same shape swaps the token filter for regexp classes).
     // One narrow codegen'd pass, no shuffle before the final sort.
     "q29_normalize" -> ((s, d) => {
-      val toksNorm = split(trim(regexp_replace(lower(col("text")), " +", " ")), " ")
+      // normalized token array projected ONCE (the inline form ran the
+      // lower/regexp/split chain twice per row)
       Tables.documents(s, d)
-        .withColumn("kept", expr(
-          "filter(split(trim(regexp_replace(lower(text), ' +', ' ')), ' '), t -> t NOT IN ('the', 'a', 'value'))"))
+        .select(col("doc_id"),
+          split(trim(regexp_replace(lower(col("text")), " +", " ")), " ").as("tn"))
+        .select(col("doc_id"), col("tn"),
+          expr("filter(tn, t -> t NOT IN ('the', 'a', 'value'))").as("kept"))
         .select(col("doc_id"),
           concat_ws(" ", col("kept")).as("normalized"),
-          (size(toksNorm) - size(col("kept"))).as("n_removed"))
+          (size(col("tn")) - size(col("kept"))).as("n_removed"))
         .orderBy(col("doc_id"))
     }),
 
