@@ -316,9 +316,10 @@ object TextPack {
     // single codegen'd pass, one small shuffle on source.
     "q37_token_stats" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("n_tokens", size(toks).cast("long"))
+        .select(col("source"), col("n_chars"), toks.as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
         .withColumn("n_subwords", expr(
-          "aggregate(transform(split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          "aggregate(transform(t, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
