@@ -167,6 +167,17 @@ object PipelinePack {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    // convergence probe: a round can only DECREASE labels (least() against
+    // the current value), so the label table changed iff sum(lbl) strictly
+    // dropped — one cheap aggregation per round instead of a
+    // change-detection join, and EXACT (no fingerprint collision case,
+    // unlike ccStarContraction's XOR probe whose edge sets aren't ordered).
+    // decimal(38,0) keeps the sum overflow-proof for arbitrary 64-bit ids.
+    def fp(l: DataFrame): java.math.BigDecimal = {
+      val v = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // empty label table
+    }
+    var lastFp = fp(labels)
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -177,9 +188,10 @@ object PipelinePack {
       val next = labels.as("cur").join(nbrMin.as("nb"), "id")
         .select(col("id"), least(col("cur.lbl"), col("nb.nlbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count() > 0
+      val nextFp = fp(next)
+      changed = nextFp.compareTo(lastFp) != 0
       labels = next
+      lastFp = nextFp
       round += 1
     }
     // Propagation needs one round per hop from each node to its component's
