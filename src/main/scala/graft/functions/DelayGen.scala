@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a map-only projection of codegen'd expressions (hash,
   * ln, cos, sqrt) — no UDF, no shuffle, no state; the rejection unroll is
-  * K=8 straight-line candidate draws per row. P(all 8 rejected) is
-  * negligible for any sane (mean, sd, max) — e.g. ~1e-8 at the reference
-  * defaults (accept ≈ 0.9 per draw) — and the documented fallback then
-  * clamps the FIRST draw into range rather than looping unboundedly.
+  * K=16 straight-line candidate draws per row. At the reference defaults
+  * (mean=max/4, sd=max/2) the accept window is z ∈ [−0.5, 1.5] → accept
+  * ≈ 0.62 per draw, so P(all 16 rejected) ≈ 0.38^16 ≈ 2e-7 — and the
+  * documented fallback then clamps the FIRST draw into range rather than
+  * looping unboundedly (tighter windows should raise `attempts`).
   */
 object DelayGen {
 
@@ -46,7 +47,7 @@ object DelayGen {
     * equal keys get equal delays by design. */
   def normalDelayMs(key: Column, maxMs: Long,
                     mean: Double, sd: Double,
-                    seed: Long = 42L, attempts: Int = 8): Column = {
+                    seed: Long = 42L, attempts: Int = 16): Column = {
     require(maxMs >= 0, s"maxMs must be >= 0, got $maxMs")
     require(sd >= 0, s"sd must be >= 0, got $sd")
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")

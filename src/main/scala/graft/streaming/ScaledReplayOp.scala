@@ -60,14 +60,27 @@ object ScaledReplayOp {
                              pending: Seq[Ev])
 
   /** Re-pace `events` (keyed by user) to `speedup`× event time. Emits
-    * every input exactly once, per-key in (event-time, event_id) order,
-    * no earlier than its scaled due instant (modulo trigger quantization).
+    * every input exactly once, no earlier than its scaled due instant
+    * (modulo trigger quantization). Emission is per-key
+    * (event-time, event_id)-ordered among events that arrive AHEAD of
+    * their due instant — the normal case under a read-ahead upstream; an
+    * event arriving already past due emits on arrival, exactly as the
+    * reference scheduler releases it (a late straggler cannot be
+    * re-paced without unbounded holding).
+    *
+    * `maxPollMs` bounds the idle re-poll (the exact wait to the next due
+    * instant is used when shorter); `anchorTtlMs` garbage-collects a
+    * key's anchor after it has sat DRAINED that long — a later event for
+    * the key then re-anchors, which bounds state by the number of keys
+    * active within the TTL horizon instead of all keys ever seen.
     */
   def scaledReplay(events: Dataset[Ev], speedup: Double,
                    clock: Clock = WallClock,
-                   maxPollMs: Long = 1000L): Dataset[Ev] = {
+                   maxPollMs: Long = 30000L,
+                   anchorTtlMs: Long = 3600000L): Dataset[Ev] = {
     require(speedup > 0, s"speedup must be > 0, got $speedup")
     require(maxPollMs >= 1, s"maxPollMs must be >= 1, got $maxPollMs")
+    require(anchorTtlMs >= 1, s"anchorTtlMs must be >= 1, got $anchorTtlMs")
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[ReplayBuf]
     implicit val outEnc = Encoders.product[Ev]
@@ -82,19 +95,34 @@ object ScaledReplayOp {
             now,
             if (arrived.isEmpty) now else arrived.map(_.ts.getTime).min,
             Seq.empty))
-          val pending = (st0.pending ++ arrived)
-            .sortBy(e => (e.ts.getTime, e.event_id))
-          val frontier = st0.eventStartMs +
-            ((now - st0.wallStartMs) * speedup).toLong
-          val (due, rest) = pending.partition(_.ts.getTime <= frontier)
-          state.update(ReplayBuf(st0.wallStartMs, st0.eventStartMs, rest))
-          if (rest.nonEmpty) {
-            // wall wait until the earliest pending event comes due
-            val wait = math.ceil((rest.head.ts.getTime - frontier)
-              / speedup).toLong
-            state.setTimeoutDuration(math.max(1L, math.min(maxPollMs, wait)))
+          if (state.hasTimedOut && arrived.isEmpty && st0.pending.isEmpty) {
+            // drained key idle past the anchor TTL: evict the anchor
+            state.remove()
+            Iterator.empty
+          } else {
+            // the buffer is persisted sorted — only re-sort when new
+            // events merged in (a no-op timer poll skips the O(n log n))
+            val pending =
+              if (arrived.isEmpty) st0.pending
+              else (st0.pending ++ arrived).sortBy(e => (e.ts.getTime, e.event_id))
+            val frontier = st0.eventStartMs +
+              ((now - st0.wallStartMs) * speedup).toLong
+            val (due, rest) = pending.partition(_.ts.getTime <= frontier)
+            // skip the state rewrite when nothing changed (idle poll);
+            // the re-armed timeout is the only thing that must persist
+            if (arrived.nonEmpty || due.nonEmpty || !state.exists)
+              state.update(ReplayBuf(st0.wallStartMs, st0.eventStartMs, rest))
+            if (rest.nonEmpty) {
+              // wall wait until the earliest pending event comes due
+              val wait = math.ceil((rest.head.ts.getTime - frontier)
+                / speedup).toLong
+              state.setTimeoutDuration(math.max(1L, math.min(maxPollMs, wait)))
+            } else {
+              // drained: arm the GC timer instead of polling
+              state.setTimeoutDuration(anchorTtlMs)
+            }
+            due.iterator
           }
-          due.iterator
         })
   }
 }
