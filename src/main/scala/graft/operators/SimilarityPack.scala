@@ -79,6 +79,40 @@ object SimilarityPack {
   private def sqlCosine(va: String, vb: String, na: String, nb: String): String =
     s"list_dot_product($va, $vb) / ($na * $nb)"
 
+  /** Session conf knob for q89's hot-token document-frequency cap: a token
+    * appearing in more than this many documents is dropped from the lexical
+    * posting relation BEFORE candidate generation. Unset (default) = off,
+    * which keeps q89 byte-exact against its DuckDB oracle. */
+  private[operators] val MaxTokDocFreqKey = "graft.hybrid.maxDocFreq"
+
+  /** Distinct (doc_id, token) posting relation — the lexical leg's index. */
+  private[operators] def tokenRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** [[tokenRows]] with the token document-frequency cap applied when
+    * configured — the hybrid-retrieval analogue of TextPack's hot-shingle
+    * cap. A stopword-grade token sits in (nearly) every document, so its
+    * posting list makes per-query candidate volume O(|corpus|) and the
+    * lexical leg degenerates to |queries|×|corpus| — the exact blowup the
+    * BM25 impact index avoids by construction (matched postings only).
+    * Capping drops such tokens from the candidate universe (they carry no
+    * discriminative lexical signal — an IR system prunes them as stopwords
+    * or via impact ordering). Plan: one count per token + an anti-join
+    * against the over-cap token set (≤ |postings|/cap keys — AQE
+    * broadcasts it when small). */
+  private[operators] def cappedTokenRows(s: SparkSession, d: String): DataFrame = {
+    val base = tokenRows(s, d)
+    TextPack.parseDfCap(s, MaxTokDocFreqKey, "token") match {
+      case None => base
+      case Some(cap) =>
+        val hot = base.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("tok"))
+        base.join(hot, Seq("tok"), "left_anti")
+    }
+  }
+
   /** LSH table signatures: for table t, an int in [0, 2^BITS) from the sign
     * of BITS seeded ±1 projections. */
   private def sigCol(t: Int): Column =
@@ -218,10 +252,7 @@ object SimilarityPack {
     "q89_hybrid_search" -> ((s, d) => {
       // the distinct-token posting relation is the lexical leg's index —
       // cached like TextPack.shingleRows (at scale: a table bucketed by tok)
-      val dt = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .cache()
+      val dt = cappedTokenRows(s, d).cache()
       val shared = dt.filter(col("doc_id") % HYB_QMOD === 0)
         .select(col("doc_id").as("qid"), col("tok")).as("q")
         .join(dt.as("c"), col("q.tok") === col("c.tok")

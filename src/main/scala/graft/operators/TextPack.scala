@@ -103,16 +103,22 @@ object TextPack {
     * keeps every pair query byte-exact against its DuckDB oracle. */
   private[operators] val MaxDocFreqKey = "graft.shingle.maxDocFreq"
 
-  private def dfCap(s: SparkSession): Option[Long] =
-    s.conf.getOption(MaxDocFreqKey).map(_.trim).filter(_.nonEmpty).map { v =>
+  /** Shared parse/validate for the document-frequency-cap confs (this
+    * shingle cap and SimilarityPack's token cap). */
+  private[operators] def parseDfCap(s: SparkSession, key: String,
+                                    what: String): Option[Long] =
+    s.conf.getOption(key).map(_.trim).filter(_.nonEmpty).map { v =>
       val cap = try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$MaxDocFreqKey must be a positive integer, got '$v'")
+          s"$key must be a positive integer, got '$v'")
       }
       require(cap >= 1,
-        s"$MaxDocFreqKey must be >= 1 (a cap of $cap would drop every shingle)")
+        s"$key must be >= 1 (a cap of $cap would drop every $what)")
       cap
     }
+
+  private def dfCap(s: SparkSession): Option[Long] =
+    parseDfCap(s, MaxDocFreqKey, "shingle")
 
   /** [[shingleRows]] with the document-frequency cap applied when
     * configured. A boilerplate-heavy corpus — the norm at 100 TB — puts a
