@@ -128,87 +128,122 @@ object SimilarityPack {
       s"CASE WHEN list_dot_product(v, $plane) > 0 THEN ${1 << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Brute-force cosine top-k — the exact baseline every ANN variant is
+    * measured against. Query set = vec_id % 50 == 0, broadcast against the
+    * corpus; rank by round(cos, 6) with vec_id tiebreak for cross-engine
+    * determinism. */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: L=TABLES tables of k=BITS sign-projection bits;
+    * candidates for a query = vectors sharing any table bucket; exact
+    * cosine + top-k within candidates only. Sub-quadratic: n² collapses to
+    * Σ bucket². */
+  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val sigs = e.select(col("vec_id") +: col("v") +: col("norm") +:
+      (0 until TABLES).map(t => sigCol(t).as(s"sig$t")): _*)
+    val buckets = sigs.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array((0 until TABLES).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
+    val qb = buckets.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
+        col("t"), col("sig"))
+    val cand = buckets.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF ANN: k-means coarse quantizer (seeded, trained like a real IVF
+    * build), every vector assigned to its nearest cell by a codegen'd
+    * argmin over centroid literals (one narrow pass), queries probe the
+    * NPROBE nearest cells, exact cosine top-k within probed cells only.
+    * Search cost: n/IVF_CELLS * NPROBE candidates per query instead of n. */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfCentroids(s, d)
+    val assigned = assignedCells(s, d)
+    // queries probe their NPROBE nearest cells
+    val qscores = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid") +: col("v").as("qv") +: col("norm").as("qn")
+        +: cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }: _*)
+    val probes = qscores.select(col("qid"), col("qv"), col("qn"),
+      posexplode(array((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)).as(Seq("cell", "score")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("score"), col("cell"))
+    val probed = probes.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= NPROBE).select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Brute-force cosine top-k — the exact baseline every ANN variant is
-    // measured against. Query set = vec_id % 50 == 0, broadcast against the
-    // corpus; rank by round(cos, 6) with vec_id tiebreak for cross-engine
-    // determinism.
-    "q40_cosine_topk" -> ((s, d) => {
-      val e = vecs(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TOP_K)
-        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy(col("qid"), col("rank"))
-    }),
+    "q40_cosine_topk" -> (bruteTopK _),
 
     // Embedding-cosine near-duplicate pairs (threshold 0.4) — all-pairs
     // correctness baseline for embedding dedup; q42 is the sub-quadratic
     // path at scale. Input-capped: see embedNearDup's contract.
     "q41_embed_neardup" -> ((s, d) => embedNearDup(vecs(s, d))),
 
-    // LSH-bucketed ANN: L=4 tables of k=8 sign-projection bits; candidates
-    // for a query = vectors sharing any table bucket; exact cosine + top-k
-    // within candidates only. Sub-quadratic: n² collapses to Σ bucket².
     // Recall vs q40 is data-dependent (sign-LSH needs genuinely-near
     // neighbors to shine; on near-uniform vectors it prunes aggressively) —
     // the structural contract (candidates share a bucket, exact rescoring,
-    // deterministic ranking) is what the oracle pins down.
-    "q42_ann_lsh" -> ((s, d) => {
-      val e = vecs(s, d)
-      val sigs = e.select(col("vec_id") +: col("v") +: col("norm") +:
-        (0 until TABLES).map(t => sigCol(t).as(s"sig$t")): _*)
-      val buckets = sigs.select(col("vec_id"), col("v"), col("norm"),
-        posexplode(array((0 until TABLES).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
-      val qb = buckets.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
-          col("t"), col("sig"))
-      val cand = buckets.join(broadcast(qb), Seq("t", "sig"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
-        .distinct()
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TOP_K)
-        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy(col("qid"), col("rank"))
-    }),
+    // deterministic ranking) is what the oracle pins down; q111 MEASURES
+    // the recall.
+    "q42_ann_lsh" -> (lshTopK _),
 
-    // IVF ANN: k-means coarse quantizer (seeded, trained like a real IVF
-    // build), every vector assigned to its nearest cell by a codegen'd
-    // argmin over centroid literals (one narrow pass), queries probe the
-    // NPROBE nearest cells, exact cosine top-k within probed cells only.
-    // Search cost: n/IVF_CELLS * NPROBE candidates per query instead of n.
-    // Centroids are data-dependent → rows-only for the driver; exactness
-    // vs a driver-side reimplementation is pinned in SimilarityPackSpec.
-    "q43_ann_ivf" -> ((s, d) => {
-      val cents = ivfCentroids(s, d)
-      val assigned = assignedCells(s, d)
-      // queries probe their NPROBE nearest cells
-      val qscores = assigned.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid") +: col("v").as("qv") +: col("norm").as("qn")
-          +: cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }: _*)
-      val probes = qscores.select(col("qid"), col("qv"), col("qn"),
-        posexplode(array((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)).as(Seq("cell", "score")))
-      val wp = Window.partitionBy(col("qid")).orderBy(col("score"), col("cell"))
-      val probed = probes.withColumn("pr", row_number().over(wp))
-        .filter(col("pr") <= NPROBE).select(col("qid"), col("qv"), col("qn"), col("cell"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probed), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TOP_K)
-        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
-          round(col("cos"), 4).as("cos"), col("cell"))
-        .orderBy(col("qid"), col("rank"))
+    // Centroids are data-dependent → hash-checked via the dynamic oracle;
+    // exactness vs a driver-side reimplementation is pinned in
+    // SimilarityPackSpec.
+    "q43_ann_ivf" -> (ivfTopK _),
+
+    // ANN recall evaluation — the knob-tuning harness: score each
+    // approximate index (q42's LSH tables, q43's IVF cells) against q40's
+    // exact top-k ground truth, per query. This is how a pipeline operator
+    // picks TABLES/BITS or IVF_CELLS/NPROBE before committing a 100 TB
+    // index build: run the eval on a sample, read recall@k vs candidate
+    // cost. All-integer outputs (hits, basis points via integer division)
+    // → hash-exact cross-engine. Scale: ground truth on a SAMPLE of
+    // queries is one brute-force pass (q40's broadcast shape); the
+    // intersection joins touch only 2·|queries|·k rows.
+    "q111_ann_recall" -> ((s, d) => {
+      val truth = bruteTopK(s, d).select(col("qid"), col("nid"))
+      val truthN = truth.groupBy(col("qid")).agg(count(lit(1)).as("truth_k"))
+      def recallOf(res: DataFrame, idx: String): DataFrame = {
+        val hits = res.select(col("qid"), col("nid"))
+          .join(truth, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        truthN.join(hits, Seq("qid"), "left")
+          .select(lit(idx).as("index_type"), col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"), col("truth_k"))
+      }
+      recallOf(lshTopK(s, d), "lsh")
+        .unionByName(recallOf(ivfTopK(s, d), "ivf"))
+        .withColumn("recall_bp", expr("(hits * 10000) DIV truth_k"))
+        .orderBy(col("index_type"), col("qid"))
     }),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
@@ -381,7 +416,7 @@ object SimilarityPack {
       .map(i => s"SELECT vec_id AS qid, v AS qv, norm AS qn, $i AS cell, cs$i AS score FROM scored WHERE vec_id % 50 = 0")
       .mkString("\n  UNION ALL\n  ")
     val cos6 = Hashes.sqlRound(sqlCosine("qv", "av", "qn", "anorm"), 6)
-    Map("q43_ann_ivf" ->
+    val ivfSql =
       s"""WITH e AS (
          |  $sqlVecs
          |), scored AS (
@@ -409,7 +444,43 @@ object SimilarityPack {
          |  )
          |)
          |SELECT qid, rank, nid, ${Hashes.sqlRound("cos6", 4)} AS cos, cell
-         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
+         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin
+
+    // q111's oracle composes the full q40/q42/q43 statements as
+    // subqueries (DuckDB allows a WITH inside a derived table), then
+    // counts per-query intersections with the exact top-k — the same
+    // all-integer recall arithmetic as the Spark side.
+    val recallSql =
+      s"""WITH truth AS (
+         |  SELECT qid, nid FROM (${oracle("q40_cosine_topk")})
+         |), lsh AS (
+         |  SELECT qid, nid FROM (${oracle("q42_ann_lsh")})
+         |), ivf AS (
+         |  SELECT qid, nid FROM ($ivfSql)
+         |), tn AS (
+         |  SELECT qid, count(*) AS truth_k FROM truth GROUP BY qid
+         |), lh AS (
+         |  SELECT l.qid, count(*) AS hits FROM lsh l
+         |  JOIN truth t ON t.qid = l.qid AND t.nid = l.nid GROUP BY l.qid
+         |), ih AS (
+         |  SELECT i.qid, count(*) AS hits FROM ivf i
+         |  JOIN truth t ON t.qid = i.qid AND t.nid = i.nid GROUP BY i.qid
+         |), unioned AS (
+         |  SELECT 'lsh' AS index_type, tn.qid,
+         |    coalesce(lh.hits, 0)::BIGINT AS hits, tn.truth_k
+         |  FROM tn LEFT JOIN lh ON lh.qid = tn.qid
+         |  UNION ALL
+         |  SELECT 'ivf' AS index_type, tn.qid,
+         |    coalesce(ih.hits, 0)::BIGINT AS hits, tn.truth_k
+         |  FROM tn LEFT JOIN ih ON ih.qid = tn.qid
+         |)
+         |SELECT index_type, qid, hits, truth_k,
+         |  ((hits * 10000) // truth_k)::BIGINT AS recall_bp
+         |FROM unioned ORDER BY index_type, qid""".stripMargin
+
+    Map("q43_ann_ivf" -> ivfSql,
+
+    "q111_ann_recall" -> recallSql,
 
     "q78_semantic_dedup" -> {
       val pcos6 = Hashes.sqlRound(sqlCosine("a.v", "b.v", "a.norm", "b.norm"), 6)

@@ -467,6 +467,43 @@ object TextPack {
         .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // Dedup-funnel report — stage-by-stage survivor accounting across the
+    // dedup stack: raw → exact (q30 keep-first) → MinHash-LSH near-dup
+    // (q32's verified pairs) → SimHash near-dup (q34's hamming ≤ 8 pairs).
+    // The per-stage rule is deterministic keep-first: a doc is dropped at
+    // stage N iff some SMALLER-id near-dup partner survived stage N-1 —
+    // order- and engine-independent, no transitive-closure dependence.
+    // This is the "how much data does each dedup pass cost me" audit every
+    // training-data pipeline publishes before committing a filter chain.
+    // Scale: each stage adds one semi-join + one anti-join on doc_id over
+    // the (already sub-quadratic) pair relations; the report itself is 4
+    // rows of integer counters — combine-tree exact.
+    "q112_dedup_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      val exactDups = queries("q30_dedup_exact")(s, d)
+        .filter(col("is_dup")).select(col("doc_id"))
+      val s1 = docs.join(exactDups, Seq("doc_id"), "left_anti")
+      def dropBy(pairs: DataFrame, prev: DataFrame): DataFrame = {
+        val drop = pairs
+          .join(prev.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+          .select(col("j").as("doc_id")).distinct()
+        prev.join(drop, Seq("doc_id"), "left_anti")
+      }
+      val s2 = dropBy(queries("q32_dedup_minhash_lsh")(s, d).select(col("i"), col("j")), s1)
+      val s3 = dropBy(queries("q34_simhash_neardup")(s, d).select(col("i"), col("j")), s2)
+      def stat(df: DataFrame, idx: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("docs"),
+            coalesce(sum(col("ntok")), lit(0L)).as("tokens"))
+          .select(lit(idx).cast("long").as("stage"), lit(name).as("stage_name"),
+            col("docs"), col("tokens"))
+      stat(docs, 0, "raw")
+        .unionByName(stat(s1, 1, "exact"))
+        .unionByName(stat(s2, 2, "minhash_lsh"))
+        .unionByName(stat(s3, 3, "simhash"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -497,6 +534,53 @@ object TextPack {
     s"SELECT doc_id, $j AS band, $key AS key FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
+  /** q32's full statement — also composed (as a derived table) into the
+    * q112 funnel oracle. */
+  private val sqlQ32: String =
+    s"""WITH shx AS (
+       |  $sqlShingleRows
+       |), sig AS (
+       |  $sqlSig
+       |), bands AS (
+       |  $sqlBands
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), sh AS (
+       |  SELECT doc_id, $sqlShingles AS s
+       |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT i, j,
+       |  round($sqlEstSim, 4) AS est_sim,
+       |  round(len(list_intersect(pa.s, pb.s))::DOUBLE
+       |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) AS jac
+       |FROM cand
+       |  JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
+       |  JOIN sh pa ON pa.doc_id = i JOIN sh pb ON pb.doc_id = j
+       |WHERE round(len(list_intersect(pa.s, pb.s))::DOUBLE
+       |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) >= $JACC_T
+       |ORDER BY i, j""".stripMargin
+
+  /** q34's full statement — also composed into the q112 funnel oracle. */
+  private val sqlQ34: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN ((${Hashes.sqlBase60("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
+       |), sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+       |ORDER BY i, j""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (
@@ -520,31 +604,7 @@ object TextPack {
          |WHERE round(shared::DOUBLE / (ci.n + cj.n - shared), 4) >= $JACC_T
          |ORDER BY i, j""".stripMargin,
 
-    "q32_dedup_minhash_lsh" ->
-      s"""WITH shx AS (
-         |  $sqlShingleRows
-         |), sig AS (
-         |  $sqlSig
-         |), bands AS (
-         |  $sqlBands
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |), sh AS (
-         |  SELECT doc_id, $sqlShingles AS s
-         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
-         |)
-         |SELECT i, j,
-         |  round($sqlEstSim, 4) AS est_sim,
-         |  round(len(list_intersect(pa.s, pb.s))::DOUBLE
-         |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) AS jac
-         |FROM cand
-         |  JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
-         |  JOIN sh pa ON pa.doc_id = i JOIN sh pb ON pb.doc_id = j
-         |WHERE round(len(list_intersect(pa.s, pb.s))::DOUBLE
-         |        / len(list_distinct(list_concat(pa.s, pb.s))), 4) >= $JACC_T
-         |ORDER BY i, j""".stripMargin,
+    "q32_dedup_minhash_lsh" -> sqlQ32,
 
     "q33_simhash" ->
       s"""WITH tok AS (
@@ -558,23 +618,40 @@ object TextPack {
          |  sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q34_simhash_neardup" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM documents
-         |), bits AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN ((${Hashes.sqlBase60("tok")} >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
-         |  FROM tok, range(0, 48) r(b) GROUP BY doc_id, b
-         |), sh AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         |  FROM bits GROUP BY doc_id
+    "q34_simhash_neardup" -> sqlQ34,
+
+    "q112_dedup_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS ntok FROM documents
+         |), ex AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c
+         |    FROM documents
+         |  ) WHERE doc_id = c
+         |), s1 AS (
+         |  SELECT d.* FROM d JOIN ex USING (doc_id)
+         |), mh AS (
+         |  SELECT i, j FROM ($sqlQ32)
+         |), mdrop AS (
+         |  SELECT DISTINCT j AS doc_id FROM mh JOIN s1 ON s1.doc_id = mh.i
+         |), s2 AS (
+         |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)
+         |), sh2 AS (
+         |  SELECT i, j FROM ($sqlQ34)
+         |), sdrop AS (
+         |  SELECT DISTINCT j AS doc_id FROM sh2 JOIN s2 ON s2.doc_id = sh2.i
+         |), s3 AS (
+         |  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)
          |)
-         |SELECT a.doc_id AS i, b.doc_id AS j,
-         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-         |ORDER BY i, j""".stripMargin,
+         |SELECT 0::BIGINT AS stage, 'raw' AS stage_name,
+         |  count(*) AS docs, coalesce(sum(ntok), 0)::BIGINT AS tokens FROM d
+         |UNION ALL
+         |SELECT 1::BIGINT, 'exact', count(*), coalesce(sum(ntok), 0)::BIGINT FROM s1
+         |UNION ALL
+         |SELECT 2::BIGINT, 'minhash_lsh', count(*), coalesce(sum(ntok), 0)::BIGINT FROM s2
+         |UNION ALL
+         |SELECT 3::BIGINT, 'simhash', count(*), coalesce(sum(ntok), 0)::BIGINT FROM s3
+         |ORDER BY stage""".stripMargin,
 
     "q35_langid_markers" ->
       """SELECT doc_id, s_storage, s_compute, s_stream,

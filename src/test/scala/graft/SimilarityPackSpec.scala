@@ -8,7 +8,7 @@ class SimilarityPackSpec extends GraftSuite {
   test("every similarity query returns rows at sf0.001 with matching oracle key") {
     // data-dependent centroids: upgraded to hash checks by
     // SimilarityPack.dynamicOracle at Verify time, pinned below here
-    val rowsOnly = Set("q43_ann_ivf", "q78_semantic_dedup")
+    val rowsOnly = Set("q43_ann_ivf", "q78_semantic_dedup", "q111_ann_recall")
     SimilarityPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
@@ -148,5 +148,27 @@ class SimilarityPackSpec extends GraftSuite {
     val plan = SimilarityPack.queries("q40_cosine_topk")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q111 recall matches a driver-side set-intersection recomputation") {
+    def sets(name: String): Map[Long, Set[Long]] =
+      SimilarityPack.queries(name)(spark, sf)
+        .select(col("qid"), col("nid")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = sets("q40_cosine_topk")
+    val byIdx = Map("lsh" -> sets("q42_ann_lsh"), "ivf" -> sets("q43_ann_ivf"))
+    val out = SimilarityPack.queries("q111_ann_recall")(spark, sf).collect()
+    assert(out.length == 2 * truth.size, "one row per (index, query)")
+    assert(out.map(_.getString(0)).toSet == Set("lsh", "ivf"))
+    out.foreach { r =>
+      val (idx, qid, hits, tk, bp) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val expect = byIdx(idx).getOrElse(qid, Set.empty).intersect(truth(qid)).size
+      assert(hits == expect, s"$idx/$qid: hits $hits != $expect")
+      assert(tk == truth(qid).size)
+      assert(bp == hits * 10000 / tk && bp >= 0 && bp <= 10000)
+    }
+    // the eval's oracle rides the same dynamic (centroid-literal) path as q43
+    assert(SimilarityPack.dynamicOracle(spark, sf).contains("q111_ann_recall"))
   }
 }

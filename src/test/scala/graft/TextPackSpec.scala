@@ -131,4 +131,35 @@ class TextPackSpec extends GraftSuite {
       assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$plan")
     }
   }
+
+  test("q112 funnel stages are consistent with the dedup queries they compose") {
+    val out = TextPack.queries("q112_dedup_funnel")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("raw", "exact", "minhash_lsh", "simhash"))
+    val docs = out.map(_.getLong(2)); val toks = out.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "docs monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, "tokens monotone")
+
+    // stage 0 = the raw corpus; stage 1 = q30's keep-first survivors
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docs(0) == raw.size && toks(0) == raw.values.sum)
+    val s1 = TextPack.queries("q30_dedup_exact")(spark, sf).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(docs(1) == s1.size && toks(1) == s1.toSeq.map(raw).sum)
+
+    // stage 2/3: drop j iff a smaller-id partner survived the previous stage
+    def survivors(pairsQ: String, prev: Set[Long]): Set[Long] = {
+      val drop = TextPack.queries(pairsQ)(spark, sf)
+        .select(col("i"), col("j")).collect()
+        .filter(r => prev(r.getLong(0))).map(_.getLong(1)).toSet
+      prev -- drop
+    }
+    val s2 = survivors("q32_dedup_minhash_lsh", s1)
+    assert(docs(2) == s2.size && toks(2) == s2.toSeq.map(raw).sum)
+    val s3 = survivors("q34_simhash_neardup", s2)
+    assert(docs(3) == s3.size && toks(3) == s3.toSeq.map(raw).sum)
+  }
 }
