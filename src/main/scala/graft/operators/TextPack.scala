@@ -43,6 +43,7 @@ object TextPack {
   private val ROWS       = graft.functions.TextLsh.Rows
   private val SEED       = graft.functions.TextLsh.Seed
   private val JACC_T     = 0.5
+  private val BPE_ROUNDS = 5 // q113: full BPE merge rounds (sequential part)
   private val fam        = Hashes.family(NUM_HASHES, SEED)
 
   private def toks: Column = split(col("text"), " ")
@@ -174,6 +175,82 @@ object TextPack {
        |  GROUP BY doc_id""".stripMargin
   }
 
+  /** q32's verified near-dup pair relation, unsorted — q32 adds the
+    * presentation sort; q112's funnel composes this raw form so no global
+    * sort rides mid-plan. 64-slot signatures, 16 bands x 4 rows,
+    * candidates = docs sharing any band bucket, then exact-Jaccard
+    * verification of candidates only (MMDS ch.3; reference seed:
+    * RecommendationUtils.scala:40-49 + LoadStaticDataJob.scala:92-105). */
+  private[operators] def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = sigDf(s, d).cache()
+    val bandCols = (0 until BANDS).map(j =>
+      concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until NUM_HASHES).map(i => col(s"m$i")): _*).as("sig"))
+    val shArr = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
+    cand
+      .join(sigArr.select(col("doc_id").as("i"), col("sig").as("sig_a")), "i")
+      .join(sigArr.select(col("doc_id").as("j"), col("sig").as("sig_b")), "j")
+      .join(shArr.select(col("doc_id").as("i"), col("sh").as("sh_a")), "i")
+      .join(shArr.select(col("doc_id").as("j"), col("sh").as("sh_b")), "j")
+      .withColumn("est_sim", round(expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($NUM_HASHES AS DOUBLE)"), 4))
+      .withColumn("jac", round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jac") >= JACC_T)
+      .select(col("i"), col("j"), col("est_sim"), col("jac"))
+  }
+
+  /** SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
+    * sign of sum over tokens of ±1 by token-hash bit b. Token hash is
+    * base60 (60 bits) so all 48 sketch bits are live; 48 bits keeps the
+    * value positive in a signed 64-bit integer in both engines.
+    * Plan shape: ONE shuffle (groupBy doc_id) carrying 48 partial-agg
+    * columns — no per-bit row explosion, no second aggregate; the final
+    * sketch assembly is a codegen'd 48-term projection. Unsorted core;
+    * q33 adds the presentation sort. */
+  private def simhashSketch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .select(col("doc_id"), Hashes.base60(col("tok")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(expr("(x >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 48).map(b =>
+          sum(when(expr(s"(x >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+
+  /** SimHash near-dup pairs (hamming ≤ 8), unsorted — q34 adds the
+    * presentation sort. All-pairs xor scan (sketches are one long per doc,
+    * the comparison is two instructions — n² with a tiny constant). An
+    * EXACT banded variant exists — 9 bands over 48 bits guarantee a clean
+    * band for ≤ 8 errors by pigeonhole — but when sketches cluster (shared
+    * vocabulary, as here) bucket sizes explode and Σ bucket² > n²:
+    * measured 3.4× SLOWER at sf0.1, so the scan stays. At 100 TB the
+    * choice is data-dependent; both are exact, pick by a bucket-size
+    * histogram. */
+  private[operators] def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // cache: both self-join sides read the sketch table instead of
+    // re-deriving it from raw text (64 bits/doc — trivially resident)
+    val sh = simhashSketch(s, d).cache()
+    // repartition: BNLJ parallelism = streamed-side partitions (see q41)
+    sh.repartition(32).as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter(col("hamming") <= 8)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per identical text (hash-groupBy; the
     // baseline dedup pass of any training-data pipeline). Window-min keeps
@@ -200,57 +277,10 @@ object TextPack {
     // 16 bands x 4 rows, candidates = docs sharing any band bucket, then
     // exact-Jaccard verification of candidates only (MMDS ch.3; reference
     // seed: RecommendationUtils.scala:40-49 + LoadStaticDataJob.scala:92-105).
-    "q32_dedup_minhash_lsh" -> ((s, d) => {
-      val sig = sigDf(s, d).cache()
-      val bandCols = (0 until BANDS).map(j =>
-        concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "key")))
-      val cand = bands.as("x")
-        .join(bands.as("y"), col("x.band") === col("y.band")
-          && col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-      val sigArr = sig.select(col("doc_id"),
-        array((0 until NUM_HASHES).map(i => col(s"m$i")): _*).as("sig"))
-      val shArr = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
-      cand
-        .join(sigArr.select(col("doc_id").as("i"), col("sig").as("sig_a")), "i")
-        .join(sigArr.select(col("doc_id").as("j"), col("sig").as("sig_b")), "j")
-        .join(shArr.select(col("doc_id").as("i"), col("sh").as("sh_a")), "i")
-        .join(shArr.select(col("doc_id").as("j"), col("sh").as("sh_b")), "j")
-        .withColumn("est_sim", round(expr(
-          s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($NUM_HASHES AS DOUBLE)"), 4))
-        .withColumn("jac", round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 4))
-        .filter(col("jac") >= JACC_T)
-        .select(col("i"), col("j"), col("est_sim"), col("jac"))
-        .orderBy(col("i"), col("j"))
-    }),
+    "q32_dedup_minhash_lsh" -> ((s, d) =>
+      minhashNearDupPairs(s, d).orderBy(col("i"), col("j"))),
 
-    // SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
-    // sign of sum over tokens of ±1 by token-hash bit b. Token hash is
-    // base60 (60 bits) so all 48 sketch bits are live; 48 bits keeps the
-    // value positive in a signed 64-bit integer in both engines.
-    // Plan shape: ONE shuffle (groupBy doc_id) carrying 48 partial-agg
-    // columns — no per-bit row explosion, no second aggregate; the final
-    // sketch assembly is a codegen'd 48-term projection.
-    "q33_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-        .select(col("doc_id"), Hashes.base60(col("tok")).as("x"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(expr("(x >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
-          (1 until 48).map(b =>
-            sum(when(expr(s"(x >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")): _*)
-        .select(col("doc_id"),
-          (0 until 48).map(b =>
-            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-        .orderBy(col("doc_id"))
-    }),
+    "q33_simhash" -> ((s, d) => simhashSketch(s, d).orderBy(col("doc_id"))),
 
     // SimHash near-dup pairs: hamming distance <= 8 of the 48-bit sketches.
     // All-pairs xor scan (sketches are one long per doc, the comparison is
@@ -260,17 +290,8 @@ object TextPack {
     // here) bucket sizes explode and Σ bucket² > n²: measured 3.4× SLOWER
     // at sf0.1, so the scan stays. At 100 TB the choice is data-dependent;
     // both are exact, pick by a bucket-size histogram.
-    "q34_simhash_neardup" -> ((s, d) => {
-      // cache: both self-join sides read the sketch table instead of
-      // re-deriving it from raw text (64 bits/doc — trivially resident)
-      val sh = queries("q33_simhash")(s, d).cache()
-      // repartition: BNLJ parallelism = streamed-side partitions (see q41)
-      sh.repartition(32).as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
-        .filter(col("hamming") <= 8)
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
-        .orderBy(col("i"), col("j"))
-    }),
+    "q34_simhash_neardup" -> ((s, d) =>
+      simhashNearDupPairs(s, d).orderBy(col("i"), col("j"))),
 
     // Language/profile ID by marker-token scoring: count tokens from each
     // profile's marker list, argmax with deterministic tie order. For
@@ -469,6 +490,53 @@ object TextPack {
         .limit(20)
     }),
 
+    // Multi-round distributed BPE training (Sennrich et al. 2016) — q108
+    // is ONE round's candidate table; this runs BPE_ROUNDS full rounds:
+    // count adjacent symbol pairs over the (vocabulary-sized) word-freq
+    // relation, pick the argmax pair (count desc, pair asc — total order),
+    // apply the merge, repeat. Words are space-joined symbol strings padded
+    // with spaces, so a literal ' x y ' replace can only match whole
+    // symbols; the merge applies as TWO replace passes (both engines
+    // replace non-overlapping left-to-right, so pass 2 catches the
+    // occurrence pass 1's consumed trailing space hides — 'a a a a'
+    // merges to 'aa aa', the greedy BPE result). Fully declarative: each
+    // round's argmax is a 1-row broadcast crossJoin, no driver-side data.
+    // Scale: pair volume ∝ Σ|word| over the VOCABULARY (corpus collapses
+    // to word counts first, exactly q108's guarded shape), and each round
+    // is one vocabulary-sized shuffle — rounds are the sequential part,
+    // as in any BPE trainer.
+    "q113_bpe_merges" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+      def bestPair(w: DataFrame, r: Int): DataFrame =
+        w.select(col("wc"), split(trim(col("s")), " ").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+              .stripMargin)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(lit(r).cast("long").as("round"), col("pair"),
+            translate(col("pair"), " ", "").as("merged"), col("n"))
+      val (rows, _) = (1 to BPE_ROUNDS).foldLeft(
+          (Seq.empty[DataFrame], vocab)) { case ((acc, w), r) =>
+        val best = bestPair(w, r)
+        val next = w.crossJoin(broadcast(
+            best.select(col("pair").as("_p"), col("merged").as("_m"))))
+          .withColumn("s", expr(
+            """replace(replace(s, ' ' || _p || ' ', ' ' || _m || ' '),
+              |        ' ' || _p || ' ', ' ' || _m || ' ')""".stripMargin))
+          .select(col("wc"), col("s"))
+        (acc :+ best, next)
+      }
+      rows.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
     // Dedup-funnel report — stage-by-stage survivor accounting across the
     // dedup stack: raw → exact (q30 keep-first) → MinHash-LSH near-dup
     // (q32's verified pairs) → SimHash near-dup (q34's hamming ≤ 8 pairs).
@@ -481,19 +549,21 @@ object TextPack {
     // the (already sub-quadratic) pair relations; the report itself is 4
     // rows of integer counters — combine-tree exact.
     "q112_dedup_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("fp"))
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
-      val exactDups = queries("q30_dedup_exact")(s, d)
-        .filter(col("is_dup")).select(col("doc_id"))
-      val s1 = docs.join(exactDups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(col("text")).as("fp"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val s1 = docs.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("ntok"))
       def dropBy(pairs: DataFrame, prev: DataFrame): DataFrame = {
         val drop = pairs
           .join(prev.select(col("doc_id").as("i")), Seq("i"), "left_semi")
           .select(col("j").as("doc_id")).distinct()
         prev.join(drop, Seq("doc_id"), "left_anti")
       }
-      val s2 = dropBy(queries("q32_dedup_minhash_lsh")(s, d).select(col("i"), col("j")), s1)
-      val s3 = dropBy(queries("q34_simhash_neardup")(s, d).select(col("i"), col("j")), s2)
+      val s2 = dropBy(minhashNearDupPairs(s, d).select(col("i"), col("j")), s1)
+      val s3 = dropBy(simhashNearDupPairs(s, d).select(col("i"), col("j")), s2)
       def stat(df: DataFrame, idx: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("docs"),
             coalesce(sum(col("ntok")), lit(0L)).as("tokens"))
@@ -793,6 +863,47 @@ object TextPack {
         |  FROM w
         |)
         |SELECT pair, sum(wc)::BIGINT AS n FROM p
-        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // The oracle recomputes every round's argmax itself (no merge literals
+    // are fed in): round r's word state is rebuilt by chaining the SAME
+    // two-pass replace with the PREVIOUS rounds' argmax pairs as scalar
+    // subqueries, so a wrong merge selection on the Spark side cannot
+    // hash-match.
+    "q113_bpe_merges" -> {
+      def best(r: Int): String =
+        s"""b$r AS (
+           |  SELECT pair, sum(wc)::BIGINT AS n FROM (
+           |    SELECT wc, unnest([syms[i] || ' ' || syms[i+1]
+           |                       FOR i IN range(1, len(syms))]) AS pair
+           |    FROM (SELECT wc, str_split(trim(s), ' ') AS syms FROM w${r - 1})
+           |  ) GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+           |)""".stripMargin
+      def step(r: Int): String =
+        s"""w$r AS (
+           |  SELECT wc, replace(replace(s,
+           |    ' ' || (SELECT pair FROM b$r) || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' '),
+           |    ' ' || (SELECT pair FROM b$r) || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s
+           |  FROM w${r - 1}
+           |)""".stripMargin
+      val ctes = (1 to BPE_ROUNDS).map(r =>
+        if (r < BPE_ROUNDS) s"${best(r)}, ${step(r)}" else best(r)).mkString(", ")
+      val sel = (1 to BPE_ROUNDS).map(r =>
+        s"SELECT $r::BIGINT AS round, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
+        .mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH w0 AS (
+         |  SELECT wc, ' ' || array_to_string(
+         |    [substr(w, i, 1) FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s
+         |  FROM (
+         |    SELECT w, count(*) AS wc FROM (
+         |      SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+         |    WHERE len(w) >= 2 GROUP BY 1
+         |  )
+         |), $ctes
+         |$sel
+         |ORDER BY round""".stripMargin
+    }
   )
 }

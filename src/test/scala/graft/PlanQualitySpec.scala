@@ -275,6 +275,25 @@ class PlanQualitySpec extends GraftSuite {
       s"word collapse must precede the pair explode:\n$plan")
   }
 
+  test("q113: every BPE round's pair explode consumes the vocabulary relation") {
+    import graft.operators.TextPack
+    val df = TextPack.queries("q113_bpe_merges")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // each round's argmax is a 1-row TakeOrdered heap broadcast back —
+    // never a global sort of the pair relation
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 5,
+      s"per-round argmax must be TakeOrdered heaps:\n$plan")
+    assert(!plan.contains("Sort [n"),
+      s"no global sort of pair counts may appear:\n$plan")
+    // pair generation reads the aggregated (wc, s) relation: the word
+    // rollup (partial_count) sits below the first explode in the tree
+    val gen = plan.indexOf("Generate explode")
+    val wordAgg = plan.indexOf("partial_count(1)")
+    assert(gen >= 0 && wordAgg > gen,
+      s"word collapse must precede the pair explode:\n$plan")
+  }
+
   test("q65: count/rank shuffles are keyed by the 64-bit bigram hash, never the string") {
     // the heavy-hitter count shuffle must move (source, bh) longs; bigram
     // STRINGS may only ride the tiny broadcast-pruned resolve stage
@@ -345,6 +364,12 @@ class PlanQualitySpec extends GraftSuite {
       "q110_overlap_sketch",   // |sources|² pair seed over the sketch table
       "q34_simhash_neardup",   // 1-row radius/threshold constant
       "q40_cosine_topk",       // bounded query-vector set (brute baseline)
+      "q111_ann_recall",       // composes q40's bounded query-set BNLJ as
+                               // the recall ground truth — same tiny side
+      "q112_dedup_funnel",     // composes q34's whitelisted sketch scan
+                               // (one long per doc, two-instruction compare)
+      "q113_bpe_merges",       // five 1-row argmax-merge broadcasts (one
+                               // per BPE round)
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total
@@ -368,17 +393,10 @@ class PlanQualitySpec extends GraftSuite {
     // sort crept into the middle of the plan (a sort-the-corpus stage a
     // 100 TB run cannot afford); rank/top-k must stay WindowGroupLimit /
     // TakeOrderedAndProject, prefix sums per-partition (q58/q109).
-    val cachedSubplanPrint = Set(
-      // q34 joins a .cache()d q33 against itself: the cached subplan (with
-      // its own presentation sort) prints under BOTH InMemoryRelation
-      // sides, inflating the textual count; execution sorts once.
-      "q34_simhash_neardup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!cachedSubplanPrint(name)) {
-        val plan = executedPlan(fn(spark, sf))
-        val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
-        assert(ranges <= 1, s"$name global-sorts mid-plan ($ranges range exchanges):\n$plan")
-      }
+      val plan = executedPlan(fn(spark, sf))
+      val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+      assert(ranges <= 1, s"$name global-sorts mid-plan ($ranges range exchanges):\n$plan")
     }
   }
 

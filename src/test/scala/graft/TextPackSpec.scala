@@ -132,6 +132,38 @@ class TextPackSpec extends GraftSuite {
     }
   }
 
+  test("q113 BPE merges equal a driver-side greedy reference trainer") {
+    // reference trainer: count adjacent pairs weighted by word freq, pick
+    // (n desc, pair asc), apply by a greedy left-to-right scan — the
+    // textbook BPE step. Matching it proves the two-pass literal-replace
+    // distributed form implements true greedy merging on real data.
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.length >= 2)
+      .groupMapReduce(w => w.map(_.toString).toVector)(_ => 1L)(_ + _)
+    val expect = (1 to 5).map { r =>
+      val counts = vocab.toSeq.flatMap { case (syms, wc) =>
+        syms.zip(syms.tail).map(p => (s"${p._1} ${p._2}", wc))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(x, y) = pair.split(" ")
+      vocab = vocab.toSeq.map { case (syms, wc) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), wc)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      (r.toLong, pair, x + y, n)
+    }
+    val got = TextPack.queries("q113_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+  }
+
   test("q112 funnel stages are consistent with the dedup queries they compose") {
     val out = TextPack.queries("q112_dedup_funnel")(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
