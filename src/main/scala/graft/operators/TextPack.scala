@@ -208,6 +208,9 @@ object TextPack {
         / size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jac") >= JACC_T)
       .select(col("i"), col("j"), col("est_sim"), col("jac"))
+      // cached like pairBase: q32 and q112's funnel share the one
+      // LSH-candidate + verify join (near-dup pairs are corpus-small)
+      .cache()
   }
 
   /** SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
@@ -249,6 +252,9 @@ object TextPack {
       .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
       .filter(col("hamming") <= 8)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+      // cached: q34 and q112's funnel share the one n² sketch scan — the
+      // in-memory stand-in for the persisted pair table a cluster keeps
+      .cache()
   }
 
   val queries: Map[String, Q] = Map(
