@@ -47,8 +47,41 @@ object CurationPack {
   private val PREFIX_BLOCK = 64L  // doc_id-range width of a prefix-sum block (q109)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
   private val SPAN        = 6     // span-dedup width (tokens)
+  private val PCT_EPOCHS  = 5     // q114 batch-perceptron training epochs
 
   private def toks: Column = split(col("text"), " ")
+
+  /** w·x over columns w0..w{nx-1} / x0..x{nx-1}. */
+  def perceptronScore(nx: Int): Column =
+    (0 until nx).map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
+
+  /** Batch-perceptron TRAINING as pure declarative aggregates: each epoch
+    * is ONE full-pass partial aggregation of per-row updates (y·x where
+    * the current weights misclassify) folded into a 1-row broadcast
+    * weight relation — the textbook distributed batch training loop, with
+    * no collect() and no driver-side state; swapping the update rule for
+    * a sigmoid gradient gives logistic regression on the identical plan
+    * shape. Integer features → integer weights → byte-exact across
+    * engines and partitionings.
+    *
+    * `feat` needs BIGINT columns y ∈ {+1,−1} and x0..x{nx-1} (x0 = 1 for
+    * the bias); pass it cached — every epoch re-scans it. Each epoch
+    * references the previous weights exactly ONCE (the carry is max() of
+    * the broadcast constant inside the same aggregate), so the chained
+    * plan stays linear in the epoch count. Returns the 1-row w0..w{nx-1}
+    * weight relation. */
+  def trainPerceptron(feat: DataFrame, nx: Int, epochs: Int): DataFrame = {
+    val w0 = feat.sparkSession.range(1).select(
+      (0 until nx).map(j => lit(0L).as(s"w$j")): _*)
+    (1 to epochs).foldLeft(w0) { (w, _) =>
+      def step(j: Int) =
+        (max(col(s"w$j")) + coalesce(sum(when(col("m") <= 0,
+          col("y") * col(s"x$j"))), lit(0L))).cast("long").as(s"w$j")
+      feat.crossJoin(broadcast(w))
+        .withColumn("m", col("y") * perceptronScore(nx))
+        .agg(step(0), (1 until nx).map(step): _*)
+    }
+  }
 
   /** Deterministic eval-split membership: base32(md5(doc_id)) mod 5 == 0 —
     * the q64 stateless-hash predicate, so the split is identical across
@@ -251,6 +284,39 @@ object CurationPack {
               struct(col("k"), col("span"))))),
             x => x.getField("span")), " ").as("new_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Distributed quality-classifier TRAINING (the FineWeb-Edu/CCNet
+    // pattern: learn a cheap linear filter from labels, then score the
+    // corpus). A batch perceptron is trained for 5 epochs as pure
+    // declarative aggregates: each epoch is ONE full-pass partial
+    // aggregation of per-row updates (y·x where the current weights
+    // misclassify) joined back into a 1-row broadcast weight relation —
+    // the textbook distributed batch training loop, with NO collect() and
+    // no driver-side state; swapping the update rule for a sigmoid
+    // gradient gives logistic regression on the identical plan shape.
+    // Features and weights are integers, so training is byte-exact across
+    // engines (the q90/q115 integer-exactness trick); the oracle re-runs
+    // all five epochs itself, so a wrong update anywhere cannot hash-match.
+    // Scale: epochs are the sequential part (5 scans of a 4-column long
+    // relation); each scan partial-aggregates map-side to 4 sums.
+    "q114_perceptron" -> ((s, d) => {
+      // cached: every epoch and the final scoring pass re-read this tiny
+      // 4-column long relation (at cluster scale: a materialized table)
+      val feat = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        size(toks).cast("long").as("x1"),
+        size(filter(toks, t => t === "a" || t === "the")).cast("long").as("x2"),
+        size(array_distinct(toks)).cast("long").as("x3")).cache()
+      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      feat.crossJoin(broadcast(wT))
+        .select(col("doc_id"), col("y"),
+          perceptronScore(4).cast("long").as("score"))
+        .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+        .withColumn("correct", col("pred") === col("y"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -380,6 +446,50 @@ object CurationPack {
          |  count(*) FILTER (kept)::BIGINT AS n_kept,
          |  sum(CASE WHEN kept THEN ntok ELSE 0 END)::BIGINT AS kept_tokens,
          |  coalesce(string_agg(span, ' ' ORDER BY k) FILTER (kept), '') AS new_text
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle re-trains all five epochs itself — no learned weights are
+    // fed in as literals — so any divergence in the update rule or epoch
+    // chaining on the Spark side breaks the hash.
+    "q114_perceptron" -> {
+      def epoch(r: Int): String = {
+        val p = s"w${r - 1}"
+        def su(j: Int) =
+          s"((SELECT w$j FROM $p) + COALESCE(SUM(CASE WHEN m <= 0 THEN y * x$j END), 0))::BIGINT AS w$j"
+        s"""w$r AS MATERIALIZED (
+           |  SELECT ${(0 to 3).map(su).mkString(",\n    ")}
+           |  FROM (
+           |    SELECT y, x0, x1, x2, x3,
+           |      y * ((SELECT w0 FROM $p) * x0 + (SELECT w1 FROM $p) * x1 +
+           |           (SELECT w2 FROM $p) * x2 + (SELECT w3 FROM $p) * x3) AS m
+           |    FROM feat)
+           |)""".stripMargin
+      }
+      val wl = s"w$PCT_EPOCHS"
+      s"""WITH feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y,
+         |    1::BIGINT AS x0,
+         |    len(str_split(text, ' '))::BIGINT AS x1,
+         |    len(list_filter(str_split(text, ' '),
+         |        t -> t = 'a' OR t = 'the'))::BIGINT AS x2,
+         |    len(list_distinct(str_split(text, ' ')))::BIGINT AS x3
+         |  FROM documents
+         |), w0 AS (
+         |  SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+         |         0::BIGINT AS w2, 0::BIGINT AS w3
+         |),
+         |${(1 to PCT_EPOCHS).map(epoch).mkString(",\n")}
+         |SELECT doc_id, y,
+         |  ((SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
+         |   (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3)::BIGINT AS score,
+         |  (CASE WHEN (SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
+         |     (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3 > 0
+         |   THEN 1 ELSE -1 END)::BIGINT AS pred,
+         |  (CASE WHEN (SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
+         |     (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3 > 0
+         |   THEN 1 ELSE -1 END) = y AS correct
+         |FROM feat ORDER BY doc_id""".stripMargin
+    }
   )
 }

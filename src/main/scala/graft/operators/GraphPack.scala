@@ -29,6 +29,44 @@ object GraphPack {
 
   private val MAX_ROUNDS = 64
 
+  private[graft] val PR_SCALE = 1000000000L // 1e9 micro-units of rank mass
+  private[graft] val PR_DNUM  = 17L  // damping d = 17/20 = 0.85, kept
+  private[graft] val PR_DDEN  = 20L  //   rational so floor div is exact
+  private[graft] val PR_ITERS = 5
+
+  /** Weighted PageRank in integer micro-units ([[PR_SCALE]] = total initial
+    * mass) with floor division, so a fixed iteration count lands
+    * byte-identical on any engine. `edges` are raw (src, dst) pair rows
+    * (multi-edges become weights); `nodes` is the full (node) universe —
+    * it may include nodes with no edges, which keep their teleport base.
+    * Dangling nodes leak their damped mass (the standard simplification).
+    * Scale: each iteration is one shuffle join of the rank relation
+    * against the cached edge/out-weight relation on src + one
+    * re-aggregation on dst — the textbook distributed PageRank round;
+    * nothing is collected, and the node count enters the plan as a
+    * broadcast 1-row aggregate. */
+  def pageRank(edges: DataFrame, nodes: DataFrame,
+               iters: Int = PR_ITERS): DataFrame = {
+    val e = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val ew = e.join(
+        e.groupBy(col("src")).agg(sum(col("w")).cast("long").as("tw")),
+        "src").cache()
+    val withN = nodes.crossJoin(broadcast(
+      nodes.agg(count(lit(1)).as("n_nodes")))).cache()
+    val r0 = withN.select(col("node"),
+      expr(s"$PR_SCALE div n_nodes").cast("long").as("rank"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      val cin = ew.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"($PR_DNUM * rank * w) div ($PR_DDEN * tw)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).cast("long").as("cin"))
+      withN.join(cin, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"${(PR_DDEN - PR_DNUM) * PR_SCALE} div ($PR_DDEN * n_nodes)")
+            + coalesce(col("cin"), lit(0L))).cast("long").as("rank"))
+    }
+  }
+
   /** events annotated with parent pointer (NULL for roots). */
   private def edges(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -120,7 +158,33 @@ object GraphPack {
           max(col("depth")).as("max_depth"),
           count(when(!col("causal"), 1)).as("n_noncausal"))
         .filter(col("n_descendants") > 0)
-        .orderBy(col("root_id")))
+        .orderBy(col("root_id"))),
+
+    // Weighted PageRank over the user-interaction graph (edge u→v when a
+    // reply authored by u targets an event authored by v — the graph a
+    // crawl pipeline uses to weight sources by authority before mixing).
+    // Ranks are integer micro-units (1e9 = total initial mass) with floor
+    // division, so five iterations land byte-identical on any engine —
+    // the same integer-exactness trick as q90's BM25 micro-unit scores.
+    // Dangling users (no outgoing reply) leak their damped mass, the
+    // standard simplification; the oracle applies the identical formula.
+    // Scale: each iteration is one shuffle join of the rank relation
+    // against the edge relation on src + one re-aggregation on dst —
+    // the textbook distributed PageRank round. Nothing is collected;
+    // N (node count) enters the plan as a broadcast 1-row aggregate.
+    "q115_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      val rep = edges(s, d).filter(col("parent_id").isNotNull)
+        .select(col("event_id"), col("parent_id"))
+      val replyEdges = rep
+        .join(ev.as("c"), rep("event_id") === col("c.event_id"))
+        .join(ev.as("p"), rep("parent_id") === col("p.event_id"))
+        .select(col("c.user_id").as("src"), col("p.user_id").as("dst"))
+      val nodes = ev.select(col("user_id").as("node")).distinct()
+      pageRank(replyEdges, nodes)
+        .select(col("node").as("user_id"), col("rank"))
+        .orderBy(col("user_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +196,46 @@ object GraphPack {
       s"""$sqlResolve
          |SELECT root_id, count(*) - 1 AS n_descendants, max(depth) AS max_depth,
          |  count(*) FILTER (NOT causal) AS n_noncausal
-         |FROM r GROUP BY root_id HAVING count(*) > 1 ORDER BY root_id""".stripMargin
+         |FROM r GROUP BY root_id HAVING count(*) > 1 ORDER BY root_id""".stripMargin,
+
+    "q115_pagerank" -> {
+      def iter(r: Int): String =
+        s"""r$r AS (
+           |  SELECT n.user_id,
+           |    ((${(PR_DDEN - PR_DNUM) * PR_SCALE} // ($PR_DDEN * (SELECT n_nodes FROM nn)))
+           |      + COALESCE(c.cin, 0))::BIGINT AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ew.dst AS user_id,
+           |      SUM(($PR_DNUM * r.rank * ew.w) // ($PR_DDEN * ew.tw))::BIGINT AS cin
+           |    FROM ew JOIN r${r - 1} r ON ew.src = r.user_id
+           |    GROUP BY ew.dst
+           |  ) c ON n.user_id = c.user_id
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  $sqlEdges
+         |), ev AS (
+         |  SELECT event_id, user_id FROM events
+         |), e AS MATERIALIZED (
+         |  SELECT c.user_id AS src, p.user_id AS dst, count(*)::BIGINT AS w
+         |  FROM (SELECT event_id, parent_id FROM ed WHERE parent_id IS NOT NULL) rep
+         |  JOIN ev c ON rep.event_id = c.event_id
+         |  JOIN ev p ON rep.parent_id = p.event_id
+         |  GROUP BY 1, 2
+         |), ew AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, ow.tw FROM e
+         |  JOIN (SELECT src, SUM(w)::BIGINT AS tw FROM e GROUP BY src) ow
+         |    ON e.src = ow.src
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT user_id FROM events
+         |), nn AS (
+         |  SELECT count(*)::BIGINT AS n_nodes FROM nodes
+         |), r0 AS (
+         |  SELECT user_id,
+         |    ($PR_SCALE // (SELECT n_nodes FROM nn))::BIGINT AS rank
+         |  FROM nodes
+         |),
+         |${(1 to PR_ITERS).map(iter).mkString(",\n")}
+         |SELECT user_id, rank FROM r$PR_ITERS ORDER BY user_id""".stripMargin
+    }
   )
 }

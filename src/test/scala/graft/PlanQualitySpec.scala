@@ -370,6 +370,9 @@ class PlanQualitySpec extends GraftSuite {
                                // (one long per doc, two-instruction compare)
       "q113_bpe_merges",       // five 1-row argmax-merge broadcasts (one
                                // per BPE round)
+      "q114_perceptron",       // five 1-row weight-vector broadcasts (one
+                               // per training epoch) + the scoring pass
+      "q115_pagerank",         // 1-row node-count total
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total
