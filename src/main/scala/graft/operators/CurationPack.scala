@@ -51,6 +51,21 @@ object CurationPack {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** q114/q117's shared training set: label y = ±1 from an EXTERNAL signal
+    * (the lang tag — the honest quality-classifier shape: labels don't
+    * leak from the features), integer features bias/1, token count,
+    * stopword count, distinct-token count. Cached: every training epoch
+    * and both consumers re-scan this tiny 4-column long relation (at
+    * cluster scale: a materialized table). */
+  private def pctFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(toks).cast("long").as("x1"),
+      size(filter(toks, t => t === "a" || t === "the")).cast("long").as("x2"),
+      size(array_distinct(toks)).cast("long").as("x3")).cache()
+
   /** w·x over columns w0..w{nx-1} / x0..x{nx-1}. */
   def perceptronScore(nx: Int): Column =
     (0 until nx).map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
@@ -301,15 +316,7 @@ object CurationPack {
     // Scale: epochs are the sequential part (5 scans of a 4-column long
     // relation); each scan partial-aggregates map-side to 4 sums.
     "q114_perceptron" -> ((s, d) => {
-      // cached: every epoch and the final scoring pass re-read this tiny
-      // 4-column long relation (at cluster scale: a materialized table)
-      val feat = Tables.documents(s, d).select(
-        col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        lit(1L).as("x0"),
-        size(toks).cast("long").as("x1"),
-        size(filter(toks, t => t === "a" || t === "the")).cast("long").as("x2"),
-        size(array_distinct(toks)).cast("long").as("x3")).cache()
+      val feat = pctFeatures(s, d)
       val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
       feat.crossJoin(broadcast(wT))
         .select(col("doc_id"), col("y"),
@@ -317,6 +324,36 @@ object CurationPack {
         .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
         .withColumn("correct", col("pred") === col("y"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact AUC of the q114 classifier WITHOUT a global sort of scores:
+    // scores are integers, so the ROC rank statistic collapses to the
+    // score HISTOGRAM — one hash aggregation over the corpus — and the
+    // rank prefix-sum runs over |distinct scores| rows (the one ordered
+    // window in the plan; bounded by the score range, not the corpus).
+    // Ties use the standard midpoint convention; everything stays integer
+    // (auc doubled, then floor-divided into ppm), so the single output
+    // row is byte-exact. This is the evaluation half of the classifier
+    // capability: train (q114) → score → AUC against held-out labels.
+    "q117_auc" -> ((s, d) => {
+      val feat = pctFeatures(s, d)
+      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      val hist = feat.crossJoin(broadcast(wT))
+        .select(col("y"), perceptronScore(4).cast("long").as("s"))
+        .groupBy(col("s")).agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn"))
+      val below = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cumn", coalesce(sum(col("nn")).over(below), lit(0L)))
+        .agg(
+          sum(col("np")).cast("long").as("n_pos"),
+          sum(col("nn")).cast("long").as("n_neg"),
+          sum(col("np") * (lit(2) * col("cumn") + col("nn")))
+            .cast("long").as("numer2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(1000000 * numer2) div (2 * n_pos * n_neg)")
+            .cast("long").as("auc_ppm"))
     })
   )
 
@@ -448,48 +485,70 @@ object CurationPack {
          |  coalesce(string_agg(span, ' ' ORDER BY k) FILTER (kept), '') AS new_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // The oracle re-trains all five epochs itself — no learned weights are
-    // fed in as literals — so any divergence in the update rule or epoch
-    // chaining on the Spark side breaks the hash.
-    "q114_perceptron" -> {
-      def epoch(r: Int): String = {
-        val p = s"w${r - 1}"
-        def su(j: Int) =
-          s"((SELECT w$j FROM $p) + COALESCE(SUM(CASE WHEN m <= 0 THEN y * x$j END), 0))::BIGINT AS w$j"
-        s"""w$r AS MATERIALIZED (
-           |  SELECT ${(0 to 3).map(su).mkString(",\n    ")}
-           |  FROM (
-           |    SELECT y, x0, x1, x2, x3,
-           |      y * ((SELECT w0 FROM $p) * x0 + (SELECT w1 FROM $p) * x1 +
-           |           (SELECT w2 FROM $p) * x2 + (SELECT w3 FROM $p) * x3) AS m
-           |    FROM feat)
-           |)""".stripMargin
-      }
-      val wl = s"w$PCT_EPOCHS"
-      s"""WITH feat AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y,
-         |    1::BIGINT AS x0,
-         |    len(str_split(text, ' '))::BIGINT AS x1,
-         |    len(list_filter(str_split(text, ' '),
-         |        t -> t = 'a' OR t = 'the'))::BIGINT AS x2,
-         |    len(list_distinct(str_split(text, ' ')))::BIGINT AS x3
-         |  FROM documents
-         |), w0 AS (
-         |  SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
-         |         0::BIGINT AS w2, 0::BIGINT AS w3
-         |),
-         |${(1 to PCT_EPOCHS).map(epoch).mkString(",\n")}
-         |SELECT doc_id, y,
-         |  ((SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
-         |   (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3)::BIGINT AS score,
-         |  (CASE WHEN (SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
-         |     (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3 > 0
-         |   THEN 1 ELSE -1 END)::BIGINT AS pred,
-         |  (CASE WHEN (SELECT w0 FROM $wl) * x0 + (SELECT w1 FROM $wl) * x1 +
-         |     (SELECT w2 FROM $wl) * x2 + (SELECT w3 FROM $wl) * x3 > 0
-         |   THEN 1 ELSE -1 END) = y AS correct
-         |FROM feat ORDER BY doc_id""".stripMargin
-    }
+    // The oracles re-train all five epochs themselves — no learned weights
+    // are fed in as literals — so any divergence in the update rule or
+    // epoch chaining on the Spark side breaks the hash.
+    "q114_perceptron" ->
+      s"""WITH $pctSqlChain
+         |SELECT doc_id, y, ($pctSqlScore)::BIGINT AS score,
+         |  (CASE WHEN $pctSqlScore > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
+         |  (CASE WHEN $pctSqlScore > 0 THEN 1 ELSE -1 END) = y AS correct
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q117_auc" ->
+      s"""WITH $pctSqlChain,
+         |hist AS (
+         |  SELECT s,
+         |    count(*) FILTER (y = 1)::BIGINT AS np,
+         |    count(*) FILTER (y = -1)::BIGINT AS nn
+         |  FROM (SELECT y, ($pctSqlScore)::BIGINT AS s FROM feat)
+         |  GROUP BY s
+         |), cum AS (
+         |  SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+         |  FROM hist
+         |)
+         |SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+         |  ((1000000 * SUM(np * (2 * cumn + nn)))
+         |    // (2 * SUM(np) * SUM(nn)))::BIGINT AS auc_ppm
+         |FROM cum""".stripMargin
   )
+
+  /** Shared oracle prefix for q114/q117: the feature CTE plus the full
+    * five-epoch training chain (MATERIALIZED — each wN is referenced by
+    * eight scalar subqueries, which DuckDB would otherwise inline
+    * exponentially). */
+  private def pctSqlChain: String = {
+    def epoch(r: Int): String = {
+      val p = s"w${r - 1}"
+      def su(j: Int) =
+        s"((SELECT w$j FROM $p) + COALESCE(SUM(CASE WHEN m <= 0 THEN y * x$j END), 0))::BIGINT AS w$j"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT ${(0 to 3).map(su).mkString(",\n    ")}
+         |  FROM (
+         |    SELECT y, x0, x1, x2, x3,
+         |      y * ((SELECT w0 FROM $p) * x0 + (SELECT w1 FROM $p) * x1 +
+         |           (SELECT w2 FROM $p) * x2 + (SELECT w3 FROM $p) * x3) AS m
+         |    FROM feat)
+         |)""".stripMargin
+    }
+    s"""feat AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y,
+       |    1::BIGINT AS x0,
+       |    len(str_split(text, ' '))::BIGINT AS x1,
+       |    len(list_filter(str_split(text, ' '),
+       |        t -> t = 'a' OR t = 'the'))::BIGINT AS x2,
+       |    len(list_distinct(str_split(text, ' ')))::BIGINT AS x3
+       |  FROM documents
+       |), w0 AS (
+       |  SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+       |         0::BIGINT AS w2, 0::BIGINT AS w3
+       |),
+       |${(1 to PCT_EPOCHS).map(epoch).mkString(",\n")}""".stripMargin
+  }
+
+  /** The trained score w·x with w5's weights as scalar subqueries. */
+  private def pctSqlScore: String =
+    (0 to 3).map(j => s"(SELECT w$j FROM w$PCT_EPOCHS) * x$j").mkString(" + ")
 }

@@ -184,8 +184,72 @@ object GraphPack {
       pageRank(replyEdges, nodes)
         .select(col("node").as("user_id"), col("rank"))
         .orderBy(col("user_id"))
+    }),
+
+    // Degree-ordered triangle counting + local clustering coefficient over
+    // the undirected user-interaction graph (community detection / spam-ring
+    // signal in crawl curation). Every edge is oriented from its lower
+    // (degree, id) endpoint to the higher one, so each triangle is found
+    // exactly once at its lowest-order apex AND every oriented out-degree
+    // is O(√m) — the classic bound that keeps the wedge join Σd_out² ≤
+    // m^1.5 instead of Σd² (which a hub node makes quadratic). Coefficient
+    // in exact ppm (floor division), so the result is byte-exact.
+    // Scale: wedge join shuffles on the apex, closing-edge check is one
+    // more equi-join on (v, w); no node ever materializes its full
+    // neighborhood in one task beyond the √m-bounded out-list.
+    "q116_triangles" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      val rep = edges(s, d).filter(col("parent_id").isNotNull)
+        .select(col("event_id"), col("parent_id"))
+      val und = rep
+        .join(ev.as("c"), rep("event_id") === col("c.event_id"))
+        .join(ev.as("p"), rep("parent_id") === col("p.event_id"))
+        .select(least(col("c.user_id"), col("p.user_id")).as("a"),
+          greatest(col("c.user_id"), col("p.user_id")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      triangleStats(und)
+        .withColumnRenamed("n", "user_id")
+        .orderBy(col("user_id"))
     })
   )
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * undirected distinct edge set (a, b) with a < b. Returns
+    * (n, deg, n_tri, coef_ppm); coefficient = 2·tri/(deg·(deg−1)) in
+    * exact ppm via floor division. See the q116 entry for the
+    * degree-ordering scale rationale. */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")).cache()
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge (u → v) with v's degree carried for wedge ordering
+    val o = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+      .cache()
+    val wedges = o.as("e1").join(o.as("e2"), Seq("u"))
+      .filter(col("e1.dv") < col("e2.dv") ||
+        (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))
+      .select(col("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    val tri = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = tri.select(col("u").as("n"))
+      .unionAll(tri.select(col("v").as("n")))
+      .unionAll(tri.select(col("w").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef_ppm",
+        when(col("deg") >= 2,
+          expr("(2000000 * n_tri) div (deg * (deg - 1))"))
+          .otherwise(0L).cast("long"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q45_reply_tree_roots" ->
@@ -236,6 +300,49 @@ object GraphPack {
          |),
          |${(1 to PR_ITERS).map(iter).mkString(",\n")}
          |SELECT user_id, rank FROM r$PR_ITERS ORDER BY user_id""".stripMargin
-    }
+    },
+
+    "q116_triangles" ->
+      s"""WITH ed AS (
+         |  $sqlEdges
+         |), ev AS (
+         |  SELECT event_id, user_id FROM events
+         |), und AS MATERIALIZED (
+         |  SELECT DISTINCT least(c.user_id, p.user_id) AS a,
+         |         greatest(c.user_id, p.user_id) AS b
+         |  FROM (SELECT event_id, parent_id FROM ed WHERE parent_id IS NOT NULL) rep
+         |  JOIN ev c ON rep.event_id = c.event_id
+         |  JOIN ev p ON rep.parent_id = p.event_id
+         |  WHERE c.user_id <> p.user_id
+         |), deg AS MATERIALIZED (
+         |  SELECT n, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+         |  ) GROUP BY n
+         |), o AS MATERIALIZED (
+         |  SELECT CASE WHEN lf THEN a ELSE b END AS u,
+         |         CASE WHEN lf THEN b ELSE a END AS v,
+         |         CASE WHEN lf THEN db ELSE da END AS dv
+         |  FROM (
+         |    SELECT a, b, da.deg AS da, db.deg AS db,
+         |      (da.deg < db.deg OR (da.deg = db.deg AND a < b)) AS lf
+         |    FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n)
+         |), tri AS MATERIALIZED (
+         |  SELECT w.u, w.v, w.w FROM (
+         |    SELECT e1.u, e1.v AS v, e2.v AS w
+         |    FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |    WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+         |  ) w JOIN o c ON w.v = c.u AND w.w = c.v
+         |), pn AS (
+         |  SELECT n, count(*)::BIGINT AS n_tri FROM (
+         |    SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
+         |    UNION ALL SELECT w AS n FROM tri
+         |  ) GROUP BY n
+         |)
+         |SELECT deg.n AS user_id, deg.deg, COALESCE(pn.n_tri, 0)::BIGINT AS n_tri,
+         |  (CASE WHEN deg.deg >= 2
+         |    THEN (2000000 * COALESCE(pn.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+         |    ELSE 0 END)::BIGINT AS coef_ppm
+         |FROM deg LEFT JOIN pn ON deg.n = pn.n
+         |ORDER BY user_id""".stripMargin
   )
 }

@@ -373,6 +373,7 @@ class PlanQualitySpec extends GraftSuite {
       "q114_perceptron",       // five 1-row weight-vector broadcasts (one
                                // per training epoch) + the scoring pass
       "q115_pagerank",         // 1-row node-count total
+      "q117_auc",              // q114's trained 1-row weight broadcast
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total
