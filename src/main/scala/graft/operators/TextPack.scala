@@ -46,6 +46,44 @@ object TextPack {
   private val BPE_ROUNDS = 5 // q113: full BPE merge rounds (sequential part)
   private val fam        = Hashes.family(NUM_HASHES, SEED)
 
+  /** q113/q118's shared BPE word state: (w, wc, s) where s is the word's
+    * space-joined symbol string padded with spaces, so a literal ' x y '
+    * replace can only match whole symbols. Vocabulary-sized: the corpus
+    * collapses to word counts first (q108's guarded shape). */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"), concat(lit(" "),
+        concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+
+  /** Round r's argmax adjacent pair (count desc, pair asc — total order)
+    * as a 1-row (round, pair, merged, n) relation. */
+  private def bpeBest(w: DataFrame, r: Int): DataFrame =
+    w.select(col("wc"), split(trim(col("s")), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(lit(r).cast("long").as("round"), col("pair"),
+        translate(col("pair"), " ", "").as("merged"), col("n"))
+
+  /** Apply one merge as TWO replace passes (both engines replace
+    * non-overlapping left-to-right, so pass 2 catches the occurrence
+    * pass 1's consumed trailing space hides — 'a a a a' → 'aa aa', the
+    * greedy BPE result). The 1-row best relation broadcasts. */
+  private def bpeMerge(w: DataFrame, best: DataFrame): DataFrame =
+    w.crossJoin(broadcast(
+        best.select(col("pair").as("_p"), col("merged").as("_m"))))
+      .withColumn("s", expr(
+        """replace(replace(s, ' ' || _p || ' ', ' ' || _m || ' '),
+          |        ' ' || _p || ' ', ' ' || _m || ' ')""".stripMargin))
+      .select(col("w"), col("wc"), col("s"))
+
   private def toks: Column = split(col("text"), " ")
 
   /** Distinct W-token shingles of a pre-projected token-array attribute
@@ -496,6 +534,8 @@ object TextPack {
         .limit(20)
     }),
 
+    // (q113/q118 share the BPE kernel below the oracle map: bpeVocab /
+    // bpeBest / bpeMerge.)
     // Multi-round distributed BPE training (Sennrich et al. 2016) — q108
     // is ONE round's candidate table; this runs BPE_ROUNDS full rounds:
     // count adjacent symbol pairs over the (vocabulary-sized) word-freq
@@ -512,35 +552,31 @@ object TextPack {
     // is one vocabulary-sized shuffle — rounds are the sequential part,
     // as in any BPE trainer.
     "q113_bpe_merges" -> ((s, d) => {
-      val vocab = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-        .select(col("wc"), concat(lit(" "),
-          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
-      def bestPair(w: DataFrame, r: Int): DataFrame =
-        w.select(col("wc"), split(trim(col("s")), " ").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
-              .stripMargin)).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
-          .orderBy(col("n").desc, col("pair")).limit(1)
-          .select(lit(r).cast("long").as("round"), col("pair"),
-            translate(col("pair"), " ", "").as("merged"), col("n"))
       val (rows, _) = (1 to BPE_ROUNDS).foldLeft(
-          (Seq.empty[DataFrame], vocab)) { case ((acc, w), r) =>
-        val best = bestPair(w, r)
-        val next = w.crossJoin(broadcast(
-            best.select(col("pair").as("_p"), col("merged").as("_m"))))
-          .withColumn("s", expr(
-            """replace(replace(s, ' ' || _p || ' ', ' ' || _m || ' '),
-              |        ' ' || _p || ' ', ' ' || _m || ' ')""".stripMargin))
-          .select(col("wc"), col("s"))
-        (acc :+ best, next)
+          (Seq.empty[DataFrame], bpeVocab(s, d))) { case ((acc, w), r) =>
+        val best = bpeBest(w, r)
+        (acc :+ best, bpeMerge(w, best))
       }
       rows.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
+    // TOKENIZE with the trained merges — the application half of the BPE
+    // story (train q113 → apply → measure): re-run the five merge rounds
+    // and emit the top-20 words by frequency with their final symbol
+    // segmentation and symbol count. The oracle re-trains AND re-applies
+    // end-to-end, so a wrong merge or a wrong application order cannot
+    // hash-match. Scale: identical to q113 (vocabulary-sized states, the
+    // corpus collapses to word counts first); tokenizing actual documents
+    // is then a broadcast join of this vocabulary-sized (word → seg) map
+    // against the corpus — no per-doc iteration anywhere.
+    "q118_bpe_apply" -> ((s, d) => {
+      val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
+        bpeMerge(w, bpeBest(w, r))
+      }
+      wT.select(col("w").as("word"), col("wc"),
+          trim(col("s")).as("seg"),
+          size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+        .orderBy(col("wc").desc, col("word")).limit(20)
     }),
 
     // Dedup-funnel report — stage-by-stage survivor accounting across the
@@ -877,39 +913,60 @@ object TextPack {
     // subqueries, so a wrong merge selection on the Spark side cannot
     // hash-match.
     "q113_bpe_merges" -> {
-      def best(r: Int): String =
-        s"""b$r AS (
-           |  SELECT pair, sum(wc)::BIGINT AS n FROM (
-           |    SELECT wc, unnest([syms[i] || ' ' || syms[i+1]
-           |                       FOR i IN range(1, len(syms))]) AS pair
-           |    FROM (SELECT wc, str_split(trim(s), ' ') AS syms FROM w${r - 1})
-           |  ) GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
-           |)""".stripMargin
-      def step(r: Int): String =
-        s"""w$r AS (
-           |  SELECT wc, replace(replace(s,
-           |    ' ' || (SELECT pair FROM b$r) || ' ',
-           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' '),
-           |    ' ' || (SELECT pair FROM b$r) || ' ',
-           |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s
-           |  FROM w${r - 1}
-           |)""".stripMargin
       val ctes = (1 to BPE_ROUNDS).map(r =>
-        if (r < BPE_ROUNDS) s"${best(r)}, ${step(r)}" else best(r)).mkString(", ")
+        if (r < BPE_ROUNDS) s"${bpeSqlBest(r)}, ${bpeSqlStep(r)}"
+        else bpeSqlBest(r)).mkString(", ")
       val sel = (1 to BPE_ROUNDS).map(r =>
         s"SELECT $r::BIGINT AS round, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
         .mkString("\n|UNION ALL\n|".stripMargin)
-      s"""WITH w0 AS (
-         |  SELECT wc, ' ' || array_to_string(
-         |    [substr(w, i, 1) FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s
-         |  FROM (
-         |    SELECT w, count(*) AS wc FROM (
-         |      SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
-         |    WHERE len(w) >= 2 GROUP BY 1
-         |  )
-         |), $ctes
+      s"""WITH $bpeSqlW0, $ctes
          |$sel
          |ORDER BY round""".stripMargin
+    },
+
+    // Re-trains AND re-applies all five rounds (shares q113's generators),
+    // so a wrong merge or application on the Spark side cannot hash-match.
+    "q118_bpe_apply" -> {
+      val ctes = (1 to BPE_ROUNDS).map(r =>
+        s"${bpeSqlBest(r)}, ${bpeSqlStep(r)}").mkString(", ")
+      s"""WITH $bpeSqlW0, $ctes
+         |SELECT w AS word, wc, trim(s) AS seg,
+         |  len(str_split(trim(s), ' '))::BIGINT AS n_sym
+         |FROM w$BPE_ROUNDS
+         |ORDER BY wc DESC, word LIMIT 20""".stripMargin
     }
   )
+
+  /** Shared oracle generators for the BPE chain (q113/q118): the initial
+    * word state and, per round, the argmax pair + the two-pass replace.
+    * The word rides through every state so q118 can emit segmentations. */
+  private def bpeSqlW0: String =
+    """w0 AS (
+      |  SELECT w, wc, ' ' || array_to_string(
+      |    [substr(w, i, 1) FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s
+      |  FROM (
+      |    SELECT w, count(*) AS wc FROM (
+      |      SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents)
+      |    WHERE len(w) >= 2 GROUP BY 1
+      |  )
+      |)""".stripMargin
+
+  private def bpeSqlBest(r: Int): String =
+    s"""b$r AS (
+       |  SELECT pair, sum(wc)::BIGINT AS n FROM (
+       |    SELECT wc, unnest([syms[i] || ' ' || syms[i+1]
+       |                       FOR i IN range(1, len(syms))]) AS pair
+       |    FROM (SELECT wc, str_split(trim(s), ' ') AS syms FROM w${r - 1})
+       |  ) GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+       |)""".stripMargin
+
+  private def bpeSqlStep(r: Int): String =
+    s"""w$r AS (
+       |  SELECT w, wc, replace(replace(s,
+       |    ' ' || (SELECT pair FROM b$r) || ' ',
+       |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' '),
+       |    ' ' || (SELECT pair FROM b$r) || ' ',
+       |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s
+       |  FROM w${r - 1}
+       |)""".stripMargin
 }

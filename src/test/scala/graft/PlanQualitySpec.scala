@@ -374,6 +374,7 @@ class PlanQualitySpec extends GraftSuite {
                                // per training epoch) + the scoring pass
       "q115_pagerank",         // 1-row node-count total
       "q117_auc",              // q114's trained 1-row weight broadcast
+      "q118_bpe_apply",        // q113's per-round 1-row merge broadcasts
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total

@@ -132,16 +132,17 @@ class TextPackSpec extends GraftSuite {
     }
   }
 
-  test("q113 BPE merges equal a driver-side greedy reference trainer") {
-    // reference trainer: count adjacent pairs weighted by word freq, pick
-    // (n desc, pair asc), apply by a greedy left-to-right scan — the
-    // textbook BPE step. Matching it proves the two-pass literal-replace
-    // distributed form implements true greedy merging on real data.
+  /** Driver-side greedy reference trainer: count adjacent pairs weighted
+    * by word freq, pick (n desc, pair asc), apply by a greedy
+    * left-to-right scan — the textbook BPE step. Returns the per-round
+    * merge records and the final vocabulary state. */
+  private def greedyBpe(rounds: Int)
+      : (Seq[(Long, String, String, Long)], Map[Vector[String], Long]) = {
     var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf)
       .select(explode(split(lower(col("text")), " ")).as("w")).collect()
       .map(_.getString(0)).filter(_.length >= 2)
       .groupMapReduce(w => w.map(_.toString).toVector)(_ => 1L)(_ + _)
-    val expect = (1 to 5).map { r =>
+    val merges = (1 to rounds).map { r =>
       val counts = vocab.toSeq.flatMap { case (syms, wc) =>
         syms.zip(syms.tail).map(p => (s"${p._1} ${p._2}", wc))
       }.groupMapReduce(_._1)(_._2)(_ + _)
@@ -159,8 +160,26 @@ class TextPackSpec extends GraftSuite {
       }.groupMapReduce(_._1)(_._2)(_ + _)
       (r.toLong, pair, x + y, n)
     }
+    (merges, vocab)
+  }
+
+  test("q113 BPE merges equal a driver-side greedy reference trainer") {
+    // matching the reference trainer proves the two-pass literal-replace
+    // distributed form implements true greedy merging on real data
+    val (expect, _) = greedyBpe(5)
     val got = TextPack.queries("q113_bpe_merges")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+  }
+
+  test("q118 applied segmentations equal the greedy trainer's final state") {
+    val (_, vocab) = greedyBpe(5)
+    val expect = vocab.toSeq
+      .map { case (syms, wc) =>
+        (syms.mkString, wc, syms.mkString(" "), syms.length.toLong) }
+      .sortBy { case (w, wc, _, _) => (-wc, w) }.take(20)
+    val got = TextPack.queries("q118_bpe_apply")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == expect)
   }
 
