@@ -48,6 +48,7 @@ object CurationPack {
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
   private val SPAN        = 6     // span-dedup width (tokens)
   private val PCT_EPOCHS  = 5     // q114 batch-perceptron training epochs
+  private val QUALITY_T   = 0.62  // q119 keep threshold on q36's score
 
   private def toks: Column = split(col("text"), " ")
 
@@ -354,6 +355,36 @@ object CurationPack {
         .select(col("n_pos"), col("n_neg"),
           expr("(1000000 * numer2) div (2 * n_pos * n_neg)")
             .cast("long").as("auc_ppm"))
+    }),
+
+    // Per-document curation VERDICT — the capstone table every pipeline
+    // materializes before shard writing: one keep/drop decision per doc
+    // with the first-failing reason under C4's filter precedence
+    // (language → exact dedup → repetition heuristics → quality score).
+    // Built by COMPOSING the existing oracle-checked per-doc passes (q30,
+    // q57, q36) through doc_id equi-joins; the oracle embeds those
+    // queries' own oracle SQL as sub-CTEs, so the verdict is checked
+    // end-to-end through the same composition. Scale: three doc_id-keyed
+    // joins over per-doc relations — with all passes written over a
+    // doc_id-bucketed corpus table they co-locate shuffle-free.
+    "q119_curation_verdict" -> ((s, d) => {
+      val dup = TextPack.queries("q30_dedup_exact")(s, d)
+        .select(col("doc_id"), col("is_dup"))
+      val rep = queries("q57_repetition_filter")(s, d)
+        .select(col("doc_id"), col("kept").as("rep_kept"))
+      val qual = TextPack.queries("q36_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(dup, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
+        .withColumn("reason",
+          when(col("lang") =!= "en", "non_en")
+            .when(col("is_dup"), "exact_dup")
+            .when(!col("rep_kept"), "repetitive")
+            .when(col("quality") < QUALITY_T, "low_quality")
+            .otherwise("keep"))
+        .withColumn("keep", col("reason") === "keep")
+        .select(col("doc_id"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -395,30 +426,7 @@ object CurationPack {
          |FROM ch LEFT JOIN boiler b USING (chunk)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q57_repetition_filter" -> {
-      val topR = Hashes.sqlRound("max_tok::DOUBLE / n_tokens", 4)
-      val dupR = s"CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE) ELSE " +
-        s"${Hashes.sqlRound("1.0 - d_bigrams::DOUBLE / n_bigrams", 4)} END"
-      s"""WITH tc AS (
-         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS max_tok FROM (
-         |    SELECT doc_id, tok, count(*) AS c
-         |    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
-         |    GROUP BY doc_id, tok
-         |  ) GROUP BY doc_id
-         |), bc AS (
-         |  SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
-         |    len(list_distinct(bg))::BIGINT AS d_bigrams
-         |  FROM (
-         |    SELECT doc_id,
-         |      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] AS bg
-         |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
-         |  )
-         |)
-         |SELECT doc_id, n_tokens, max_tok,
-         |  $topR AS top_tok_ratio, $dupR AS dup_bigram_ratio,
-         |  ($topR <= $TOP_TOK_T AND $dupR <= $DUP_BG_T) AS kept
-         |FROM tc JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+    "q57_repetition_filter" -> sqlQ57,
 
     "q58_pack_sequences" ->
       s"""SELECT source, doc_id, n_tokens, start_pos,
@@ -511,7 +519,31 @@ object CurationPack {
          |SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
          |  ((1000000 * SUM(np * (2 * cumn + nn)))
          |    // (2 * SUM(np) * SUM(nn)))::BIGINT AS auc_ppm
-         |FROM cum""".stripMargin
+         |FROM cum""".stripMargin,
+
+    // The composed passes' own oracle SQL rides along as sub-CTEs, so the
+    // verdict is re-derived end-to-end on the oracle side too.
+    "q119_curation_verdict" ->
+      s"""WITH v30 AS (
+         |  ${TextPack.oracle("q30_dedup_exact")}
+         |), v57 AS (
+         |  $sqlQ57
+         |), v36 AS (
+         |  ${TextPack.oracle("q36_quality_score")}
+         |), r AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang <> 'en' THEN 'non_en'
+         |         WHEN v30.is_dup THEN 'exact_dup'
+         |         WHEN NOT v57.kept THEN 'repetitive'
+         |         WHEN v36.quality < $QUALITY_T THEN 'low_quality'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d
+         |  JOIN v30 ON d.doc_id = v30.doc_id
+         |  JOIN v57 ON d.doc_id = v57.doc_id
+         |  JOIN v36 ON d.doc_id = v36.doc_id
+         |)
+         |SELECT doc_id, reason, reason = 'keep' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** Shared oracle prefix for q114/q117: the feature CTE plus the full
@@ -551,4 +583,30 @@ object CurationPack {
   /** The trained score w·x with w5's weights as scalar subqueries. */
   private def pctSqlScore: String =
     (0 to 3).map(j => s"(SELECT w$j FROM w$PCT_EPOCHS) * x$j").mkString(" + ")
+
+  /** q57's oracle as a def so q119's composed oracle can embed it. */
+  private def sqlQ57: String = {
+    val topR = Hashes.sqlRound("max_tok::DOUBLE / n_tokens", 4)
+    val dupR = s"CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"${Hashes.sqlRound("1.0 - d_bigrams::DOUBLE / n_bigrams", 4)} END"
+    s"""WITH tc AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+       |    GROUP BY doc_id, tok
+       |  ) GROUP BY doc_id
+       |), bc AS (
+       |  SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+       |    len(list_distinct(bg))::BIGINT AS d_bigrams
+       |  FROM (
+       |    SELECT doc_id,
+       |      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] AS bg
+       |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+       |  )
+       |)
+       |SELECT doc_id, n_tokens, max_tok,
+       |  $topR AS top_tok_ratio, $dupR AS dup_bigram_ratio,
+       |  ($topR <= $TOP_TOK_T AND $dupR <= $DUP_BG_T) AS kept
+       |FROM tc JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }
