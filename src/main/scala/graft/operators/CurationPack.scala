@@ -86,10 +86,17 @@ object CurationPack {
     * the broadcast constant inside the same aggregate), so the chained
     * plan stays linear in the epoch count. Returns the 1-row w0..w{nx-1}
     * weight relation. */
-  def trainPerceptron(feat: DataFrame, nx: Int, epochs: Int): DataFrame = {
-    val w0 = feat.sparkSession.range(1).select(
-      (0 until nx).map(j => lit(0L).as(s"w$j")): _*)
-    (1 to epochs).foldLeft(w0) { (w, _) =>
+  def trainPerceptron(feat: DataFrame, nx: Int, epochs: Int): DataFrame =
+    trainPerceptronFrom(feat, feat.sparkSession.range(1).select(
+      (0 until nx).map(j => lit(0L).as(s"w$j")): _*), nx, epochs)
+
+  /** [[trainPerceptron]] seeded with an existing 1-row weight relation —
+    * the continuation form the online/mini-batch path builds on: each new
+    * slice of data trains `epochs` more epochs on top of the carried
+    * weights. */
+  def trainPerceptronFrom(feat: DataFrame, start: DataFrame, nx: Int,
+                          epochs: Int): DataFrame =
+    (1 to epochs).foldLeft(start) { (w, _) =>
       def step(j: Int) =
         (max(col(s"w$j")) + coalesce(sum(when(col("m") <= 0,
           col("y") * col(s"x$j"))), lit(0L))).cast("long").as(s"w$j")
@@ -97,7 +104,6 @@ object CurationPack {
         .withColumn("m", col("y") * perceptronScore(nx))
         .agg(step(0), (1 until nx).map(step): _*)
     }
-  }
 
   /** Deterministic eval-split membership: base32(md5(doc_id)) mod 5 == 0 —
     * the q64 stateless-hash predicate, so the split is identical across
