@@ -44,6 +44,7 @@ object CurationPack {
   private val TOP_TOK_T   = 0.12  // Gopher-style: max single-token mass
   private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
   private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
+  private val BATCH_DOCS  = 8     // docs per pad-to-longest batch (q122)
   private val PREFIX_BLOCK = 64L  // doc_id-range width of a prefix-sum block (q109)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
   private val SPAN        = 6     // span-dedup width (tokens)
@@ -216,6 +217,39 @@ object CurationPack {
         .select(col("source"), col("doc_id"), col("n_tokens"), col("start_pos"),
           col("first_seq"), col("last_seq"), col("n_seqs"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Length-grouped batching audit — q58 packs a token stream; this
+    // measures the OTHER batching regime (pad-to-longest dynamic batches,
+    // the seq2seq/eval-loader layout): form fixed-size doc batches per
+    // source under two policies — arrival order vs length-sorted — pad
+    // each batch to its longest member, and report the exact padding
+    // waste. The table that justifies (or rejects) a sort stage before
+    // batch writing. All-integer (ppm by integer division) → hash-exact.
+    // Scale: both policies are per-SOURCE windows (per-shard, parallel —
+    // never a global sort) followed by two tiny re-aggs; the doc relation
+    // is scanned once per policy with only (source, n_toks, doc_id)
+    // projected.
+    "q122_batch_padding" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks"))
+      def policy(name: String, ord: Seq[Column]): DataFrame =
+        docs.withColumn("rn",
+            row_number().over(Window.partitionBy(col("source")).orderBy(ord: _*)))
+          .withColumn("bi", expr(s"(rn - 1) DIV $BATCH_DOCS"))
+          .groupBy(col("source"), col("bi"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks_b"),
+            max(col("n_toks")).as("maxlen"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("toks_b")).cast("long").as("tokens"),
+            sum(col("n_docs") * col("maxlen")).cast("long").as("padded"))
+          .select(col("source"), lit(name).as("strategy"), col("n_batches"),
+            col("tokens"), col("padded"),
+            expr("((padded - tokens) * 1000000) DIV padded").as("waste_ppm"))
+      policy("arrival", Seq(col("doc_id")))
+        .unionByName(policy("length_sorted", Seq(col("n_toks"), col("doc_id"))))
+        .orderBy(col("source"), col("strategy"))
     }),
 
     // q58's GLOBAL form: one corpus-wide token stream, one packed layout —
@@ -463,6 +497,35 @@ object CurationPack {
          |FROM base
          |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |ORDER BY doc_id""".stripMargin,
+
+    "q122_batch_padding" -> {
+      def policySql(name: String, ord: String) =
+        s"""  SELECT source, '$name' AS strategy, count(*)::BIGINT AS n_batches,
+           |    sum(toks_b)::BIGINT AS tokens,
+           |    sum(n_docs * maxlen)::BIGINT AS padded
+           |  FROM (
+           |    SELECT source, bi, count(*)::BIGINT AS n_docs,
+           |      sum(n_toks)::BIGINT AS toks_b, max(n_toks) AS maxlen
+           |    FROM (
+           |      SELECT source, n_toks,
+           |        ((row_number() OVER (PARTITION BY source ORDER BY $ord) - 1)
+           |          // $BATCH_DOCS) AS bi
+           |      FROM docs)
+           |    GROUP BY source, bi)
+           |  GROUP BY source""".stripMargin
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, len(str_split(text, ' '))::BIGINT AS n_toks
+         |  FROM documents
+         |), arrival AS (
+         |${policySql("arrival", "doc_id")}
+         |), srt AS (
+         |${policySql("length_sorted", "n_toks, doc_id")}
+         |)
+         |SELECT source, strategy, n_batches, tokens, padded,
+         |  ((padded - tokens) * 1000000 // padded)::BIGINT AS waste_ppm
+         |FROM (SELECT * FROM arrival UNION ALL SELECT * FROM srt)
+         |ORDER BY source, strategy""".stripMargin
+    },
 
     "q59_domain_rebalance" ->
       s"""WITH perdoc AS (

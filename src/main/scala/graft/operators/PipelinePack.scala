@@ -588,10 +588,72 @@ object PipelinePack {
           round(col("n_oov").cast("double") / col("n_tokens"), 4))
         .withColumn("kept", col("oov_ratio") <= OOV_T)
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus snapshot diff — the incremental-ingest manifest: given two
+    // snapshots of the corpus, emit per-doc added/removed/changed rows (the
+    // work-list an incremental pipeline reprocesses, and the audit trail a
+    // data-versioning layer records). Snapshots are derived here from the
+    // one documents table by a stateless hash split (bucket 0 absent from
+    // the old snapshot = later additions; bucket 2 absent from the new =
+    // deletions; bucket 1's text revised in the new = edits), so the
+    // operator is fully deterministic and oracle-checkable. The comparison
+    // runs on 60-bit content FINGERPRINTS projected before the join — the
+    // full-outer join shuffles 8-byte hashes, never document bodies, and
+    // with doc_id-bucketed snapshot tables it plans as a zero-exchange
+    // merge. 'unchanged' rows are filtered out so output ∝ delta, not
+    // corpus.
+    "q121_snapshot_diff" -> ((s, d) => {
+      val b = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("text"), (Hashes.base32(col("doc_id").cast("string")) % 10).as("bkt"))
+      val old = b.filter(col("bkt") =!= 0)
+        .select(col("doc_id"), col("source"), Hashes.base60(col("text")).as("fp"))
+      val nw = b.filter(col("bkt") =!= 2)
+        .select(col("doc_id"), col("source"), Hashes.base60(
+          when(col("bkt") === 1, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("fp"))
+      old.as("o").join(nw.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+        .select(
+          coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+          coalesce(col("o.source"), col("n.source")).as("source"),
+          when(col("o.doc_id").isNull, "added")
+            .when(col("n.doc_id").isNull, "removed")
+            .when(col("o.fp") =!= col("n.fp"), "changed")
+            .otherwise("unchanged").as("status"),
+          col("o.fp").as("fp_old"), col("n.fp").as("fp_new"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same hash split + fingerprint compare; FULL OUTER JOIN mirrors the
+    // Spark plan exactly.
+    "q121_snapshot_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, text,
+         |    ${Hashes.sqlBase32("doc_id::VARCHAR")} % 10 AS bkt
+         |  FROM documents
+         |), old AS (
+         |  SELECT doc_id, source, ${Hashes.sqlBase60("text")} AS fp
+         |  FROM b WHERE bkt <> 0
+         |), new AS (
+         |  SELECT doc_id, source, ${Hashes.sqlBase60(
+              "CASE WHEN bkt = 1 THEN text || ' [rev2]' ELSE text END")} AS fp
+         |  FROM b WHERE bkt <> 2
+         |), diff AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    coalesce(o.source, n.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    o.fp AS fp_old, n.fp AS fp_new
+         |  FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+         |)
+         |SELECT doc_id, source, status, fp_old, fp_new
+         |FROM diff WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
     "q44_dup_clusters" ->
       s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
          |  SELECT i AS a, j AS b FROM pairs

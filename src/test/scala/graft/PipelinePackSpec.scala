@@ -199,6 +199,36 @@ class PipelinePackSpec extends GraftSuite {
     got.foreach { case (id, v) => assert(v == brute(id), s"view $id mismatch") }
   }
 
+  test("q121 snapshot diff: statuses partition the hash buckets exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def b32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def b60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bkt = docs.keys.map(id => id -> b32(id.toString) % 10).toMap
+    val out = PipelinePack.queries("q121_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // the hash split fully determines every status; nothing else surfaces
+    assert(out.keySet == bkt.filter(kv => Set(0L, 1L, 2L)(kv._2)).keySet)
+    out.foreach { case (id, (status, fpOld, fpNew)) =>
+      bkt(id) match {
+        case 0 => assert(status == "added" && fpOld.isEmpty &&
+          fpNew.contains(b60(docs(id))))
+        case 1 => assert(status == "changed" &&
+          fpOld.contains(b60(docs(id))) &&
+          fpNew.contains(b60(docs(id) + " [rev2]")))
+        case 2 => assert(status == "removed" &&
+          fpOld.contains(b60(docs(id))) && fpNew.isEmpty)
+        case b => fail(s"doc $id bucket $b should be unchanged, got $status")
+      }
+    }
+  }
+
   test("common-token bigrams dominate per-source top lists deterministically") {
     val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
