@@ -352,6 +352,40 @@ class PlanQualitySpec extends GraftSuite {
       s"register subtree recomputed instead of reused:\n$plan")
   }
 
+  test("q120: quantizer is map-only — the only hash shuffle is the top-k window") {
+    val df = graft.operators.SimilarityPack.queries("q120_quantized_ann")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 1, s"quantize/score grew extra shuffles:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k lost the per-partition heap pushdown:\n$plan")
+  }
+
+  test("q121: the snapshot full-outer join moves fingerprints, never document text") {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.operators.PipelinePack.queries("q121_snapshot_diff")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the snapshot join")
+    joins.foreach { j =>
+      assert(j.joinType == FullOuter, s"diff join must be full outer: ${j.joinType}")
+      (j.left.output ++ j.right.output).foreach(a =>
+        assert(a.name != "text",
+          "document bodies crossed the join — fingerprints must be projected first"))
+    }
+  }
+
+  test("q122: both batching policies window per source, never globally") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.CurationPack.queries("q122_batch_padding")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected one window per policy, got ${wins.size}")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "batch assignment windowed the doc relation in one partition"))
+  }
+
   test("no query plans an all-pairs join outside the known tiny-side whitelist") {
     // Global guard over the ENTIRE query surface: a nested-loop/cartesian
     // join is only acceptable when one side is provably corpus-independent
@@ -375,6 +409,8 @@ class PlanQualitySpec extends GraftSuite {
       "q115_pagerank",         // 1-row node-count total
       "q117_auc",              // q114's trained 1-row weight broadcast
       "q118_bpe_apply",        // q113's per-round 1-row merge broadcasts
+      "q120_quantized_ann",    // bounded query-vector set over int8 codes
+                               // (q40's brute shape) + 1-row gmax scale
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total
