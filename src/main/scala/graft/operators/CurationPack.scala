@@ -50,6 +50,7 @@ object CurationPack {
   private val SPAN        = 6     // span-dedup width (tokens)
   private val PCT_EPOCHS  = 5     // q114 batch-perceptron training epochs
   private val QUALITY_T   = 0.62  // q119 keep threshold on q36's score
+  private val N_TILE      = 4     // q124 curriculum stages (quality quartiles)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -287,6 +288,49 @@ object CurationPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-curriculum staging: bucket the corpus into N_TILE global
+    // quality quartiles (easy→hard training order) — a corpus-wide
+    // NTILE(ORDER BY quality, doc_id) computed WITHOUT a single-partition
+    // window, by the q109 block decomposition: docs rank locally inside
+    // their distinct quality value (window partitioned by quality — fully
+    // parallel; within-block order doc_id, so block+local order IS the
+    // global order), per-quality counts reduce to a corpus-small offsets
+    // relation (quality has ≤10⁴ distinct 4-dp values) whose running sum
+    // broadcasts back. The global row number off+lrn feeds the exact
+    // SQL-standard NTILE formula (first total%n buckets get ⌈total/n⌉) in
+    // pure integer `div` arithmetic — bit-identical to the oracle's
+    // ntile(). Skew note: one hyper-common quality value concentrates its
+    // block's row_number in one task; at corpus scale widen the block key
+    // to (quality, salt) and prefix-sum the salted counts the same way.
+    "q124_curriculum" -> ((s, d) => {
+      val q = TextPack.queries("q36_quality_score")(s, d)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality"))
+      val wLoc = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+      val wOff = Window.orderBy(col("quality"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("quality"), col("off"))
+      val tot = q.agg(count(lit(1)).as("total"))
+      q.withColumn("lrn", row_number().over(wLoc).cast("long"))
+        .join(broadcast(offs), "quality")
+        .crossJoin(broadcast(tot))
+        .withColumn("rn", col("off") + col("lrn"))
+        .withColumn("bucket", expr(
+          s"""CASE WHEN rn <= (total % $N_TILE) * (total div $N_TILE + 1)
+             |THEN (rn + (total div $N_TILE)) div (total div $N_TILE + 1)
+             |ELSE (total % $N_TILE)
+             |  + (rn - (total % $N_TILE) * (total div $N_TILE + 1)
+             |     + (total div $N_TILE) - 1) div (total div $N_TILE)
+             |END""".stripMargin))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tot_tokens"),
+          min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+        .orderBy(col("bucket"))
+    }),
+
     // Domain rebalancing: downsample every source to the smallest source's
     // token volume. keep-rate (basis points) = ⌊10000·min_tokens/tokens⌋,
     // membership by the stateless hash predicate — all-integer arithmetic,
@@ -497,6 +541,21 @@ object CurationPack {
          |FROM base
          |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the SPEC (one global ntile); the Spark plan
+    // reaches the same buckets via the blocked rank + integer formula.
+    "q124_curriculum" ->
+      s"""WITH q AS (
+         |  ${TextPack.oracle("q36_quality_score")}
+         |), r AS (
+         |  SELECT n_tokens::BIGINT AS n_tokens, quality,
+         |    ntile($N_TILE) OVER (ORDER BY quality, doc_id) AS bucket
+         |  FROM q
+         |)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS tot_tokens,
+         |  min(quality) AS q_min, max(quality) AS q_max
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q122_batch_padding" -> {
       def policySql(name: String, ord: String) =

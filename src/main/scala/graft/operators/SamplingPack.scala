@@ -58,6 +58,8 @@ object SamplingPack {
   private val TS_MAX    = 1735689600L // 2025-01-01 UTC
   private val KEY_K     = 10      // distinctive tokens kept per source (q106)
   private val ZIPF_Q    = 1000    // ln-space quantization, milli-nats (q107)
+  private val BUDGET_MULT    = 2L    // q123 token budget = 2× corpus tokens
+  private val EPOCH_CAP_MILLI = 2000L // q123 max repeats per source (milli-epochs)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -179,6 +181,43 @@ object SamplingPack {
         .agg(count(when(col("bucket") < col("rate_bp"), 1)).as("n_kept"),
           sum(when(col("bucket") < col("rate_bp"), col("ntok")).otherwise(0L))
             .cast("long").as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Epoch/repeat planner: given a total token budget (BUDGET_MULT × the
+    // corpus) and q84's temperature mixture (α = 0.5), how many passes
+    // over each source does training make? planned ∝ √tokens, expressed
+    // as milli-epochs and capped at EPOCH_CAP_MILLI (the "don't repeat a
+    // small domain too often" rule of LLM data plans). All arithmetic
+    // after the one correctly-rounded √ is INTEGER (milli-unit weights sum
+    // order-invariantly; `div` everywhere), so the plan is bit-identical
+    // on any engine or partitioning. Scale: one partial-agg shuffle to
+    // |sources| rows, then a broadcast 1-row fold — nothing here grows
+    // with the corpus. (At 100 TB budget×w_milli nears 2^63: bump the
+    // milli scale down or route through DECIMAL(38,0) — same plan shape.)
+    "q123_epoch_plan" -> ((s, d) => {
+      val totals = Tables.documents(s, d)
+        .select(col("source"), size(toks).cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("tot_tokens"))
+        .withColumn("w_milli",
+          floor(sqrt(col("tot_tokens").cast("double")) * 1000.0).cast("long"))
+      val g = totals.agg(sum(col("w_milli")).cast("long").as("denom"),
+        (lit(BUDGET_MULT) * sum(col("tot_tokens"))).cast("long").as("budget"))
+      totals.crossJoin(broadcast(g))
+        .withColumn("weight_bp", expr("(10000 * w_milli) div denom"))
+        .withColumn("planned_tokens", expr("(budget * w_milli) div denom"))
+        .withColumn("epochs_milli",
+          expr("(planned_tokens * 1000) div tot_tokens"))
+        .withColumn("capped", col("epochs_milli") > EPOCH_CAP_MILLI)
+        .withColumn("final_tokens",
+          when(col("capped"),
+            expr(s"(tot_tokens * $EPOCH_CAP_MILLI) div 1000"))
+            .otherwise(col("planned_tokens")))
+        .select(col("source"), col("n_docs"), col("tot_tokens"),
+          col("weight_bp"), col("planned_tokens"), col("epochs_milli"),
+          col("capped"), col("final_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -657,6 +696,30 @@ object SamplingPack {
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
          |ORDER BY source""".stripMargin,
+
+    "q123_epoch_plan" ->
+      s"""WITH totals AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(len(str_split(text, ' ')))::BIGINT AS tot_tokens
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT *, floor(sqrt(tot_tokens::DOUBLE) * 1000.0)::BIGINT AS w_milli
+         |  FROM totals
+         |), g AS (
+         |  SELECT sum(w_milli)::BIGINT AS denom,
+         |    ($BUDGET_MULT * sum(tot_tokens))::BIGINT AS budget FROM w
+         |)
+         |SELECT source, n_docs, tot_tokens,
+         |  (10000 * w_milli) // denom AS weight_bp,
+         |  (budget * w_milli) // denom AS planned_tokens,
+         |  ((budget * w_milli) // denom * 1000) // tot_tokens AS epochs_milli,
+         |  ((budget * w_milli) // denom * 1000) // tot_tokens
+         |    > $EPOCH_CAP_MILLI AS capped,
+         |  CASE WHEN ((budget * w_milli) // denom * 1000) // tot_tokens
+         |         > $EPOCH_CAP_MILLI
+         |       THEN (tot_tokens * $EPOCH_CAP_MILLI) // 1000
+         |       ELSE (budget * w_milli) // denom END AS final_tokens
+         |FROM w CROSS JOIN g ORDER BY source""".stripMargin,
 
     "q96_length_histogram" ->
       s"""SELECT source, n_chars // $HIST_W AS bucket, count(*) AS n,

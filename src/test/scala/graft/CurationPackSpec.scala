@@ -183,4 +183,35 @@ class CurationPackSpec extends GraftSuite {
     // the smallest source keeps everything it hashes under 10000 — i.e. all
     assert(rows.exists(r => r.getAs[Long]("rate_bp") == 10000L))
   }
+
+  test("q124 curriculum buckets equal a driver-side global ntile") {
+    val rows = CurationPack.queries("q124_curriculum")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L),
+      "buckets must be 1..4 in order")
+    // independent recomputation: sort the corpus by (quality, doc_id) on
+    // the driver and deal rows into 4 ntile buckets the SQL-standard way
+    val docs = graft.operators.TextPack
+      .queries("q36_quality_score")(spark, sf)
+      .select(col("doc_id"), col("n_tokens").cast("long"), col("quality"))
+      .collect()
+      .map(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    val total = docs.length
+    val (qq, rr) = (total / 4, total % 4)
+    val sizes = (1 to 4).map(i => if (i <= rr) qq + 1 else qq)
+    var idx = 0
+    val expected = sizes.zipWithIndex.map { case (sz, i) =>
+      val slice = docs.slice(idx, idx + sz); idx += sz
+      (i + 1L, sz.toLong, slice.map(_._3).sum,
+        slice.head._1, slice.last._1)
+    }
+    val got = rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("tot_tokens"), r.getAs[Double]("q_min"),
+      r.getAs[Double]("q_max"))).toSeq
+    assert(got == expected, s"bucket stats diverge:\n$got\n$expected")
+    // staging is monotone: bucket i's max quality <= bucket i+1's min
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 <= b._4, s"quality order broken between ${a._1} and ${b._1}")
+    }
+  }
 }

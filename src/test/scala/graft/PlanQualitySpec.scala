@@ -386,6 +386,26 @@ class PlanQualitySpec extends GraftSuite {
       "batch assignment windowed the doc relation in one partition"))
   }
 
+  test("q124: the global ntile never windows the doc relation in one partition") {
+    // q109's block decomposition applied to rank: the per-quality
+    // row_number windows partition by quality (parallel over the docs);
+    // the only unpartitioned window runs over the REDUCED per-quality
+    // count relation; offsets and the 1-row total broadcast back
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q124_curriculum")(spark, sf))
+    val wins = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // a double partition key prints wrapped in the NaN/-0.0 normalizers
+    val qualPartitioned =
+      """\], \[knownfloatingpointnormalized\(normalizenanandzero\(quality#\d+\)\)\], \[""".r
+    assert(wins.exists(l => qualPartitioned.findFirstIn(l).isDefined),
+      s"per-quality rank window lost its quality partitioning:\n$plan")
+    wins.filterNot(l => qualPartitioned.findFirstIn(l).isDefined).foreach(l =>
+      assert(l.contains("sum(c#"),
+        s"global window over the doc relation: $l"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quality offsets must broadcast back:\n$plan")
+  }
+
   test("no query plans an all-pairs join outside the known tiny-side whitelist") {
     // Global guard over the ENTIRE query surface: a nested-loop/cartesian
     // join is only acceptable when one side is provably corpus-independent
@@ -411,6 +431,8 @@ class PlanQualitySpec extends GraftSuite {
       "q118_bpe_apply",        // q113's per-round 1-row merge broadcasts
       "q120_quantized_ann",    // bounded query-vector set over int8 codes
                                // (q40's brute shape) + 1-row gmax scale
+      "q123_epoch_plan",       // 1-row (denom, budget) fold over |sources|
+      "q124_curriculum",       // 1-row corpus-count total for the ntile
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total

@@ -333,4 +333,31 @@ class SamplingPackSpec extends GraftSuite {
       assert(r.getString(0) <= r.getString(1), "split pair must be canonical")
     }
   }
+
+  test("q123 epoch plan: integer arithmetic, cap semantics, budget conservation") {
+    val rows = q("q123_epoch_plan").collect()
+    val denom = rows.map(r =>
+      math.floor(math.sqrt(r.getAs[Long]("tot_tokens").toDouble) * 1000.0).toLong).sum
+    val budget = 2L * rows.map(_.getAs[Long]("tot_tokens")).sum
+    var finalSum = 0L
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("tot_tokens")
+      val w = math.floor(math.sqrt(tot.toDouble) * 1000.0).toLong
+      assert(r.getAs[Long]("weight_bp") == 10000L * w / denom)
+      val planned = budget * w / denom
+      assert(r.getAs[Long]("planned_tokens") == planned)
+      val em = planned * 1000L / tot
+      assert(r.getAs[Long]("epochs_milli") == em)
+      assert(r.getAs[Boolean]("capped") == (em > 2000L))
+      val fin = r.getAs[Long]("final_tokens")
+      assert(fin == (if (em > 2000L) tot * 2000L / 1000L else planned))
+      assert(fin <= planned, "cap can only shrink the draw")
+      finalSum += fin
+    }
+    // floors only ever under-shoot: the plan never exceeds the budget
+    assert(finalSum <= budget)
+    // the synthetic corpus straddles the cap — both branches are live
+    assert(rows.exists(_.getAs[Boolean]("capped")) &&
+      rows.exists(!_.getAs[Boolean]("capped")))
+  }
 }
