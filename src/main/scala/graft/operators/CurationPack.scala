@@ -303,7 +303,7 @@ object CurationPack {
     // block's row_number in one task; at corpus scale widen the block key
     // to (quality, salt) and prefix-sum the salted counts the same way.
     "q124_curriculum" -> ((s, d) => {
-      val q = TextPack.queries("q36_quality_score")(s, d)
+      val q = TextPack.qualityCore(s, d)
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality"))
       val wLoc = Window.partitionBy(col("quality")).orderBy(col("doc_id"))

@@ -86,6 +86,26 @@ object TextPack {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** q36's per-doc quality relation, unsorted — q36 adds the presentation
+    * sort; q124's curriculum ntile composes this raw form so no global
+    * sort rides mid-plan. The token array is projected ONCE and reused by
+    * all three measures — the inline form re-split the text per derived
+    * column (3 splits/row). */
+  private[operators] def qualityCore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+      .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+      .withColumn("stop_ratio", round(
+        expr("size(filter(t, w -> w IN ('the', 'a', 'value')))").cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("quality", round(
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("ttr"), col("stop_ratio"), col("quality"))
+
   /** Distinct W-token shingles of a pre-projected token-array attribute
     * ([[graft.functions.TextLsh.shinglesOf]] — see its codegen note). */
   private def shinglesOf(t: Column): Column =
@@ -363,24 +383,10 @@ object TextPack {
 
     // Quality scoring: type-token ratio, stopword ratio, length credit —
     // the standard cheap pre-filter of a training-data pipeline.
-    // the token array is projected ONCE and reused by all three measures —
-    // the inline form re-split the text per derived column (3 splits/row)
-    "q36_quality_score" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .withColumn("n_tokens", size(col("t")))
-        .withColumn("n_distinct", size(array_distinct(col("t"))))
-        .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
-        .withColumn("stop_ratio", round(
-          expr("size(filter(t, w -> w IN ('the', 'a', 'value')))").cast("double")
-            / col("n_tokens"), 4))
-        .withColumn("quality", round(
-          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-            + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          col("ttr"), col("stop_ratio"), col("quality"))
-        .orderBy(col("doc_id"))
-    }),
+    // (Core below the oracle map — q124's curriculum composes the unsorted
+    // form so q36's presentation sort never rides mid-plan.)
+    "q36_quality_score" -> ((s, d) =>
+      qualityCore(s, d).orderBy(col("doc_id"))),
 
     // Token statistics per source: whitespace tokens + BPE-ish subword
     // count (ceil(len/4) pieces per token) via higher-order aggregate —
@@ -577,6 +583,36 @@ object TextPack {
           trim(col("s")).as("seg"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
         .orderBy(col("wc").desc, col("word")).limit(20)
+    }),
+
+    // Tokenizer fertility per language — the standard multilingual
+    // tokenizer-evaluation table: symbols-per-word and chars-per-symbol of
+    // the q113-trained vocabulary, by language. The trained word→n_sym map
+    // is vocabulary-sized, so applying it to the corpus is a broadcast
+    // join onto the per-(lang, word) counts — the corpus itself is touched
+    // once for the counts and never re-tokenized per round. Oracle
+    // re-trains all five rounds (q113's chain) before measuring, so a
+    // wrong merge anywhere upstream breaks the hash here too.
+    "q125_bpe_fertility" -> ((s, d) => {
+      val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
+        bpeMerge(w, bpeBest(w, r))
+      }
+      val segs = wT.select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+      perLang.join(broadcast(segs), "w")
+        .groupBy(col("lang"))
+        .agg(sum(col("wc")).cast("long").as("n_words"),
+          sum(col("wc") * col("n_sym")).cast("long").as("n_symbols"),
+          sum(col("wc") * length(col("w"))).cast("long").as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words"), 4))
+        .withColumn("chars_per_sym",
+          round(col("n_chars").cast("double") / col("n_symbols"), 4))
+        .orderBy(col("lang"))
     }),
 
     // Dedup-funnel report — stage-by-stage survivor accounting across the
@@ -934,6 +970,30 @@ object TextPack {
          |  len(str_split(trim(s), ' '))::BIGINT AS n_sym
          |FROM w$BPE_ROUNDS
          |ORDER BY wc DESC, word LIMIT 20""".stripMargin
+    },
+
+    // Re-trains the full chain, then measures it per language.
+    "q125_bpe_fertility" -> {
+      val ctes = (1 to BPE_ROUNDS).map(r =>
+        s"${bpeSqlBest(r)}, ${bpeSqlStep(r)}").mkString(", ")
+      s"""WITH $bpeSqlW0, $ctes, segs AS (
+         |  SELECT w, len(str_split(trim(s), ' '))::BIGINT AS n_sym
+         |  FROM w$BPE_ROUNDS
+         |), pl AS (
+         |  SELECT lang, w, count(*)::BIGINT AS wc FROM (
+         |    SELECT lang, unnest(str_split(lower(text), ' ')) AS w
+         |    FROM documents)
+         |  WHERE len(w) >= 2 GROUP BY 1, 2
+         |)
+         |SELECT lang, sum(wc)::BIGINT AS n_words,
+         |  sum(wc * n_sym)::BIGINT AS n_symbols,
+         |  sum(wc * len(w))::BIGINT AS n_chars,
+         |  ${Hashes.sqlRound("sum(wc * n_sym)::DOUBLE / sum(wc)", 4)}
+         |    AS fertility,
+         |  ${Hashes.sqlRound("sum(wc * len(w))::DOUBLE / sum(wc * n_sym)", 4)}
+         |    AS chars_per_sym
+         |FROM pl JOIN segs USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin
     }
   )
 

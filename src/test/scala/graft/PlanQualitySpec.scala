@@ -433,6 +433,7 @@ class PlanQualitySpec extends GraftSuite {
                                // (q40's brute shape) + 1-row gmax scale
       "q123_epoch_plan",       // 1-row (denom, budget) fold over |sources|
       "q124_curriculum",       // 1-row corpus-count total for the ntile
+      "q125_bpe_fertility",    // q113's per-round 1-row merge broadcasts
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
       "q63_tfidf",             // 1-row corpus-size total

@@ -183,6 +183,35 @@ class TextPackSpec extends GraftSuite {
     assert(got.toSeq == expect)
   }
 
+  test("q125 per-language fertility equals the greedy trainer's measurement") {
+    val (_, vocab) = greedyBpe(5)
+    val nSym = vocab.map { case (syms, _) => syms.mkString -> syms.length.toLong }
+    val perLang = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ")
+        .filter(_.length >= 2).map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perLang.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (lang, ws) =>
+        val words = ws.map(_._2).sum
+        val syms = ws.map { case ((_, w), c) => c * nSym(w) }.sum
+        val chars = ws.map { case ((_, w), c) => c * w.length }.sum
+        (lang, words, syms, chars,
+          r4(syms.toDouble / words), r4(chars.toDouble / syms))
+    }
+    val got = TextPack.queries("q125_bpe_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    // merges only ever shrink a word's symbol string
+    got.foreach { case (_, words, syms, chars, fert, cps) =>
+      assert(syms <= chars && words <= syms)
+      assert(fert >= 1.0 && cps >= 1.0)
+    }
+  }
+
   test("q112 funnel stages are consistent with the dedup queries they compose") {
     val out = TextPack.queries("q112_dedup_funnel")(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
