@@ -215,6 +215,51 @@ object SimilarityPack {
     // the recall.
     "q42_ann_lsh" -> (lshTopK _),
 
+    // Retrieval-quality evaluation: nDCG@k of the LSH index against label
+    // relevance (retrieved nid is relevant iff it shares the query's
+    // label) — the graded companion to q111's recall. Per-rank gains are
+    // ln-ratio discounts quantized to integer micro-units (q107's
+    // ln-quantization parity precedent), so DCG/IDCG sums and the final
+    // ppm ratio are all-integer — addition-order exact under any
+    // partial-agg tree. IDCG folds the gain prefix inside one higher-order
+    // aggregate over sequence(1, min(k, n_rel)) — no per-rank join. Scale:
+    // the ranked set is |queries|·k rows; the label side-tables broadcast.
+    "q126_ndcg" -> ((s, d) => {
+      val lab = vecs(s, d).select(col("vec_id"), col("label"))
+      val gain = "CAST(floor(1000000.0 * ln(2.0) / " +
+        "ln(CAST(rank AS DOUBLE) + 1.0)) AS BIGINT)"
+      val dcg = lshTopK(s, d)
+        .join(broadcast(lab.select(col("vec_id").as("qid"),
+          col("label").as("qlab"))), "qid")
+        .join(lab.select(col("vec_id").as("nid"), col("label").as("nlab")),
+          "nid")
+        .withColumn("rel", (col("qlab") === col("nlab")).cast("long"))
+        .groupBy(col("qid"))
+        .agg(sum(col("rel")).cast("long").as("hits"),
+          sum(col("rel") * expr(gain)).cast("long").as("dcg_micro"))
+      val nRel = lab.join(broadcast(
+          lab.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))), "label")
+        .select(col("vec_id").as("qid"), (col("n_lab") - 1).as("n_rel"))
+        .filter(col("qid") % 50 === 0)
+      nRel.join(dcg, Seq("qid"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+        // n_rel = 0 guard: Spark's sequence(1, 0) DESCENDS (infers step
+        // -1), so the empty ideal set must short-circuit before it
+        .withColumn("idcg_micro", expr(
+          s"""CASE WHEN n_rel < 1 THEN CAST(0 AS BIGINT) ELSE aggregate(
+             |  sequence(CAST(1 AS BIGINT), least(CAST($TOP_K AS BIGINT), n_rel)),
+             |  CAST(0 AS BIGINT),
+             |  (acc, r) -> acc + CAST(floor(1000000.0 * ln(2.0) /
+             |    ln(CAST(r AS DOUBLE) + 1.0)) AS BIGINT)) END""".stripMargin))
+        .withColumn("ndcg_ppm",
+          when(col("idcg_micro") > 0,
+            expr("(1000000 * dcg_micro) div idcg_micro")).otherwise(lit(0L)))
+        .select(col("qid"), col("n_rel"), col("hits"),
+          col("dcg_micro"), col("idcg_micro"), col("ndcg_ppm"))
+        .orderBy(col("qid"))
+    }),
+
     // Centroids are data-dependent → hash-checked via the dynamic oracle;
     // exactness vs a driver-side reimplementation is pinned in
     // SimilarityPackSpec.
@@ -638,28 +683,71 @@ object SimilarityPack {
          |WHERE ${sqlCosine("a.v", "b.v", "a.norm", "b.norm")} >= $NEARDUP_T
          |ORDER BY i, j""".stripMargin,
 
-    "q42_ann_lsh" -> {
-      val sigSelects = (0 until TABLES)
-        .map(t => s"SELECT vec_id, v, norm, $t AS t, ${sqlSig(t)} AS sig FROM e")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (
-         |  $sqlVecs
-         |), buckets AS (
-         |  $sigSelects
-         |), cand AS (
-         |  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, q.norm AS qn,
-         |    n.vec_id AS nid, n.v AS nv, n.norm AS nn
-         |  FROM buckets q JOIN buckets n ON q.t = n.t AND q.sig = n.sig
-         |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
-         |), ranked AS (
-         |  SELECT qid, nid,
-         |    ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} AS cos,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} DESC, nid) AS rank
-         |  FROM cand
+    "q42_ann_lsh" -> lshSql,
+
+    // Shares q42's full LSH statement as a CTE (so a ranking bug upstream
+    // breaks this hash too); gains quantized with the same ln-ratio shape
+    // as the Spark side.
+    "q126_ndcg" -> {
+      val gain = (r: String) =>
+        s"floor(1000000.0 * ln(2.0) / ln(($r)::DOUBLE + 1.0))::BIGINT"
+      s"""WITH lsh AS (
+         |  SELECT qid, rank, nid FROM ($lshSql)
+         |), lab AS (
+         |  SELECT vec_id, label FROM embeddings
+         |), d AS (
+         |  SELECT l.qid, sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+         |      ::BIGINT AS hits,
+         |    sum(CASE WHEN ql.label = nl.label THEN ${gain("l.rank")}
+         |        ELSE 0 END)::BIGINT AS dcg_micro
+         |  FROM lsh l
+         |  JOIN lab ql ON ql.vec_id = l.qid
+         |  JOIN lab nl ON nl.vec_id = l.nid
+         |  GROUP BY l.qid
+         |), nr AS (
+         |  SELECT e.vec_id AS qid, (c.n_lab - 1)::BIGINT AS n_rel
+         |  FROM embeddings e JOIN (
+         |    SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label
+         |  ) c USING (label)
+         |  WHERE e.vec_id % 50 = 0
+         |), j AS (
+         |  SELECT nr.qid, n_rel, coalesce(hits, 0)::BIGINT AS hits,
+         |    coalesce(dcg_micro, 0)::BIGINT AS dcg_micro,
+         |    coalesce(list_aggregate([${gain("r")}
+         |      FOR r IN range(1, least($TOP_K, n_rel) + 1)], 'sum'), 0)
+         |      ::BIGINT AS idcg_micro
+         |  FROM nr LEFT JOIN d USING (qid)
          |)
-         |SELECT qid, rank, nid, ${Hashes.sqlRound("cos", 4)} AS cos
-         |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin
+         |SELECT qid, n_rel, hits, dcg_micro, idcg_micro,
+         |  (CASE WHEN idcg_micro > 0 THEN (1000000 * dcg_micro) // idcg_micro
+         |        ELSE 0 END)::BIGINT AS ndcg_ppm
+         |FROM j ORDER BY qid""".stripMargin
     }
   )
+
+  /** q42's full LSH-ANN oracle statement — a def so q126's nDCG oracle can
+    * embed it as a CTE. */
+  private def lshSql: String = {
+    val sigSelects = (0 until TABLES)
+      .map(t => s"SELECT vec_id, v, norm, $t AS t, ${sqlSig(t)} AS sig FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  $sqlVecs
+       |), buckets AS (
+       |  $sigSelects
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, q.norm AS qn,
+       |    n.vec_id AS nid, n.v AS nv, n.norm AS nn
+       |  FROM buckets q JOIN buckets n ON q.t = n.t AND q.sig = n.sig
+       |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT qid, nid,
+       |    ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} DESC, nid) AS rank
+       |  FROM cand
+       |)
+       |SELECT qid, rank, nid, ${Hashes.sqlRound("cos", 4)} AS cos
+       |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin
+  }
 }

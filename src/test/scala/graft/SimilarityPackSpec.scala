@@ -207,4 +207,32 @@ class SimilarityPackSpec extends GraftSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@10 $mean < 0.8")
   }
+
+  test("q126 nDCG equals a driver-side recomputation over the LSH ranking") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = SimilarityPack.queries("q42_ann_lsh")(spark, sf)
+      .select(col("qid"), col("rank").cast("long"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    def gain(r: Long): Long =
+      math.floor(1000000.0 * math.log(2.0) / math.log(r.toDouble + 1.0)).toLong
+    val out = SimilarityPack.queries("q126_ndcg")(spark, sf).collect()
+    // one row per query vector (vec_id % 50), even if LSH retrieved nothing
+    assert(out.map(_.getLong(0)).toSet ==
+      labels.keySet.filter(_ % 50 == 0))
+    out.foreach { r =>
+      val (qid, nRel, hits, dcg, idcg, ppm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nRel == labels.values.count(_ == labels(qid)) - 1)
+      val rs = ranked.getOrElse(qid, Seq.empty).zipWithIndex
+        .filter { case (nid, _) => labels(nid) == labels(qid) }
+      assert(hits == rs.size)
+      assert(dcg == rs.map { case (_, i) => gain(i + 1L) }.sum)
+      assert(idcg == (1L to math.min(10L, nRel)).map(gain).sum)
+      assert(ppm == (if (idcg > 0) 1000000L * dcg / idcg else 0L))
+      assert(dcg <= idcg && ppm >= 0 && ppm <= 1000000L)
+    }
+  }
 }
