@@ -51,6 +51,7 @@ object CurationPack {
   private val PCT_EPOCHS  = 5     // q114 batch-perceptron training epochs
   private val QUALITY_T   = 0.62  // q119 keep threshold on q36's score
   private val N_TILE      = 4     // q124 curriculum stages (quality quartiles)
+  private val SHARD_CAP   = 2000L // q127 greedy shard byte cap (chars)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -331,6 +332,38 @@ object CurationPack {
         .orderBy(col("bucket"))
     }),
 
+    // Greedy byte-capped shard fill — the writer-side layout pass that
+    // kills the small-files problem at 100 TB: docs fill an output file
+    // until adding the next one would overflow SHARD_CAP, then a new file
+    // opens (a SEQUENTIAL recurrence, not expressible as a prefix-sum
+    // `div` — q58/q109 are the fixed-boundary approximation). Runs as
+    // typed flatMapSortedGroups: each source's docs stream through one
+    // task in doc_id order (state = two longs), sources pack in parallel.
+    // The oracle states the same recurrence as a recursive CTE. Skew: a
+    // single giant source serializes — at corpus scale, greedy-fill
+    // doc_id blocks in parallel first, then run THIS pass over the
+    // |blocks|-row boundary summaries (the q109 reduction trick).
+    "q127_shard_fill" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
+        .as[(String, Long, Long)]
+      val assigned = docs.groupByKey(_._1)
+        .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+          var fileIdx = 0L; var fill = 0L; var first = true
+          it.map { case (_, docId, nb) =>
+            if (!first && fill + nb > SHARD_CAP) { fileIdx += 1; fill = nb }
+            else { fill += nb; first = false }
+            (src, fileIdx, docId, nb)
+          }
+        }
+        .toDF("source", "file_idx", "doc_id", "nb")
+      assigned.groupBy(col("source"), col("file_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).cast("long").as("bytes"))
+        .withColumn("fill_ppm", expr(s"(bytes * 1000000) div $SHARD_CAP"))
+        .orderBy(col("source"), col("file_idx"))
+    }),
+
     // Domain rebalancing: downsample every source to the smallest source's
     // token volume. keep-rate (basis points) = ⌊10000·min_tokens/tokens⌋,
     // membership by the stateless hash predicate — all-integer arithmetic,
@@ -541,6 +574,30 @@ object CurationPack {
          |FROM base
          |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the greedy recurrence directly as a recursive CTE
+    // (one row per doc per step, recursing down each source's doc order).
+    "q127_shard_fill" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT source, doc_id, n_chars::BIGINT AS nb,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, rn, nb, 0::BIGINT AS file_idx, nb AS fill
+         |  FROM docs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.rn, d.nb,
+         |    CASE WHEN r.fill + d.nb > $SHARD_CAP
+         |         THEN r.file_idx + 1 ELSE r.file_idx END,
+         |    CASE WHEN r.fill + d.nb > $SHARD_CAP
+         |         THEN d.nb ELSE r.fill + d.nb END
+         |  FROM r JOIN docs d ON d.source = r.source AND d.rn = r.rn + 1
+         |)
+         |SELECT source, file_idx, count(*)::BIGINT AS n_docs,
+         |  sum(nb)::BIGINT AS bytes,
+         |  (sum(nb) * 1000000 // $SHARD_CAP)::BIGINT AS fill_ppm
+         |FROM r GROUP BY source, file_idx
+         |ORDER BY source, file_idx""".stripMargin,
 
     // The oracle states the SPEC (one global ntile); the Spark plan
     // reaches the same buckets via the blocked rank + integer formula.

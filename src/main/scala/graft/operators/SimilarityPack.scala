@@ -215,6 +215,37 @@ object SimilarityPack {
     // the recall.
     "q42_ann_lsh" -> (lshTopK _),
 
+    // Embedding-dimension health audit — the feature-store check a vector
+    // pipeline runs before indexing 100 TB of embeddings: per-dimension
+    // count/min/max/mean/std plus a dead-dimension signal (exact zeros).
+    // Values quantize to integer milli-units FIRST (float→double is exact,
+    // one correctly-rounded multiply, floor), so every sum is an integer —
+    // addition-order exact under any partial-agg tree, and n·Σx² stays
+    // under 2^63 at these scales (drop to coarser units or DECIMAL(38,0)
+    // beyond ~10^9 rows). One narrow explode + one 64-group partial-agg
+    // shuffle; output is |dims| rows.
+    "q128_embedding_stats" -> ((s, d) => {
+      val q = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000.0).cast("long").as("q"))
+      q.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("q") === 0, 1)).as("n_zero"),
+          min(col("q")).as("min_milli"), max(col("q")).as("max_milli"),
+          sum(col("q")).cast("long").as("sum_milli"),
+          sum(col("q") * col("q")).cast("long").as("sumsq"))
+        .withColumn("mean_milli",
+          round(col("sum_milli").cast("double") / col("n"), 4))
+        .withColumn("std_milli", round(sqrt(
+          (col("n") * col("sumsq") - col("sum_milli") * col("sum_milli"))
+            .cast("double") / (col("n") * col("n")).cast("double")), 4))
+        .select(col("dim"), col("n"), col("n_zero"),
+          col("min_milli"), col("max_milli"),
+          col("mean_milli"), col("std_milli"))
+        .orderBy(col("dim"))
+    }),
+
     // Retrieval-quality evaluation: nDCG@k of the LSH index against label
     // relevance (retrieved nid is relevant iff it shares the query's
     // label) — the graded companion to q111's recall. Per-rank gains are
@@ -684,6 +715,27 @@ object SimilarityPack {
          |ORDER BY i, j""".stripMargin,
 
     "q42_ann_lsh" -> lshSql,
+
+    "q128_embedding_stats" ->
+      s"""WITH q AS (
+         |  SELECT dim::BIGINT AS dim, floor(x::DOUBLE * 1000.0)::BIGINT AS q
+         |  FROM (
+         |    SELECT unnest(embedding) AS x,
+         |      unnest(range(1, len(embedding) + 1)) - 1 AS dim
+         |    FROM embeddings)
+         |), a AS (
+         |  SELECT dim, count(*)::BIGINT AS n,
+         |    count(CASE WHEN q = 0 THEN 1 END)::BIGINT AS n_zero,
+         |    min(q)::BIGINT AS min_milli, max(q)::BIGINT AS max_milli,
+         |    sum(q)::BIGINT AS sum_milli, sum(q * q)::BIGINT AS sumsq
+         |  FROM q GROUP BY dim
+         |)
+         |SELECT dim, n, n_zero, min_milli, max_milli,
+         |  ${Hashes.sqlRound("sum_milli::DOUBLE / n", 4)} AS mean_milli,
+         |  ${Hashes.sqlRound(
+             "sqrt((n * sumsq - sum_milli * sum_milli)::DOUBLE / (n * n)::DOUBLE)", 4)}
+         |    AS std_milli
+         |FROM a ORDER BY dim""".stripMargin,
 
     // Shares q42's full LSH statement as a CTE (so a ranking bug upstream
     // breaks this hash too); gains quantized with the same ln-ratio shape

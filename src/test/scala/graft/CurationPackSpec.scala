@@ -184,6 +184,39 @@ class CurationPackSpec extends GraftSuite {
     assert(rows.exists(r => r.getAs[Long]("rate_bp") == 10000L))
   }
 
+  test("q127 shard fill equals a driver-side greedy recomputation; caps respected") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expect = docs.toSeq.sortBy(_._1).flatMap { case (src, ds) =>
+      val files = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fill = 0L
+      ds.foreach { case (_, _, nb) =>
+        if (files.nonEmpty && fill + nb > 2000L) { files += ((1L, nb)); fill = nb }
+        else if (files.isEmpty) { files += ((1L, nb)); fill = nb }
+        else {
+          val (n, b) = files.last; files(files.length - 1) = (n + 1, b + nb)
+          fill += nb
+        }
+      }
+      files.zipWithIndex.map { case ((n, b), i) =>
+        (src, i.toLong, n, b, b * 1000000L / 2000L) }
+    }
+    val got = CurationPack.queries("q127_shard_fill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"shard layout diverges")
+    // no file exceeds the cap unless it holds a single oversized doc
+    got.foreach { case (_, _, nDocs, bytes, _) =>
+      assert(bytes <= 2000L || nDocs == 1L)
+    }
+    // file indices are dense per source
+    got.groupBy(_._1).foreach { case (_, fs) =>
+      assert(fs.map(_._2).sorted.toSeq == (0L until fs.length).toSeq)
+    }
+  }
+
   test("q124 curriculum buckets equal a driver-side global ntile") {
     val rows = CurationPack.queries("q124_curriculum")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L),

@@ -208,6 +208,28 @@ class SimilarityPackSpec extends GraftSuite {
     assert(mean >= 0.8, s"mean recall@10 $mean < 0.8")
   }
 
+  test("q128 per-dimension stats equal a driver-side recomputation") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000.0).toLong))
+    val dims = vecs.head.length
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = SimilarityPack.queries("q128_embedding_stats")(spark, sf).collect()
+    assert(out.length == dims)
+    out.foreach { r =>
+      val d = r.getLong(0).toInt
+      val col = vecs.map(_(d))
+      assert(r.getLong(1) == vecs.length)
+      assert(r.getLong(2) == col.count(_ == 0L))
+      assert(r.getLong(3) == col.min && r.getLong(4) == col.max)
+      val (s1, s2, n) = (col.sum, col.map(q => q * q).sum, col.length.toLong)
+      assert(r.getDouble(5) == r4(s1.toDouble / n))
+      assert(r.getDouble(6) ==
+        r4(math.sqrt((n * s2 - s1 * s1).toDouble / (n * n).toDouble)))
+    }
+  }
+
   test("q126 nDCG equals a driver-side recomputation over the LSH ranking") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label").cast("long")).collect()
