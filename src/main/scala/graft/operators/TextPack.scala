@@ -576,9 +576,11 @@ object TextPack {
     // is then a broadcast join of this vocabulary-sized (word → seg) map
     // against the corpus — no per-doc iteration anywhere.
     "q118_bpe_apply" -> ((s, d) => {
+      // cached: q125's fertility shares the identical trained-state plan,
+      // so the 5-round fold is built once (CacheManager canonical match)
       val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
         bpeMerge(w, bpeBest(w, r))
-      }
+      }.cache()
       wT.select(col("w").as("word"), col("wc"),
           trim(col("s")).as("seg"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
@@ -596,7 +598,7 @@ object TextPack {
     "q125_bpe_fertility" -> ((s, d) => {
       val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
         bpeMerge(w, bpeBest(w, r))
-      }
+      }.cache()
       val segs = wT.select(col("w"),
         size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
       val perLang = Tables.documents(s, d)
