@@ -332,6 +332,37 @@ object CurationPack {
         .orderBy(col("bucket"))
     }),
 
+    // Per-source corpus datacard — the release-notes table a curated
+    // corpus ships with: volume, token spread, language share, exact-dup
+    // rate, mean quality. Composes the oracle-checked per-doc passes
+    // (q30 dedup verdicts, q36 quality) via doc_id equi-joins — with a
+    // doc_id-bucketed corpus they co-locate shuffle-free — and collapses
+    // to |sources| rows. Quality means stay integer: the 4-dp score is
+    // rescaled to exact e4 units per doc, so the sum is addition-order
+    // exact and the mean is one integer `div`.
+    "q129_datacard" -> ((s, d) => {
+      val dup = TextPack.queries("q30_dedup_exact")(s, d)
+        .select(col("doc_id"), col("is_dup"))
+      val qual = TextPack.qualityCore(s, d)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("ntok"),
+          expr("CAST(round(quality * 10000) AS BIGINT)").as("q_e4"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+        .join(dup, "doc_id").join(qual, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("tot_tokens"),
+          min(col("ntok")).as("min_tokens"), max(col("ntok")).as("max_tokens"),
+          count(when(col("lang") === "en", 1)).as("n_en"),
+          count(when(col("is_dup"), 1)).as("n_dup"),
+          sum(col("q_e4")).cast("long").as("sum_q_e4"))
+        .withColumn("dup_rate_bp", expr("(n_dup * 10000) div n_docs"))
+        .withColumn("mean_quality_e4", expr("sum_q_e4 div n_docs"))
+        .select(col("source"), col("n_docs"), col("tot_tokens"),
+          col("min_tokens"), col("max_tokens"), col("n_en"), col("n_dup"),
+          col("dup_rate_bp"), col("mean_quality_e4"))
+        .orderBy(col("source"))
+    }),
+
     // Greedy byte-capped shard fill — the writer-side layout pass that
     // kills the small-files problem at 100 TB: docs fill an output file
     // until adding the next one would overflow SHARD_CAP, then a new file
@@ -574,6 +605,29 @@ object CurationPack {
          |FROM base
          |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |ORDER BY doc_id""".stripMargin,
+
+    // Composes q30's and q36's own oracle SQL as sub-CTEs, so the datacard
+    // is re-derived end-to-end on the oracle side too (q119's pattern).
+    "q129_datacard" ->
+      s"""WITH v30 AS (
+         |  ${TextPack.oracle("q30_dedup_exact")}
+         |), vq AS (
+         |  ${TextPack.oracle("q36_quality_score")}
+         |)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(vq.n_tokens)::BIGINT AS tot_tokens,
+         |  min(vq.n_tokens)::BIGINT AS min_tokens,
+         |  max(vq.n_tokens)::BIGINT AS max_tokens,
+         |  count(CASE WHEN d.lang = 'en' THEN 1 END)::BIGINT AS n_en,
+         |  count(CASE WHEN v30.is_dup THEN 1 END)::BIGINT AS n_dup,
+         |  (count(CASE WHEN v30.is_dup THEN 1 END) * 10000
+         |     // count(*))::BIGINT AS dup_rate_bp,
+         |  (sum(round(vq.quality * 10000)::BIGINT)
+         |     // count(*))::BIGINT AS mean_quality_e4
+         |FROM documents d
+         |JOIN v30 ON d.doc_id = v30.doc_id
+         |JOIN vq ON d.doc_id = vq.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // The oracle states the greedy recurrence directly as a recursive CTE
     // (one row per doc per step, recursing down each source's doc order).

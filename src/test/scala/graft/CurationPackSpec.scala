@@ -184,6 +184,32 @@ class CurationPackSpec extends GraftSuite {
     assert(rows.exists(r => r.getAs[Long]("rate_bp") == 10000L))
   }
 
+  test("q129 datacard totals reconcile with the passes it composes") {
+    val rows = CurationPack.queries("q129_datacard")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ntok")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val dupTotal = graft.operators.TextPack
+      .queries("q30_dedup_exact")(spark, sf).collect()
+      .count(_.getAs[Boolean]("is_dup"))
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == dupTotal)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src)
+      assert(r.getAs[Long]("n_docs") == mine.length)
+      assert(r.getAs[Long]("tot_tokens") == mine.map(_._3).sum)
+      assert(r.getAs[Long]("min_tokens") == mine.map(_._3).min)
+      assert(r.getAs[Long]("max_tokens") == mine.map(_._3).max)
+      assert(r.getAs[Long]("n_en") == mine.count(_._2 == "en"))
+      assert(r.getAs[Long]("dup_rate_bp") ==
+        r.getAs[Long]("n_dup") * 10000 / r.getAs[Long]("n_docs"))
+      val mq = r.getAs[Long]("mean_quality_e4")
+      assert(mq >= 0 && mq <= 10000, s"quality mean out of [0,1]: $mq")
+    }
+  }
+
   test("q127 shard fill equals a driver-side greedy recomputation; caps respected") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
