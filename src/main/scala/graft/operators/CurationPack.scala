@@ -55,6 +55,64 @@ object CurationPack {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Corpus-wide NTILE(`n`) OVER (ORDER BY `valueCol`, `idCol`) WITHOUT a
+    * single-partition window — q109's block decomposition applied to rank:
+    * rows rank locally inside their distinct value (window partitioned by
+    * the value — fully parallel; within-block order `idCol`, so block +
+    * local order IS the global order), per-value counts reduce to a
+    * corpus-small offsets relation whose running sum broadcasts back, and
+    * the global row number feeds the exact SQL-standard NTILE formula
+    * (first total%n buckets get ⌈total/n⌉) in pure integer `div`
+    * arithmetic. Adds a `bucket` column (1-based). Requires (valueCol,
+    * idCol) to totally order the input (idCol unique). Skew note: one
+    * hyper-common value concentrates its block's row_number in one task;
+    * at corpus scale widen the block key with a salt and prefix-sum the
+    * salted counts the same way. */
+  private[graft] def globalNtile(df: DataFrame, valueCol: String,
+                                     idCol: String, n: Int): DataFrame = {
+    val wLoc = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    val wOff = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col(valueCol), col("off"))
+    val tot = df.agg(count(lit(1)).as("total"))
+    df.withColumn("lrn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offs), valueCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("off") + col("lrn"))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN rn <= (total % $n) * (total div $n + 1)
+           |THEN (rn + (total div $n)) div (total div $n + 1)
+           |ELSE (total % $n)
+           |  + (rn - (total % $n) * (total div $n + 1)
+           |     + (total div $n) - 1) div (total div $n)
+           |END""".stripMargin))
+      .drop("lrn", "off", "rn", "total")
+  }
+
+  /** Greedy byte-capped shard fill over (group, id, size) rows: within
+    * each group, ids fill a file until the next would overflow `cap`,
+    * then a new file opens — the sequential recurrence behind q127 (see
+    * its scale note). Emits (group, file_idx, id, size). */
+  private[graft] def greedyFill(ds: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                                    cap: Long): DataFrame = {
+    import ds.sparkSession.implicits._
+    // normalize column names so the sort key is position-, not
+    // caller-name-, bound
+    ds.toDF("g", "id", "sz").as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (grp, it) =>
+        var fileIdx = 0L; var fill = 0L; var first = true
+        it.map { case (_, id, nb) =>
+          if (!first && fill + nb > cap) { fileIdx += 1; fill = nb }
+          else { fill += nb; first = false }
+          (grp, fileIdx, id, nb)
+        }
+      }
+      .toDF("source", "file_idx", "doc_id", "nb")
+  }
+
   /** q114/q117's shared training set: label y = ±1 from an EXTERNAL signal
     * (the lang tag — the honest quality-classifier shape: labels don't
     * leak from the features), integer features bias/1, token count,
@@ -307,24 +365,7 @@ object CurationPack {
       val q = TextPack.qualityCore(s, d)
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality"))
-      val wLoc = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
-      val wOff = Window.orderBy(col("quality"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-        .select(col("quality"), col("off"))
-      val tot = q.agg(count(lit(1)).as("total"))
-      q.withColumn("lrn", row_number().over(wLoc).cast("long"))
-        .join(broadcast(offs), "quality")
-        .crossJoin(broadcast(tot))
-        .withColumn("rn", col("off") + col("lrn"))
-        .withColumn("bucket", expr(
-          s"""CASE WHEN rn <= (total % $N_TILE) * (total div $N_TILE + 1)
-             |THEN (rn + (total div $N_TILE)) div (total div $N_TILE + 1)
-             |ELSE (total % $N_TILE)
-             |  + (rn - (total % $N_TILE) * (total div $N_TILE + 1)
-             |     + (total div $N_TILE) - 1) div (total div $N_TILE)
-             |END""".stripMargin))
+      globalNtile(q, "quality", "doc_id", N_TILE)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("tot_tokens"),
@@ -379,17 +420,7 @@ object CurationPack {
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
         .as[(String, Long, Long)]
-      val assigned = docs.groupByKey(_._1)
-        .flatMapSortedGroups(col("doc_id")) { (src, it) =>
-          var fileIdx = 0L; var fill = 0L; var first = true
-          it.map { case (_, docId, nb) =>
-            if (!first && fill + nb > SHARD_CAP) { fileIdx += 1; fill = nb }
-            else { fill += nb; first = false }
-            (src, fileIdx, docId, nb)
-          }
-        }
-        .toDF("source", "file_idx", "doc_id", "nb")
-      assigned.groupBy(col("source"), col("file_idx"))
+      greedyFill(docs, SHARD_CAP).groupBy(col("source"), col("file_idx"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nb")).cast("long").as("bytes"))
         .withColumn("fill_ppm", expr(s"(bytes * 1000000) div $SHARD_CAP"))
         .orderBy(col("source"), col("file_idx"))

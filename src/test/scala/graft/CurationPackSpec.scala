@@ -184,6 +184,59 @@ class CurationPackSpec extends GraftSuite {
     assert(rows.exists(r => r.getAs[Long]("rate_bp") == 10000L))
   }
 
+  test("globalNtile equals reference ntile on randomized corpora (ties, all n, remainder cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sizes straddle total % n == 0 and != 0; values collide heavily so
+    // the per-value blocks hold many rows (the tie path)
+    for (total <- Seq(1, 3, 4, 7, 40, 101); n <- Seq(2, 4, 5)) {
+      val rows = (1 to total)
+        .map(i => (i.toLong, (rnd.nextInt(5) / 10.0), rnd.nextInt(100).toLong))
+      val df = rows.toDF("doc_id", "quality", "n_tokens")
+      val got = CurationPack.globalNtile(df, "quality", "doc_id", n)
+        .select(col("doc_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: deal the (quality, doc_id)-sorted ids into n ntile
+      // buckets, first total%n buckets one larger
+      val sorted = rows.sortBy(t => (t._2, t._1)).map(_._1)
+      val (q, rr) = (total / n, total % n)
+      var idx = 0
+      val expect = (1 to n).flatMap { b =>
+        val sz = if (b <= rr) q + 1 else q
+        val slice = sorted.slice(idx, idx + sz); idx += sz
+        slice.map(_ -> b.toLong)
+      }.toMap
+      assert(got == expect, s"total=$total n=$n diverged")
+    }
+  }
+
+  test("greedyFill handles oversized items and randomized sizes like the reference greedy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cap = 100L
+    // sizes include items LARGER than the cap — each must occupy its own
+    // file (a branch the real corpus never exercises under q127's cap)
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1 to 40) yield
+      (g, i.toLong, if (rnd.nextInt(10) == 0) 150L + rnd.nextInt(100)
+                    else 1L + rnd.nextInt(60))
+    val got = CurationPack.greedyFill(rows.toDS(), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, ds) =>
+      var fi = 0L; var fill = 0L; var first = true
+      ds.sortBy(_._2).map { case (_, id, nb) =>
+        if (!first && fill + nb > cap) { fi += 1; fill = nb }
+        else { fill += nb; first = false }
+        (g, fi, id, nb)
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq == expect)
+    // oversized items always sit alone in their file
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, fs) =>
+      if (fs.exists(_._4 > cap)) assert(fs.length == 1)
+    }
+  }
+
   test("q129 datacard totals reconcile with the passes it composes") {
     val rows = CurationPack.queries("q129_datacard")(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
