@@ -445,6 +445,72 @@ object RelationalPack {
     // Estimates are deterministic (fixed lgK) but not DuckDB-reproducible
     // (different sketch impl) → no oracle entry (driver records rows-only);
     // the ≤3% error vs exact is pinned in RelationalPackSpec.
+    // TPC-H Q7-shaped bilateral trade volume: the 6-way join (lineitem ⋈
+    // supplier ⋈ orders ⋈ customer ⋈ nation×2) with the nation pair
+    // filter PUSHED INTO THE DIMENSIONS — supplier and customer are
+    // pre-filtered to the two nations via their broadcast nation joins,
+    // so the fact scan shrinks ~2/|nations| BEFORE the one big shuffle
+    // (lineitem ⋈ orders on orderkey). Everything else broadcasts.
+    // Integer cents keep the sums addition-order exact.
+    "q130_trade_volume" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val pair = Tables.nation(s, d)
+        .filter(col("n_name").isin(
+          "NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+      val supps = Tables.supplier(s, d)
+        .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custs = Tables.customer(s, d)
+        .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custs), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
+    // revenue sold to ASIA customers, per order year. Every dimension
+    // (part filter, supplier→nation, customer→nation→region) broadcasts;
+    // the single shuffle is lineitem ⋈ orders; the share is one integer
+    // division per year row (ppm), so no float crosses an aggregation.
+    "q131_market_share" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val supps = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).as("cn")),
+          col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("cn.n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_1", cents).otherwise(0L))
+          .cast("long").as("nation1_cents"),
+          sum(cents).cast("long").as("total_cents"),
+          count(lit(1)).as("n_items"))
+        .withColumn("share_ppm",
+          expr("(nation1_cents * 1000000) div total_cents"))
+        .orderBy(col("o_year"))
+    }),
+
     // TPC-H Q14-shaped promo revenue share: broadcast part dim onto the
     // lineitem fact, monthly conditional-vs-total revenue ratio. Integer
     // cents keep both sums addition-order exact; the share is one division
@@ -712,6 +778,46 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q130_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND cn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q131_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate)::BIGINT AS o_year,
+        |    sum(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT
+        |      ELSE 0 END)::BIGINT AS nation1_cents,
+        |    sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |      ::BIGINT AS total_cents,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn2 ON c_nationkey = cn2.n_nationkey
+        |  JOIN region ON cn2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1
+        |)
+        |SELECT o_year, nation1_cents, total_cents, n_items,
+        |  ((nation1_cents * 1000000) // total_cents)::BIGINT AS share_ppm
+        |FROM base ORDER BY o_year""".stripMargin,
 
     "q93_promo_share" -> {
       val share = graft.functions.Hashes.sqlRound(

@@ -406,6 +406,20 @@ class PlanQualitySpec extends GraftSuite {
       s"quality offsets must broadcast back:\n$plan")
   }
 
+  test("q130/q131: every dimension broadcasts; at most one shuffled join (the fact pair)") {
+    for (name <- Seq("q130_trade_volume", "q131_market_share")) {
+      val df = graft.operators.RelationalPack.queries(name)(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val plan = executedPlan(df).split("== Initial Plan ==").head
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val shuffled = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(bhj >= 3, s"$name lost its broadcast dimension cascade:\n$plan")
+      assert(shuffled <= 1,
+        s"$name shuffles more than the one fact-fact join:\n$plan")
+    }
+  }
+
   test("no query plans an all-pairs join outside the known tiny-side whitelist") {
     // Global guard over the ENTIRE query surface: a nested-loop/cartesian
     // join is only acceptable when one side is provably corpus-independent
