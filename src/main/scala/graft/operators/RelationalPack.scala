@@ -511,6 +511,28 @@ object RelationalPack {
         .orderBy(col("o_year"))
     }),
 
+    // ROLLUP hierarchy totals — the grouping-sets surface (detail rows +
+    // per-flag subtotals + grand total in ONE pass). Spark plans rollup as
+    // a single Expand + hash aggregation: each input row fans out once per
+    // grouping set and partial-aggregates map-side, so the 100 TB cost is
+    // one shuffle of |groups| × |sets| rows — never three scans. NULL
+    // grouping slots are disambiguated from real NULLs by grouping_id
+    // (same bit layout both engines) and coalesced to 'ALL' for the
+    // deterministic compare. Integer cents as everywhere.
+    "q132_rollup" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("revenue_cents"), col("n_items"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    }),
+
     // TPC-H Q14-shaped promo revenue share: broadcast part dim onto the
     // lineitem fact, monthly conditional-vs-total revenue ratio. Integer
     // cents keep both sums addition-order exact; the share is one division
@@ -818,6 +840,17 @@ object RelationalPack {
         |SELECT o_year, nation1_cents, total_cents, n_items,
         |  ((nation1_cents * 1000000) // total_cents)::BIGINT AS share_ppm
         |FROM base ORDER BY o_year""".stripMargin,
+
+    "q132_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
 
     "q93_promo_share" -> {
       val share = graft.functions.Hashes.sqlRound(

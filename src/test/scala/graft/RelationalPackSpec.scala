@@ -4,6 +4,24 @@ import graft.operators.RelationalPack
 
 class RelationalPackSpec extends GraftSuite {
 
+  test("q132 rollup hierarchy reconciles: details sum to subtotals sum to the grand total") {
+    val rows = RelationalPack.queries("q132_rollup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val detail = rows.filter(_._3 == 0L)
+    val sub = rows.filter(_._3 == 1L)
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1)
+    assert(detail.map(_._4).sum == grand.head._4)
+    assert(sub.map(_._4).sum == grand.head._4)
+    assert(detail.map(_._5).sum == grand.head._5)
+    // each subtotal equals its detail slice
+    sub.foreach { case (rf, _, _, cents, n) =>
+      val mine = detail.filter(_._1 == rf)
+      assert(mine.map(_._4).sum == cents && mine.map(_._5).sum == n)
+    }
+  }
+
   test("every query returns rows at sf0.001 with matching oracle key") {
     RelationalPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
