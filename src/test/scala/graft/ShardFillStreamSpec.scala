@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.CurationPack
+import graft.sources.KeyedUpsertSink
 import graft.streaming.{ShardAssign, ShardDoc, ShardFillStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -72,6 +73,43 @@ class ShardFillStreamSpec extends GraftSuite {
       assert(got == batchExpected(docs))
       assert(got.values.max > 0, "corpus never overflowed a file")
     } finally q.stop()
+  }
+
+  test("restart resumes the file sequence from the checkpointed fill (W9)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_shardfill").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val docs = shardDocs(300)
+    val half = docs(docs.length / 2).doc_id
+    val (h1, h2) = docs.partition(_.doc_id < half)
+    h1.toDS().write.mode("append").parquet(inDir)
+
+    def startQuery() = {
+      val schema = spark.read.parquet(inDir).schema
+      ShardFillStream.assign(
+          spark.readStream.schema(schema).parquet(inDir).as[ShardDoc], Cap)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ShardAssign], _: Long) =>
+          KeyedUpsertSink.upsert(spark, outDir,
+            batch.toDF().withColumn("v", col("file_idx")),
+            Seq("doc_id"), "v")
+        }.start()
+    }
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // "crash" mid-corpus
+    h2.toDS().write.mode("append").parquet(inDir)
+    val q2 = startQuery() // restart from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("file_idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the restarted half continues each source's file sequence — the whole
+    // assignment equals the batch operator over the full corpus, and no
+    // source restarted from file 0 mid-sequence
+    assert(got == batchExpected(docs))
   }
 
   test("an oversized doc occupies its own file and the sequence moves on") {
