@@ -533,6 +533,24 @@ object RelationalPack {
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))
     }),
 
+    // CUBE — q132's rollup plus the column-wise subtotal sets (all four
+    // grouping sets in the one Expand + partial-agg pass). Same plan
+    // shape and guards as q132; the gid disambiguation carries the extra
+    // (returnflag-only-null) set.
+    "q133_cube" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("revenue_cents"), col("n_items"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    }),
+
     // TPC-H Q14-shaped promo revenue share: broadcast part dim onto the
     // lineitem fact, monthly conditional-vs-total revenue ratio. Integer
     // cents keep both sums addition-order exact; the share is one division
@@ -850,6 +868,17 @@ object RelationalPack {
         |  count(*) AS n_items
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "q133_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, returnflag, linestatus""".stripMargin,
 
     "q93_promo_share" -> {

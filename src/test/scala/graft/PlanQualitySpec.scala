@@ -406,18 +406,20 @@ class PlanQualitySpec extends GraftSuite {
       s"quality offsets must broadcast back:\n$plan")
   }
 
-  test("q132: rollup is one Expand + one partial-agg shuffle, never multiple scans") {
-    val plan = executedPlan(
-      graft.operators.RelationalPack.queries("q132_rollup")(spark, sf))
-    assert(plan.linesIterator.count(_.trim.startsWith("+- Expand")) +
-      plan.linesIterator.count(_.trim.startsWith(":- Expand")) +
-      plan.linesIterator.count(_.trim.startsWith("Expand")) <= 1 &&
-      plan.contains("Expand"),
-      s"rollup lost its single-Expand shape:\n$plan")
-    assert(plan.contains("partial_sum"),
-      s"rollup lost map-side partial aggregation:\n$plan")
-    assert(plan.linesIterator.count(_.contains("FileScan")) <= 1,
-      s"rollup re-scans the fact table:\n$plan")
+  test("q132/q133: rollup and cube are one Expand + one partial-agg shuffle, never multiple scans") {
+    for (name <- Seq("q132_rollup", "q133_cube")) {
+      val plan = executedPlan(
+        graft.operators.RelationalPack.queries(name)(spark, sf))
+      assert(plan.linesIterator.count(_.trim.startsWith("+- Expand")) +
+        plan.linesIterator.count(_.trim.startsWith(":- Expand")) +
+        plan.linesIterator.count(_.trim.startsWith("Expand")) <= 1 &&
+        plan.contains("Expand"),
+        s"$name lost its single-Expand shape:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"$name lost map-side partial aggregation:\n$plan")
+      assert(plan.linesIterator.count(_.contains("FileScan")) <= 1,
+        s"$name re-scans the fact table:\n$plan")
+    }
   }
 
   test("q130/q131: every dimension broadcasts; at most one shuffled join (the fact pair)") {

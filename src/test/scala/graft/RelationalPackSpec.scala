@@ -20,6 +20,18 @@ class RelationalPackSpec extends GraftSuite {
       val mine = detail.filter(_._1 == rf)
       assert(mine.map(_._4).sum == cents && mine.map(_._5).sum == n)
     }
+    // cube = rollup + the column-wise (gid=2) sets, identical elsewhere
+    val cube = RelationalPack.queries("q133_cube")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(cube.filter(_._3 != 2L).sortBy(t => (t._3, t._1, t._2)).toSeq ==
+      rows.sortBy(t => (t._3, t._1, t._2)).toSeq)
+    val byStatus = cube.filter(_._3 == 2L)
+    assert(byStatus.nonEmpty)
+    byStatus.foreach { case (_, ls, _, cents, n) =>
+      val mine = detail.filter(_._2 == ls)
+      assert(mine.map(_._4).sum == cents && mine.map(_._5).sum == n)
+    }
   }
 
   test("every query returns rows at sf0.001 with matching oracle key") {
