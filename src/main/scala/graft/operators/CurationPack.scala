@@ -564,8 +564,88 @@ object CurationPack {
         .withColumn("keep", col("reason") === "keep")
         .select(col("doc_id"), col("reason"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Annotation-label aggregation — the preference/RLHF-data pass that
+    // collapses raw rater events into one adjudicated label per item plus
+    // an inter-annotator agreement score. Items are the `k` prop; each
+    // event is one rating (annotator = user_id, label = event_type).
+    // Winner = highest count, ties broken lexicographically smallest;
+    // per-item agreement is Fleiss' observed P_o = Σc(c−1)/(n(n−1)) in
+    // exact ppm via floor division, so the whole table is byte-exact.
+    // Scale: two partial-agg shuffles — (item, label) then item — plus a
+    // WindowGroupLimit'd rank for the winner; the label alphabet is tiny
+    // so every group above the first agg is a handful of rows.
+    "q134_label_vote" -> ((s, d) => {
+      val cl = ratingCounts(s, d)
+      val per = cl.groupBy(col("item_id")).agg(
+        sum(col("c")).cast("long").as("n_ratings"),
+        count(lit(1)).as("n_labels"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("agree_num"))
+      val top = cl.withColumn("rn", row_number().over(
+          Window.partitionBy(col("item_id"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("item_id"), col("label").as("top_label"),
+          col("c").as("top_count"))
+      per.join(top, "item_id")
+        .filter(col("n_ratings") >= 2)
+        .withColumn("agreement_ppm",
+          expr("(1000000 * agree_num) div (n_ratings * (n_ratings - 1))")
+            .cast("long"))
+        .select(col("item_id"), col("n_ratings"), col("n_labels"),
+          col("top_label"), col("top_count"), col("agreement_ppm"))
+        .orderBy(col("item_id"))
+    }),
+
+    // Corpus-level Fleiss' kappa — the one-number chance-corrected
+    // agreement a labeling campaign is judged by. All-integer: P_o is the
+    // floor-mean of q134's per-item agreement_ppm; P_e is Σ_l C_l² scaled
+    // to ppm of N² (label totals over qualifying items). Kappa is emitted
+    // as the exact integer pair (kappa_num = po−pe, kappa_den = 1e6−pe)
+    // rather than a ratio: subtraction is engine-exact while FLOOR
+    // division of a possibly-negative numerator is not (Spark `div`
+    // truncates toward zero, DuckDB `//` floors). Scale: everything after
+    // the (item, label) count is label-alphabet-sized or single-row; at
+    // corpus scale the Σ C_l² term moves to DECIMAL(38) before squaring.
+    "q136_fleiss_kappa" -> ((s, d) => {
+      val cl = ratingCounts(s, d)
+      val perItem = cl.groupBy(col("item_id")).agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("agree_num"))
+        .filter(col("n") >= 2)
+        .withColumn("po_i",
+          expr("(1000000 * agree_num) div (n * (n - 1))"))
+      val labelTot = cl.join(perItem.select(col("item_id")), "item_id")
+        .groupBy(col("label")).agg(sum(col("c")).cast("long").as("cl"))
+      val a1 = perItem.agg(
+        count(lit(1)).cast("long").as("n_items"),
+        sum(col("n")).cast("long").as("n_ratings"),
+        expr("sum(po_i) div count(1)").cast("long").as("po_ppm"))
+      val a2 = labelTot.agg(
+        expr("(1000000 * sum(cl * cl)) div (sum(cl) * sum(cl))")
+          .cast("long").as("pe_ppm"))
+      a1.crossJoin(broadcast(a2))
+        .select(col("n_items"), col("n_ratings"), col("po_ppm"),
+          col("pe_ppm"),
+          (col("po_ppm") - col("pe_ppm")).as("kappa_num"),
+          (lit(1000000L) - col("pe_ppm")).as("kappa_den"))
     })
   )
+
+  /** (item_id, label, c) rating counts shared by q134/q136: one event =
+    * one rating of item `k` (from props) with label = event_type. */
+  private def ratingCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+          .as("item_id"),
+        col("event_type").as("label"))
+      .groupBy(col("item_id"), col("label")).agg(count(lit(1)).as("c"))
+
+  private val sqlRatingCounts: String =
+    """SELECT CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item_id,
+      |       event_type AS label, count(*)::BIGINT AS c
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q55_decontaminate" ->
@@ -813,7 +893,57 @@ object CurationPack {
          |  JOIN v36 ON d.doc_id = v36.doc_id
          |)
          |SELECT doc_id, reason, reason = 'keep' AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q134_label_vote" ->
+      s"""WITH cl AS (
+         |  $sqlRatingCounts
+         |), per AS (
+         |  SELECT item_id, sum(c)::BIGINT AS n_ratings,
+         |    count(*)::BIGINT AS n_labels,
+         |    sum(c * (c - 1))::BIGINT AS agree_num
+         |  FROM cl GROUP BY item_id
+         |), top AS (
+         |  SELECT item_id, label AS top_label, c AS top_count FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_id ORDER BY c DESC, label) AS rn
+         |    FROM cl)
+         |  WHERE rn = 1
+         |)
+         |SELECT per.item_id, n_ratings, n_labels, top_label, top_count,
+         |  ((1000000 * agree_num)
+         |     // (n_ratings * (n_ratings - 1)))::BIGINT AS agreement_ppm
+         |FROM per JOIN top USING (item_id)
+         |WHERE n_ratings >= 2
+         |ORDER BY per.item_id""".stripMargin,
+
+    "q136_fleiss_kappa" ->
+      s"""WITH cl AS (
+         |  $sqlRatingCounts
+         |), peri AS (
+         |  SELECT item_id, n, agree_num,
+         |    (1000000 * agree_num) // (n * (n - 1)) AS po_i
+         |  FROM (
+         |    SELECT item_id, sum(c)::BIGINT AS n,
+         |      sum(c * (c - 1))::BIGINT AS agree_num
+         |    FROM cl GROUP BY item_id)
+         |  WHERE n >= 2
+         |), lt AS (
+         |  SELECT label, sum(c)::BIGINT AS cl
+         |  FROM cl JOIN peri USING (item_id) GROUP BY label
+         |), a1 AS (
+         |  SELECT count(*)::BIGINT AS n_items, sum(n)::BIGINT AS n_ratings,
+         |    (sum(po_i) // count(*))::BIGINT AS po_ppm
+         |  FROM peri
+         |), a2 AS (
+         |  SELECT ((1000000 * sum(cl * cl))
+         |            // (sum(cl) * sum(cl)))::BIGINT AS pe_ppm
+         |  FROM lt
+         |)
+         |SELECT n_items, n_ratings, po_ppm, pe_ppm,
+         |  (po_ppm - pe_ppm)::BIGINT AS kappa_num,
+         |  (1000000 - pe_ppm)::BIGINT AS kappa_den
+         |FROM a1, a2""".stripMargin
   )
 
   /** Shared oracle prefix for q114/q117: the feature CTE plus the full

@@ -93,7 +93,17 @@ object GraphPack {
     * matching the reference's watermark-evicted dangling replies
     * (BuildReplyTreeProcessFunction.scala:288-317).
     */
-  def resolveRoots(s: SparkSession, d: String): DataFrame = {
+  def resolveRoots(s: SparkSession, d: String): DataFrame =
+    resolveChains(s, d, withPath = false)
+      .select(col("event_id"), col("root_id"), col("depth"), col("causal"))
+
+  /** The shared fixpoint behind [[resolveRoots]] (q45/q46) and the q135
+    * thread assembly. With `withPath` the delta additionally carries the
+    * root→current id chain as a '>'-joined string — bounded by depth ×
+    * id-width, so it rides the same per-round shuffle at negligible extra
+    * byte cost (and q45/q46 skip it entirely). */
+  private def resolveChains(s: SparkSession, d: String,
+                            withPath: Boolean): DataFrame = {
     // localCheckpoint (eager) after every round: materializes the round AND
     // truncates lineage — without it each round replans the whole history
     // and runtime grows combinatorially with depth. (On a production
@@ -105,10 +115,12 @@ object GraphPack {
       .localCheckpoint()
 
     // round 0: roots resolve to themselves
-    var delta = e.filter(col("parent_id").isNull)
+    val seed = e.filter(col("parent_id").isNull)
       .select(col("event_id"), col("event_id").as("root_id"),
         lit(0).as("depth"), lit(true).as("causal"), col("ts"))
-      .localCheckpoint()
+    var delta =
+      (if (withPath) seed.withColumn("path", col("event_id").cast("string"))
+       else seed).localCheckpoint()
     var resolved = Vector(delta)
     var round = 0
     var progressing = delta.limit(1).count() > 0
@@ -117,13 +129,18 @@ object GraphPack {
       // semi-naive: the full reply set joins only the last delta — a reply's
       // parent lands in exactly ONE delta round, so each reply still
       // resolves exactly once and no frontier-shrinking anti-join is needed
+      val stepCols = Seq(col("f.event_id"),
+        col("r.root_id"),
+        (col("r.depth") + 1).as("depth"),
+        (col("r.causal") && col("f.ts") >= col("r.ts")).as("causal"),
+        col("f.ts")) ++
+        (if (withPath)
+           Seq(concat(col("r.path"), lit(">"),
+             col("f.event_id").cast("string")).as("path"))
+         else Nil)
       val next = replies.as("f")
         .join(delta.as("r"), col("f.parent_id") === col("r.event_id"))
-        .select(col("f.event_id"),
-          col("r.root_id"),
-          (col("r.depth") + 1).as("depth"),
-          (col("r.causal") && col("f.ts") >= col("r.ts")).as("causal"),
-          col("f.ts"))
+        .select(stepCols: _*)
         .localCheckpoint()
       progressing = next.limit(1).count() > 0
       if (progressing) {
@@ -133,7 +150,6 @@ object GraphPack {
       round += 1
     }
     resolved.reduce(_ unionByName _)
-      .select(col("event_id"), col("root_id"), col("depth"), col("causal"))
   }
 
   private val sqlResolve: String =
@@ -145,6 +161,21 @@ object GraphPack {
        |  UNION ALL
        |  SELECT c.event_id, r.root_id, r.depth + 1,
        |         r.causal AND c.ts >= r.ts, c.ts
+       |  FROM e c JOIN r ON c.parent_id = r.event_id
+       |)""".stripMargin
+
+  /** [[sqlResolve]] with the root→current id path accumulated (q135). */
+  private val sqlResolvePath: String =
+    s"""WITH RECURSIVE e AS (
+       |  $sqlEdges
+       |), r AS (
+       |  SELECT event_id, event_id AS root_id, 0 AS depth, true AS causal,
+       |         ts, CAST(event_id AS VARCHAR) AS path
+       |  FROM e WHERE parent_id IS NULL
+       |  UNION ALL
+       |  SELECT c.event_id, r.root_id, r.depth + 1,
+       |         r.causal AND c.ts >= r.ts, c.ts,
+       |         r.path || '>' || CAST(c.event_id AS VARCHAR)
        |  FROM e c JOIN r ON c.parent_id = r.event_id
        |)""".stripMargin
 
@@ -216,6 +247,29 @@ object GraphPack {
       triangleStats(und)
         .withColumnRenamed("n", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // Conversation-thread assembly: every maximal reply chain (root → leaf)
+    // as one training example — the SFT/chat-data op that turns a comment
+    // forest into dialogue transcripts (each leaf yields the full path of
+    // event ids from its root). Built on the SAME semi-naive fixpoint as
+    // q45 with the path string accumulated alongside the (root, depth,
+    // causal) resolution — no second traversal; leaves are the events no
+    // reply targets (shuffle anti-join on the parent-id set). Single-event
+    // "conversations" (roots with no replies) are excluded, matching what
+    // a dialogue pipeline would keep. Scale: path bytes are bounded by
+    // depth × id-width (depth is data-bounded, ~6 here), so the per-round
+    // shuffle stays O(frontier); the leaf anti-join is one hash shuffle.
+    "q135_thread_paths" -> ((s, d) => {
+      val chains = resolveChains(s, d, withPath = true)
+      val parents = edges(s, d).filter(col("parent_id").isNotNull)
+        .select(col("parent_id").as("event_id"))
+      chains.filter(col("depth") >= 1)
+        .join(parents, Seq("event_id"), "left_anti")
+        .select(col("event_id").as("leaf_id"), col("root_id"),
+          col("depth"), (col("depth") + 1).as("n_turns"),
+          col("causal"), col("path"))
+        .orderBy(col("leaf_id"))
     })
   )
 
@@ -267,6 +321,15 @@ object GraphPack {
          |SELECT root_id, count(*) - 1 AS n_descendants, max(depth) AS max_depth,
          |  count(*) FILTER (NOT causal) AS n_noncausal
          |FROM r GROUP BY root_id HAVING count(*) > 1 ORDER BY root_id""".stripMargin,
+
+    "q135_thread_paths" ->
+      s"""$sqlResolvePath
+         |SELECT r.event_id AS leaf_id, r.root_id, r.depth,
+         |  r.depth + 1 AS n_turns, r.causal, r.path
+         |FROM r
+         |WHERE r.depth >= 1
+         |  AND NOT EXISTS (SELECT 1 FROM e c WHERE c.parent_id = r.event_id)
+         |ORDER BY leaf_id""".stripMargin,
 
     "q115_pagerank" -> {
       def iter(r: Int): String =

@@ -326,4 +326,53 @@ class CurationPackSpec extends GraftSuite {
       assert(a._5 <= b._4, s"quality order broken between ${a._1} and ${b._1}")
     }
   }
+
+  /** Raw (item, label) rating multiset recomputed on the driver. */
+  private lazy val ratings: Seq[(Long, String)] =
+    Tables.events(spark, sf)
+      .select(regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+        col("event_type"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+
+  test("q134 label vote equals a driver-side recomputation") {
+    val byItem = ratings.groupBy(_._1)
+    val expected = byItem.toSeq.flatMap { case (item, rs) =>
+      val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = rs.size.toLong
+      if (n < 2) None
+      else {
+        val (topLabel, topCount) =
+          counts.toSeq.minBy { case (l, c) => (-c, l) }
+        val agree = counts.valuesIterator.map(c => c * (c - 1)).sum
+        Some((item, n, counts.size.toLong, topLabel, topCount,
+          1000000L * agree / (n * (n - 1))))
+      }
+    }.sortBy(_._1)
+    val got = CurationPack.queries("q134_label_vote")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, n, _, _, topC, ppm) =>
+      assert(topC <= n && ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  test("q136 kappa components reconcile with q134's per-item table") {
+    val Array(row) = CurationPack.queries("q136_fleiss_kappa")(spark, sf).collect()
+    val (nItems, nRatings, po, pe, kNum, kDen) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5))
+    val perItem = CurationPack.queries("q134_label_vote")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(nItems == perItem.length)
+    assert(nRatings == perItem.map(_._2).sum)
+    assert(po == perItem.map(_._3).sum / perItem.length)
+    // P_e from label totals over the qualifying items
+    val qual = perItem.map(_._1).toSet
+    val labelTot = ratings.filter(r => qual(r._1)).groupBy(_._2)
+      .view.mapValues(_.size.toLong).values.toSeq
+    val tot = labelTot.sum
+    assert(pe == 1000000L * labelTot.map(c => c * c).sum / (tot * tot))
+    assert(kNum == po - pe && kDen == 1000000L - pe)
+  }
 }

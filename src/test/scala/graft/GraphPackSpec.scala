@@ -72,4 +72,39 @@ class GraphPackSpec extends GraftSuite {
     val resolvedReplies = resolved.count { case (_, (_, depth, _)) => depth > 0 }
     assert(descendants == resolvedReplies)
   }
+
+  test("q135 thread paths: each path walks root→leaf along parent edges") {
+    val parentOf: Map[Long, Long] = events.collect {
+      case (id, ("click", k, _)) => id -> (id - 1 - (k % 4))
+    }.toMap
+    val targeted: Set[Long] = parentOf.values.toSet
+    val rows = GraphPack.queries("q135_thread_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (leaf, root, depth, nTurns, path) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(5))
+      val ids = path.split(">").map(_.toLong)
+      assert(ids.head == root && ids.last == leaf)
+      assert(ids.length == nTurns && nTurns == depth + 1)
+      ids.sliding(2).foreach { case Array(p, c) =>
+        assert(parentOf(c) == p, s"$c's parent is not $p in path $path")
+      }
+      assert(!targeted.contains(leaf), s"$leaf has a reply — not a leaf")
+      // path agrees with the q45 resolution of the leaf
+      assert(resolved(leaf) == ((root, depth, r.getBoolean(4))))
+    }
+  }
+
+  test("q135 covers exactly the resolved leaves with depth >= 1") {
+    val parentOf: Map[Long, Long] = events.collect {
+      case (id, ("click", k, _)) => id -> (id - 1 - (k % 4))
+    }.toMap
+    val targeted = parentOf.values.toSet
+    val expected = resolved.collect {
+      case (id, (_, depth, _)) if depth >= 1 && !targeted.contains(id) => id
+    }.toSet
+    val got = GraphPack.queries("q135_thread_paths")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
 }

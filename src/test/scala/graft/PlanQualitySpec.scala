@@ -462,6 +462,7 @@ class PlanQualitySpec extends GraftSuite {
       "q120_quantized_ann",    // bounded query-vector set over int8 codes
                                // (q40's brute shape) + 1-row gmax scale
       "q123_epoch_plan",       // 1-row (denom, budget) fold over |sources|
+      "q136_fleiss_kappa",     // 1-row P_o fold × 1-row P_e fold
       "q124_curriculum",       // 1-row corpus-count total for the ntile
       "q125_bpe_fertility",    // q113's per-round 1-row merge broadcasts
       "q41_embed_neardup",     // 1-row threshold constant
@@ -518,5 +519,17 @@ class PlanQualitySpec extends GraftSuite {
       assert(m.getAs[Long]("n_rows") == 2)
       assert(m.getAs[Long]("span_sec") == 5400)
     } finally q.stop()
+  }
+
+  test("q134: winner pick is a WindowGroupLimit; rating counts partial-agg before their shuffle") {
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q134_label_vote")(spark, sf))
+    // rn = 1 filter pushes a per-partition top-1 heap below the rank window
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange hashpartitioning")
+    assert(firstAgg >= 0 && exchange >= 0 &&
+      plan.lastIndexOf("HashAggregate") > exchange,
+      s"no partial-agg before the shuffle:\n$plan")
   }
 }
