@@ -623,6 +623,36 @@ object PipelinePack {
           col("o.fp").as("fp_old"), col("n.fp").as("fp_new"))
         .filter(col("status") =!= "unchanged")
         .orderBy(col("doc_id"))
+    }),
+
+    // Takedown propagation — the right-to-be-forgotten / opt-out pass: a
+    // removal notice for one document must also purge its near-duplicates
+    // (a copy of removed content is still removed content). Seeds =
+    // deterministic notice list (doc_id % 37 = 0); the purge set closes
+    // over q44's TRANSITIVE dup clusters, so a seed removes its whole
+    // component, not just single-hop copies. Scale: the notice list is
+    // tiny → its cluster-label set broadcasts; the corpus-sized label
+    // relation (one CC output row per doc in the pair graph) is probed
+    // with a broadcast semi-join — no shuffle beyond what CC already did.
+    // Seeds outside the pair graph purge only themselves (full-outer with
+    // the flagged set; cluster = own id). Output ∝ purge set, not corpus.
+    "q137_takedown" -> ((s, d) => {
+      val seeds = Tables.documents(s, d)
+        .filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+      val lab = dupClusterLabels(s, d) // (id, lbl): doc -> component min
+      val seedLbls = lab.join(seeds, col("id") === col("doc_id"))
+        .select(col("lbl")).distinct()
+      val flagged = lab.join(broadcast(seedLbls), "lbl")
+        .select(col("id").as("fid"), col("lbl"))
+      flagged.as("f")
+        .join(seeds.select(col("doc_id").as("sid")).as("s"),
+          col("fid") === col("sid"), "full_outer")
+        .select(
+          coalesce(col("fid"), col("sid")).as("doc_id"),
+          when(col("sid").isNotNull, "seed").otherwise("propagated")
+            .as("status"),
+          coalesce(col("lbl"), col("sid")).as("cluster"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -917,6 +947,35 @@ object PipelinePack {
          |SELECT doc_id, n_tokens, n_oov,
          |  ${Hashes.sqlRound("n_oov::DOUBLE / n_tokens", 4)} AS oov_ratio,
          |  ${Hashes.sqlRound("n_oov::DOUBLE / n_tokens", 4)} <= $OOV_T AS kept
-         |FROM scored ORDER BY doc_id""".stripMargin
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Same recursive-CTE closure that gates q44, then the seed semi-join +
+    // full-outer union with off-graph seeds.
+    "q137_takedown" ->
+      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
+         |  SELECT i AS a, j AS b FROM pairs
+         |  UNION ALL
+         |  SELECT j AS a, i AS b FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT a AS id FROM edges
+         |), reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |), lab AS (
+         |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+         |), seeds AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 37 = 0
+         |), flagged AS (
+         |  SELECT id AS fid, lbl FROM lab
+         |  WHERE lbl IN (SELECT l.lbl FROM lab l
+         |                JOIN seeds s ON l.id = s.doc_id)
+         |)
+         |SELECT coalesce(fid, doc_id) AS doc_id,
+         |  CASE WHEN doc_id IS NOT NULL THEN 'seed'
+         |       ELSE 'propagated' END AS status,
+         |  coalesce(lbl, doc_id) AS cluster
+         |FROM flagged f FULL OUTER JOIN seeds s ON f.fid = s.doc_id
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -43,6 +43,8 @@ object SimilarityPack {
   private val HYB_QMOD = 100 // hybrid-search query set: doc_id % 100 == 0
   private val HYB_RRF  = 60  // RRF constant (standard k=60)
   private val HYB_TOP  = 5   // fused results per query
+  private val BITEXT_QMOD = 25 // bitext query set: non-en docs, id % 25 == 0
+  private val MARGIN_K    = 4  // margin denominator: avg of top-K cosines
 
   /** Seeded ±1 projection planes: TABLES*BITS planes × DIM entries. */
   private val planes: IndexedSeq[IndexedSeq[Int]] = {
@@ -214,6 +216,58 @@ object SimilarityPack {
     // deterministic ranking) is what the oracle pins down; q111 MEASURES
     // the recall.
     "q42_ann_lsh" -> (lshTopK _),
+
+    // Bitext-mining candidates — margin-based cross-lingual pairing
+    // (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining", ACL'19
+    // — the public CCMatrix/LASER recipe): each non-English query doc is
+    // paired with its nearest English doc, scored by the MARGIN (top-1
+    // cosine over the mean of its top-K cosines) rather than raw cosine —
+    // absolute similarity varies by register, the margin's local contrast
+    // doesn't. Engine-exact: ranking uses the round-6 cosine (q40's
+    // parity contract); the margin itself converts those to integer
+    // micro-units (exactly representable: cos6·10⁶ is integral, one
+    // round() recovers it) so the top-K sum and the final floor-division
+    // margin_ppm are all-integer — no FP-addition-order hazard. Scale:
+    // the query set is bounded (broadcast side); the English corpus side
+    // stays distributed and is scanned once; per-query top-K is a
+    // WindowGroupLimit heap. The sub-quadratic path at 100 TB swaps the
+    // brute scan for q42's LSH buckets (or q43's IVF cells) — identical
+    // downstream margin arithmetic.
+    "q139_bitext_margin" -> ((s, d) => {
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val e = vecs(s, d)
+        .join(langs, col("vec_id") === col("doc_id")).drop("doc_id")
+      val q = e.filter(col("lang") =!= "en"
+          && col("vec_id") % BITEXT_QMOD === 0)
+        .select(col("vec_id").as("qid"), col("lang").as("src_lang"),
+          col("v").as("qv"), col("norm").as("qn"))
+      val tgt = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("nid"), col("v"), col("norm"))
+      val scored = tgt.join(broadcast(q))
+        .withColumn("cos6", round(cosine("qv", "v", "qn", "norm"), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos6").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= MARGIN_K)
+        .withColumn("micro", round(col("cos6") * 1e6).cast("long"))
+        .groupBy(col("qid"), col("src_lang"))
+        .agg(max_by(col("nid"), -col("rank")).as("nid"),
+          max_by(col("cos6"), -col("rank")).as("cos1"),
+          sum(col("micro")).cast("long").as("sum_micro"),
+          count(lit(1)).as("n_top"))
+        .select(col("qid"), col("src_lang"), col("nid"),
+          round(col("cos1"), 4).as("cos"),
+          // margin = cos1 / mean(top-K cos) ships as the exact integer
+          // pair (num = cos1_micro·n_top, den = Σ micro): cosines go
+          // negative on uncorrelated vectors and floor-dividing a negative
+          // numerator differs across engines (Spark `div` truncates,
+          // DuckDB `//` floors) — q136's precedent
+          expr("CAST(round(cos1 * 1e6) AS BIGINT) * n_top")
+            .as("margin_num"),
+          col("sum_micro").as("margin_den"),
+          col("n_top"))
+        .orderBy(col("qid"))
+    }),
 
     // Embedding-dimension health audit — the feature-store check a vector
     // pipeline runs before indexing 100 TB of embeddings: per-dimension
@@ -703,6 +757,35 @@ object SimilarityPack {
          |)
          |SELECT qid, rank, nid, ${Hashes.sqlRound("cos", 4)} AS cos
          |FROM ranked WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
+
+    "q139_bitext_margin" ->
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), ev AS (
+         |  SELECT vec_id, lang, v, norm
+         |  FROM e JOIN documents d ON d.doc_id = e.vec_id
+         |), q AS (
+         |  SELECT vec_id AS qid, lang AS src_lang, v AS qv, norm AS qn
+         |  FROM ev WHERE lang <> 'en' AND vec_id % $BITEXT_QMOD = 0
+         |), ranked AS (
+         |  SELECT qid, src_lang, t.vec_id AS nid,
+         |    ${Hashes.sqlRound(sqlCosine("qv", "t.v", "qn", "t.norm"), 6)} AS cos6,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${Hashes.sqlRound(sqlCosine("qv", "t.v", "qn", "t.norm"), 6)} DESC,
+         |        t.vec_id) AS rank
+         |  FROM (SELECT * FROM ev WHERE lang = 'en') t, q
+         |), top AS (
+         |  SELECT qid, src_lang,
+         |    max(CASE WHEN rank = 1 THEN nid END) AS nid,
+         |    max(CASE WHEN rank = 1 THEN cos6 END) AS cos1,
+         |    sum(round(cos6 * 1e6)::BIGINT)::BIGINT AS sum_micro,
+         |    count(*)::BIGINT AS n_top
+         |  FROM ranked WHERE rank <= $MARGIN_K GROUP BY 1, 2
+         |)
+         |SELECT qid, src_lang, nid, ${Hashes.sqlRound("cos1", 4)} AS cos,
+         |  (round(cos1 * 1e6)::BIGINT * n_top)::BIGINT AS margin_num,
+         |  sum_micro AS margin_den, n_top
+         |FROM top ORDER BY qid""".stripMargin,
 
     "q41_embed_neardup" ->
       s"""WITH e AS (

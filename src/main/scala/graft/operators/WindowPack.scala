@@ -211,6 +211,39 @@ object WindowPack {
         .orderBy(col("cohort"))
     }),
 
+    // Cohort retention — the product-analytics matrix behind every
+    // "week-N retention" chart: users cohorted by first-active week
+    // (absolute epoch weeks — engine-exact integer floor-division of
+    // epoch seconds, no calendar arithmetic), one cell per
+    // (cohort, week-offset) counting users active that week. All counts
+    // are integers; retention ships in exact ppm (positive values, so
+    // floor division agrees across engines). Scale: the (user, week)
+    // distinct and the per-user min are the only corpus-sized shuffles —
+    // both key on user_id so AQE coalesces them into one exchange reuse;
+    // the cell table is |cohorts|·|offsets|, tiny, and the cohort-size
+    // rejoin broadcasts. A user appears once per (user, week) after the
+    // distinct, so the cell count is already distinct-users — no
+    // count(DISTINCT) Expand anywhere.
+    "q138_retention_cohorts" -> ((s, d) => {
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort"))
+      val cells = weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = cells.filter(col("offset") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort")
+        .withColumn("retention_ppm",
+          expr("(1000000 * n_users) div cohort_size"))
+        .select(col("cohort"), col("offset"), col("n_users"),
+          col("cohort_size"), col("retention_ppm"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
     // Out-of-orderness profile — the reference's disorder experiment
     // (reference: jobs/preparation/measure/ReadLikeEventsFromKafkaJob
     // .scala:48-60: late-event count, max lateness, unordered count) as a
@@ -376,6 +409,23 @@ object WindowPack {
          |    THEN ${r4("count(tp)::DOUBLE / count(tc)")} END AS purchase_conv
          |FROM per GROUP BY cohort ORDER BY cohort""".stripMargin
     },
+
+    "q138_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id
+        |), cells AS (
+        |  SELECT cohort, week - cohort AS "offset", count(*)::BIGINT AS n_users
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT cohort, n_users AS cohort_size FROM cells WHERE "offset" = 0
+        |)
+        |SELECT cohort, "offset", n_users, cohort_size,
+        |  ((1000000 * n_users) // cohort_size)::BIGINT AS retention_ppm
+        |FROM cells JOIN sizes USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     "q100_watermark_coverage" -> {
       val r6 = graft.functions.Hashes.sqlRound("n_admitted::DOUBLE / n_events", 6)

@@ -229,6 +229,38 @@ class PipelinePackSpec extends GraftSuite {
     }
   }
 
+  test("q137 takedown equals a driver-side transitive-closure recomputation") {
+    // independent union-find over the q31 pair graph, then seed closure
+    val pairs = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val lbl = nodes.map(id => id -> find(id)).toMap
+    val seeds = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 37 == 0).toSet
+    val seedLbls = seeds.filter(nodes).map(lbl)
+    val expected = seeds.map(id => id -> "seed").toMap ++
+      nodes.filter(id => seedLbls(lbl(id)) && !seeds(id))
+        .map(id => id -> "propagated")
+    val got = PipelinePack.queries("q137_takedown")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (status, cluster)) =>
+      assert(status == expected(id), s"doc $id: $status")
+      assert(cluster == lbl.getOrElse(id, id), s"doc $id cluster $cluster")
+    }
+    assert(got.values.exists(_._1 == "propagated"),
+      "seed modulus chosen so propagation is exercised")
+  }
+
   test("common-token bigrams dominate per-source top lists deterministically") {
     val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>

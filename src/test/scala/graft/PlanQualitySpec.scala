@@ -463,6 +463,8 @@ class PlanQualitySpec extends GraftSuite {
                                // (q40's brute shape) + 1-row gmax scale
       "q123_epoch_plan",       // 1-row (denom, budget) fold over |sources|
       "q136_fleiss_kappa",     // 1-row P_o fold × 1-row P_e fold
+      "q139_bitext_margin",    // bounded non-en query set (q40's brute
+                               // shape); LSH/IVF is the documented scale path
       "q124_curriculum",       // 1-row corpus-count total for the ntile
       "q125_bpe_fertility",    // q113's per-round 1-row merge broadcasts
       "q41_embed_neardup",     // 1-row threshold constant

@@ -125,6 +125,49 @@ class SimilarityPackSpec extends GraftSuite {
     assert(got.exists(_._3), "threshold chosen so the dup set is non-empty")
   }
 
+  test("q139 bitext margin equals a driver-side margin recomputation") {
+    val langs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecsLocal = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector)
+      .toMap
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double): Long =
+      BigDecimal.valueOf(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val en = vecsLocal.keys.filter(id => langs(id) == "en").toSeq
+    val qs = vecsLocal.keys
+      .filter(id => langs(id) != "en" && id % 25 == 0).toSeq
+    val rows = SimilarityPack.queries("q139_bitext_margin")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet == qs.toSet, "one row per bounded query")
+    qs.foreach { qid =>
+      val ranked = en.map(nid => (nid, r6(cos(vecsLocal(qid), vecsLocal(nid)))))
+        .sortBy { case (nid, c) => (-c, nid) }
+      val top = ranked.take(4)
+      val (srcLang, nid, c4, num, den, nTop) = rows(qid)
+      assert(srcLang == langs(qid))
+      assert(nid == top.head._1, s"q $qid top-1 neighbor")
+      assert(c4 == BigDecimal.valueOf(top.head._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nTop == top.size.toLong)
+      assert(num == micro(top.head._2) * top.size)
+      assert(den == top.map(t => micro(t._2)).sum)
+    }
+    // margin discriminates: at least one query's top-1 stands out (num > den/k
+    // scaled), i.e. the pair table is not all-flat
+    assert(qs.exists { qid =>
+      val (_, _, _, num, den, _) = rows(qid); num > den
+    }, "at least one query has above-mean top-1 contrast")
+  }
+
   test("q89 hybrid fusion: RRF recomputes from the component ranks, top-5 per query") {
     val rows = SimilarityPack.queries("q89_hybrid_search")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -63,6 +63,27 @@ class WindowPackSpec extends GraftSuite {
     assert(df.count() == purchases)
   }
 
+  test("q138 retention cells equal a driver-side cohort recomputation") {
+    val uw = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("sec")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 604800L)))
+      .distinct
+    val cohort = uw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    val rows = WindowPack.queries("q138_retention_cohorts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == cells.keySet)
+    rows.foreach { case ((c, o), (n, size, ppm)) =>
+      assert(n == cells((c, o)), s"cell ($c,$o)")
+      assert(size == cells((c, 0L)), s"cohort $c size")
+      assert(ppm == 1000000L * n / size)
+      assert(ppm >= 0 && ppm <= 1000000L,
+        "retention can never exceed the cohort (offset-0 covers everyone)")
+    }
+  }
+
   test("batch and streaming share the sliding-stats transform") {
     // WindowPack.slidingStats is the single definition used by both paths;
     // spot-check it agrees with q21 (modulo ordering).
