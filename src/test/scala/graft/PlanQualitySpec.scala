@@ -523,6 +523,22 @@ class PlanQualitySpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("q137: the takedown probe broadcasts against the CC labeling (no extra corpus shuffle)") {
+    val plan = executedPlan(
+      graft.operators.PipelinePack.queries("q137_takedown")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"notice-label probe did not broadcast:\n$plan")
+  }
+
+  test("q138: retention cells aggregate with no count-distinct Expand; size rejoin broadcasts") {
+    val plan = executedPlan(
+      graft.operators.WindowPack.queries("q138_retention_cohorts")(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"an Expand appeared (count-distinct shape leaked back):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort-size rejoin did not broadcast:\n$plan")
+  }
+
   test("q134: winner pick is a WindowGroupLimit; rating counts partial-agg before their shuffle") {
     val plan = executedPlan(
       graft.operators.CurationPack.queries("q134_label_vote")(spark, sf))
