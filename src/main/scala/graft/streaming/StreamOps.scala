@@ -18,6 +18,17 @@ final case class EnrichedPurchase(event_id: Long, user_id: Long, value: Double,
   * AggregateFeaturesFunction.scala:38-45). */
 final case class AsOfState(viewTs: Long, viewValue: Double)
 
+/** One signed update to a cohort-retention cell (q138's streaming form):
+  * `delta` is +1 / -1 so late data that rewinds a user's first-active week
+  * RETRACTS the previously emitted cells instead of double-counting. */
+final case class RetentionDelta(cohort: Long, offset: Long, delta: Long)
+
+/** Per-user retention state: the current first-active week and every
+  * distinct active week seen so far (weeks are epoch-week integers, so
+  * state is a handful of longs per user — bounded by timeline span, not
+  * event volume). */
+final case class RetentionState(cohort: Long, weeks: Seq[Long])
+
 /** Emitted cluster model row (reference: (ts, count, ClusterModel) emission,
   * KMeansClusterFunction.scala:230-281; labels come from the control
   * stream's `label:<i>=` parameters, empty when unset — reference
@@ -114,6 +125,59 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("bucket"), col("reg"))
   }
+
+  /** Signed cell deltas of the cohort-retention matrix — q138's streaming
+    * twin. Per-user fMGWS state carries (first-active week, weeks seen);
+    * each micro-batch emits +1 deltas for newly seen (cohort, offset)
+    * cells. The subtle case is a LATE event that predates the user's known
+    * first week: the cohort itself moves, so every previously emitted cell
+    * is retracted (−1) and re-emitted under the new cohort — the delta
+    * stream therefore SUMS to exactly the batch matrix under any arrival
+    * order (RetentionStreamSpec pins this, shift included). Downstream,
+    * [[retentionCells]] folds the deltas with a plain streaming sum in
+    * update mode; at scale the fold's sink is the keyed upsert store every
+    * job main uses. State is O(active weeks) longs per user; deployments
+    * with an offset horizon (retention charts rarely need offset > ~2 y)
+    * cap `weeks` at that horizon, which also bounds retraction fan-out. */
+  def retentionDeltas(events: Dataset[Ev]): Dataset[RetentionDelta] = {
+    implicit val stateEnc = Encoders.product[RetentionState]
+    implicit val outEnc = Encoders.product[RetentionDelta]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Ev], state: GroupState[RetentionState]) => {
+          val newWeeks = it
+            .map(e => Math.floorDiv(e.ts.getTime, 604800000L)).toSet
+          val oldWeeks = state.getOption.map(_.weeks.toSet)
+            .getOrElse(Set.empty[Long])
+          val merged = oldWeeks ++ newWeeks
+          if (merged == oldWeeks) Iterator.empty
+          else {
+            val c2 = merged.min
+            val out = scala.collection.mutable.ArrayBuffer.empty[RetentionDelta]
+            state.getOption match {
+              case Some(RetentionState(c1, ws)) if c2 < c1 =>
+                // late data rewound the first week: every old cell re-keys
+                ws.foreach(w => out += RetentionDelta(c1, w - c1, -1L))
+                merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
+              case Some(RetentionState(c1, _)) =>
+                (merged -- oldWeeks).foreach(w =>
+                  out += RetentionDelta(c1, w - c1, 1L))
+              case None =>
+                merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
+            }
+            state.update(RetentionState(c2, merged.toSeq.sorted))
+            out.iterator
+          }
+        })
+  }
+
+  /** The live (cohort, offset) → n_users matrix: [[retentionDeltas]]
+    * folded by a streaming sum (update mode). */
+  def retentionCells(events: Dataset[Ev]): DataFrame =
+    retentionDeltas(events)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(sum(col("delta")).as("n_users"))
 
   /** Windowed frequent-items census as a Misra-Gries sketch — q86's
     * streaming twin (the third sketch beside the HLL above and q80's GK).
