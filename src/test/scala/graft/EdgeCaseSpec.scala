@@ -55,6 +55,64 @@ class EdgeCaseSpec extends GraftSuite {
     assert(graft.operators.WindowPack.slidingStats(empty).count() == 0)
   }
 
+  test("q137 on a dup-free corpus: notices purge only themselves") {
+    // disjoint texts -> empty pair graph -> empty CC labeling; every seed
+    // must still surface via the full-outer leg, clustered to its own id
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge_takedown").toString
+    Seq((0L, "a b c d e f", "en", "s1", 11L),
+        (1L, "g h i j k l", "en", "s1", 11L),
+        (37L, "m n o p q r", "en", "s1", 11L),
+        (74L, "s t u v w x", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.PipelinePack.queries("q137_takedown")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 37L, 74L))
+    rows.foreach { r =>
+      assert(r.getString(1) == "seed" && r.getLong(2) == r.getLong(0))
+    }
+  }
+
+  test("q138 on a single-week corpus: one cell at full retention") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge_ret").toString
+    val base = 1700000000000L // inside one epoch week
+    (1 to 6).map(i => (i.toLong, new java.sql.Timestamp(base + i * 1000L),
+        (i % 3).toLong, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.WindowPack
+      .queries("q138_retention_cohorts")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 3L && r.getLong(3) == 3L
+      && r.getLong(4) == 1000000L)
+  }
+
+  test("q139 on an all-English corpus: empty candidate set, no failure") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge_bitext").toString
+    Seq((0L, "a b c", "en", "s1", 5L), (25L, "d e f", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(1.0f, 0.0f), 0), (25L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(graft.operators.SimilarityPack
+      .queries("q139_bitext_margin")(spark, dir).count() == 0)
+  }
+
+  test("q135 on a reply-free forest: no thread paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge_threads").toString
+    (1 to 5).map(i => (i.toLong, new java.sql.Timestamp(1700000000000L + i),
+        i.toLong, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(GraphPack.queries("q135_thread_paths")(spark, dir).count() == 0)
+  }
+
   test("driver t1 smoke: SparkEntry.entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
