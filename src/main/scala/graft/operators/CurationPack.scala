@@ -608,39 +608,49 @@ object CurationPack {
     // truncates toward zero, DuckDB `//` floors). Scale: everything after
     // the (item, label) count is label-alphabet-sized or single-row; at
     // corpus scale the Σ C_l² term moves to DECIMAL(38) before squaring.
-    "q136_fleiss_kappa" -> ((s, d) => {
-      val cl = ratingCounts(s, d)
-      val perItem = cl.groupBy(col("item_id")).agg(
-          sum(col("c")).cast("long").as("n"),
-          sum(col("c") * (col("c") - 1)).cast("long").as("agree_num"))
-        .filter(col("n") >= 2)
-        .withColumn("po_i",
-          expr("(1000000 * agree_num) div (n * (n - 1))"))
-      val labelTot = cl.join(perItem.select(col("item_id")), "item_id")
-        .groupBy(col("label")).agg(sum(col("c")).cast("long").as("cl"))
-      val a1 = perItem.agg(
-        count(lit(1)).cast("long").as("n_items"),
-        sum(col("n")).cast("long").as("n_ratings"),
-        expr("sum(po_i) div count(1)").cast("long").as("po_ppm"))
-      val a2 = labelTot.agg(
-        expr("(1000000 * sum(cl * cl)) div (sum(cl) * sum(cl))")
-          .cast("long").as("pe_ppm"))
-      a1.crossJoin(broadcast(a2))
-        .select(col("n_items"), col("n_ratings"), col("po_ppm"),
-          col("pe_ppm"),
-          (col("po_ppm") - col("pe_ppm")).as("kappa_num"),
-          (lit(1000000L) - col("pe_ppm")).as("kappa_den"))
-    })
+    "q136_fleiss_kappa" -> ((s, d) => fleissScorecard(ratingCounts(s, d)))
   )
 
   /** (item_id, label, c) rating counts shared by q134/q136: one event =
     * one rating of item `k` (from props) with label = event_type. */
   private def ratingCounts(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    ratingCountsOf(Tables.events(s, d))
+
+  /** [[ratingCounts]] over an arbitrary (possibly micro-batch) events
+    * frame — the delta extraction the streaming LabelQualityJob folds. */
+  def ratingCountsOf(events: DataFrame): DataFrame =
+    events
       .select(regexp_extract(col("props"), "(\\d+)", 1).cast("long")
           .as("item_id"),
         col("event_type").as("label"))
       .groupBy(col("item_id"), col("label")).agg(count(lit(1)).as("c"))
+
+  /** q136's exact-integer Fleiss scorecard over a (item_id, label, c)
+    * count relation — one row: (n_items, n_ratings, po_ppm, pe_ppm,
+    * kappa_num, kappa_den). Shared by the batch query and the streaming
+    * campaign monitor so their outputs are byte-comparable. */
+  def fleissScorecard(cl: DataFrame): DataFrame = {
+    val perItem = cl.groupBy(col("item_id")).agg(
+        sum(col("c")).cast("long").as("n"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("agree_num"))
+      .filter(col("n") >= 2)
+      .withColumn("po_i",
+        expr("(1000000 * agree_num) div (n * (n - 1))"))
+    val labelTot = cl.join(perItem.select(col("item_id")), "item_id")
+      .groupBy(col("label")).agg(sum(col("c")).cast("long").as("cl"))
+    val a1 = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      sum(col("n")).cast("long").as("n_ratings"),
+      expr("sum(po_i) div count(1)").cast("long").as("po_ppm"))
+    val a2 = labelTot.agg(
+      expr("(1000000 * sum(cl * cl)) div (sum(cl) * sum(cl))")
+        .cast("long").as("pe_ppm"))
+    a1.crossJoin(broadcast(a2))
+      .select(col("n_items"), col("n_ratings"), col("po_ppm"),
+        col("pe_ppm"),
+        (col("po_ppm") - col("pe_ppm")).as("kappa_num"),
+        (lit(1000000L) - col("pe_ppm")).as("kappa_den"))
+  }
 
   private val sqlRatingCounts: String =
     """SELECT CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item_id,
