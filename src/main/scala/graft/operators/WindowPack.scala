@@ -244,6 +244,39 @@ object WindowPack {
         .orderBy(col("cohort"), col("offset"))
     }),
 
+    // RFM segmentation — the classic customer-value trichotomy (recency /
+    // frequency / monetary), each dimension scored into exact SQL-standard
+    // quintiles by the DISTRIBUTED global-ntile operator (q124's block
+    // decomposition — no single-partition NTILE window). R and M are
+    // quantized first (days / whole dollars): industry RFM bins coarsely
+    // anyway, and it's the scale guard — globalNtile's offsets relation is
+    // |distinct values|-sized, so scoring on raw epoch-seconds or cents
+    // would push an unbounded relation through the one-task prefix sum,
+    // while days/dollars keep it bounded by the value RANGE. All integer
+    // arithmetic (epoch floor-division, floor-cents), ties broken by
+    // user_id — byte-deterministic on any engine.
+    "q140_rfm_segments" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy(col("user_id")).agg(
+        expr("max(unix_timestamp(ts)) div 86400").as("recency_day"),
+        count(lit(1)).as("frequency"),
+        expr("sum(CAST(floor(value * 100) AS BIGINT)) div 100")
+          .as("monetary_usd"))
+      val r = CurationPack.globalNtile(per, "recency_day", "user_id", 5)
+        .withColumnRenamed("bucket", "r_q")
+      val f = CurationPack.globalNtile(r, "frequency", "user_id", 5)
+        .withColumnRenamed("bucket", "f_q")
+      val m = CurationPack.globalNtile(f, "monetary_usd", "user_id", 5)
+        .withColumnRenamed("bucket", "m_q")
+      m.select(col("user_id"), col("recency_day"), col("frequency"),
+          col("monetary_usd"),
+          col("r_q").cast("long").as("r_q"),
+          col("f_q").cast("long").as("f_q"),
+          col("m_q").cast("long").as("m_q"))
+        .withColumn("segment",
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
     // Out-of-orderness profile — the reference's disorder experiment
     // (reference: jobs/preparation/measure/ReadLikeEventsFromKafkaJob
     // .scala:48-60: late-event count, max lateness, unordered count) as a
@@ -426,6 +459,24 @@ object WindowPack {
         |  ((1000000 * n_users) // cohort_size)::BIGINT AS retention_ppm
         |FROM cells JOIN sizes USING (cohort)
         |ORDER BY cohort, "offset"""".stripMargin,
+
+    "q140_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts) // 1000000) // 86400 AS recency_day,
+        |    count(*)::BIGINT AS frequency,
+        |    (sum(floor(value * 100)::BIGINT)::BIGINT // 100) AS monetary_usd
+        |  FROM events GROUP BY user_id
+        |), q AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_day, user_id)::BIGINT AS r_q,
+        |    ntile(5) OVER (ORDER BY frequency, user_id)::BIGINT AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary_usd, user_id)::BIGINT AS m_q
+        |  FROM per
+        |)
+        |SELECT user_id, recency_day, frequency, monetary_usd, r_q, f_q, m_q,
+        |  (r_q * 100 + f_q * 10 + m_q)::BIGINT AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
 
     "q100_watermark_coverage" -> {
       val r6 = graft.functions.Hashes.sqlRound("n_admitted::DOUBLE / n_events", 6)

@@ -261,6 +261,19 @@ class PipelinePackSpec extends GraftSuite {
       "seed modulus chosen so propagation is exercised")
   }
 
+  test("q137 purge set is closed under the pair graph: no notice escapes via a chained copy") {
+    // the legal-hold property itself: if one endpoint of ANY near-dup pair
+    // is purged, the other must be too
+    val purged = PipelinePack.queries("q137_takedown")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (i, j) =>
+      assert(purged(i) == purged(j),
+        s"pair ($i,$j) crosses the purge boundary")
+    }
+  }
+
   test("common-token bigrams dominate per-source top lists deterministically") {
     val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>

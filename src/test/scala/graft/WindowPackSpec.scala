@@ -84,6 +84,39 @@ class WindowPackSpec extends GraftSuite {
     }
   }
 
+  test("q140 RFM quintiles equal a driver-side exact-ntile recomputation") {
+    val per = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("sec"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> (Math.floorDiv(rs.map(_.getLong(1)).max, 86400L),
+          rs.length.toLong,
+          Math.floorDiv(rs.map(_.getLong(2)).sum, 100L))
+      }
+    // SQL-standard NTILE: the first total%5 buckets get one extra row
+    def quintiles(vals: Map[Long, Long]): Map[Long, Long] = {
+      val sorted = vals.toSeq.sortBy { case (u, v) => (v, u) }.map(_._1)
+      val (total, cs, big) = (sorted.size, sorted.size / 5, sorted.size % 5)
+      val sizes = Seq.fill(big)(cs + 1) ++ Seq.fill(5 - big)(cs)
+      sizes.zipWithIndex.foldLeft((Map.empty[Long, Long], 0)) {
+        case ((acc, off), (sz, i)) =>
+          (acc ++ sorted.slice(off, off + sz).map(_ -> (i + 1L)), off + sz)
+      }._1
+    }
+    val rq = quintiles(per.map { case (u, t) => u -> t._1 }.toMap)
+    val fq = quintiles(per.map { case (u, t) => u -> t._2 }.toMap)
+    val mq = quintiles(per.map { case (u, t) => u -> t._3 }.toMap)
+    val rows = WindowPack.queries("q140_rfm_segments")(spark, sf).collect()
+    assert(rows.length == per.size)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == per(u), s"user $u dims")
+      assert(r.getLong(4) == rq(u) && r.getLong(5) == fq(u)
+        && r.getLong(6) == mq(u), s"user $u quintiles")
+      assert(r.getLong(7) == rq(u) * 100 + fq(u) * 10 + mq(u))
+    }
+  }
+
   test("batch and streaming share the sliding-stats transform") {
     // WindowPack.slidingStats is the single definition used by both paths;
     // spot-check it agrees with q21 (modulo ordering).
