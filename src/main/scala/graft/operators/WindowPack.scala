@@ -50,6 +50,41 @@ object WindowPack {
         col("n_events"), col("n_purchase"), col("n_click"), col("n_types"))
   }
 
+  /** Per-session funnel staging (q91's core, shared with the streaming
+    * twin StreamOps.sessionFunnel): 30-min-gap sessionization, then the
+    * ordered view → click → purchase stage timestamps as conditional
+    * minima over the session partition. The chained stage windows share
+    * ONE (user, sid) partitioning, so the whole staging costs the
+    * sessionization shuffle plus one re-key. Emits one row per session:
+    * (user_id, sid, sess_start, n_events, tv, tc, tp) — stage timestamps
+    * NULL where the funnel broke. */
+  def funnelSessions(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val es = col("ts").cast("double")
+    val wS = Window.partitionBy(col("user_id"), col("sid"))
+    events
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wOrd).isNull
+          || es - lag(col("ts"), 1).over(wOrd).cast("double") >= 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wS))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("t_view").isNotNull
+          && col("ts") >= col("t_view"), col("ts"))).over(wS))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("t_click").isNotNull
+          && col("ts") >= col("t_click"), col("ts"))).over(wS))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_timestamp(min(col("ts"))).as("sess_start"),
+        count(lit(1)).as("n_events"),
+        max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purchase")).as("tp"))
+  }
+
   /** A3 windowed collect-set transform (see slidingStats note). */
   def windowedCollectSet(events: DataFrame): DataFrame =
     events
@@ -167,34 +202,12 @@ object WindowPack {
 
     // Session funnel analysis (view → click → purchase, strictly ordered
     // within a 30-min-gap session): the product-analytics shape the
-    // reference's activity jobs feed. Stage timestamps are ordered
-    // conditional minima via windows over the session partition — the
-    // chained windows share one (user, sid) partitioning so the funnel
-    // costs the sessionization shuffle plus one re-key, and all counts
-    // are integers (rates are ratios of counts) — exact on any engine.
+    // reference's activity jobs feed. Per-session staging lives in
+    // [[funnelSessions]] (shared with the streaming twin,
+    // StreamOps.sessionFunnel); all counts are integers (rates are ratios
+    // of counts) — exact on any engine.
     "q91_funnel" -> ((s, d) => {
-      val wOrd = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val es = col("ts").cast("double")
-      val wS = Window.partitionBy(col("user_id"), col("sid"))
-      val staged = Tables.events(s, d)
-        .withColumn("new_s",
-          when(lag(col("ts"), 1).over(wOrd).isNull
-            || es - lag(col("ts"), 1).over(wOrd).cast("double") >= 1800, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_s"))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("t_view",
-          min(when(col("event_type") === "view", col("ts"))).over(wS))
-        .withColumn("t_click",
-          min(when(col("event_type") === "click" && col("t_view").isNotNull
-            && col("ts") >= col("t_view"), col("ts"))).over(wS))
-        .withColumn("t_purchase",
-          min(when(col("event_type") === "purchase" && col("t_click").isNotNull
-            && col("ts") >= col("t_click"), col("ts"))).over(wS))
-      staged.groupBy(col("user_id"), col("sid"))
-        .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
-          max(col("t_purchase")).as("tp"))
+      funnelSessions(Tables.events(s, d))
         .groupBy((col("user_id") % 10).as("cohort"))
         .agg(count(lit(1)).as("n_sessions"),
           count(col("tv")).as("n_view"),

@@ -18,6 +18,16 @@ final case class EnrichedPurchase(event_id: Long, user_id: Long, value: Double,
   * AggregateFeaturesFunction.scala:38-45). */
 final case class AsOfState(viewTs: Long, viewValue: Double)
 
+/** One closed funnel session (q91's streaming form): how far the
+  * view → click → purchase funnel got (`stage` 0-3) in one 30-min-gap
+  * session. */
+final case class FunnelSession(user_id: Long, sess_start: Long,
+                               n_events: Long, stage: Int)
+
+/** Open-session buffer for the streaming funnel: (tsMs, event_id, type)
+  * triples of the not-yet-closed session. */
+final case class FunnelBufState(buf: Seq[(Long, Long, String)])
+
 /** One signed update to a cohort-retention cell (q138's streaming form):
   * `delta` is +1 / -1 so late data that rewinds a user's first-active week
   * RETRACTS the previously emitted cells instead of double-counting. */
@@ -178,6 +188,64 @@ object StreamOps {
     retentionDeltas(events)
       .groupBy(col("cohort"), col("offset"))
       .agg(sum(col("delta")).as("n_users"))
+
+  /** q91's streaming twin: per-user 30-min-gap sessions close when the
+    * event-time watermark passes last-event + gap (event-time timers —
+    * the reference's session pattern, W6), emitting how far the
+    * view → click → purchase funnel got. The open session's events are
+    * buffered in state and staged AT CLOSE over the sorted buffer — the
+    * same ordered-conditional-minima as the batch
+    * [[graft.operators.WindowPack.funnelSessions]], so a closed streaming
+    * session is row-identical to its batch twin (FunnelStreamSpec). A
+    * micro-batch whose arrivals already straddle a gap closes the earlier
+    * session(s) immediately and keeps only the open tail, so state is one
+    * session's events per user, bounded by session length — not stream
+    * length. Input must carry a watermark on `ts`. */
+  def sessionFunnel(events: Dataset[Ev], gapSec: Long = 1800L): Dataset[FunnelSession] = {
+    implicit val stateEnc = Encoders.product[FunnelBufState]
+    implicit val outEnc = Encoders.product[FunnelSession]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapMs = gapSec * 1000L
+
+    def close(user: Long, evs: Seq[(Long, Long, String)]): FunnelSession = {
+      val s = evs.sortBy(e => (e._1, e._2))
+      val tv = s.collectFirst { case (t, _, "view") => t }
+      val tc = tv.flatMap(v =>
+        s.collectFirst { case (t, _, "click") if t >= v => t })
+      val tp = tc.flatMap(c =>
+        s.collectFirst { case (t, _, "purchase") if t >= c => t })
+      val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
+        else if (tv.isDefined) 1 else 0
+      FunnelSession(user, Math.floorDiv(s.head._1, 1000L), s.size.toLong, stage)
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[FunnelBufState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.filter(_.buf.nonEmpty)
+              .map(s => close(user, s.buf)).iterator
+            state.remove()
+            out.toSeq.iterator
+          } else {
+            val incoming = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toSeq
+            val all = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++ incoming)
+              .sortBy(e => (e._1, e._2))
+            // split the sorted buffer at >= gap jumps: all sessions but the
+            // last are already provably closed by the data itself
+            val sessions = all.foldLeft(Vector(Vector.empty[(Long, Long, String)])) {
+              case (acc, e) =>
+                if (acc.last.nonEmpty && e._1 - acc.last.last._1 >= gapMs)
+                  acc :+ Vector(e)
+                else acc.init :+ (acc.last :+ e)
+            }
+            val open = sessions.last
+            state.update(FunnelBufState(open))
+            state.setTimeoutTimestamp(open.last._1 + gapMs)
+            sessions.init.filter(_.nonEmpty).map(s => close(user, s)).iterator
+          }
+        })
+  }
 
   /** Windowed frequent-items census as a Misra-Gries sketch — q86's
     * streaming twin (the third sketch beside the HLL above and q80's GK).
