@@ -46,18 +46,50 @@ object LabelQualityJob {
       Seq("item_id", "label"), "version")
   }
 
+  /** Version base for this checkpoint's lifetime. A raw batchId breaks in
+    * two directions: on a FRESH checkpoint against a surviving store it
+    * restarts at 0 and loses every tie (folds silently freeze, then
+    * double-count once it climbs past the stored max), while a base
+    * re-read on EVERY start (OnlineClassifier's weights pattern) makes a
+    * same-checkpoint replay outrank its own first delivery and double the
+    * sums. Binding the base to the checkpoint via a marker file gives
+    * both guarantees: a same-checkpoint replay reuses the same base →
+    * version tie → existing wins (exactly-once); a fresh checkpoint mints
+    * base = stored-max + 1 → its folds correctly continue the store. */
+  private def runBase(spark: SparkSession, ckpt: String, store: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$ckpt/graft-labelq-base")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try in.readLong() finally in.close()
+    } else {
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      val base =
+        if (fs.exists(storeP))
+          spark.read.parquet(store).agg(max(col("version"))).head()
+            .getLong(0) + 1L
+        else 0L
+      fs.mkdirs(marker.getParent)
+      val outS = fs.create(marker, false)
+      try outS.writeLong(base) finally outS.close()
+      base
+    }
+  }
+
   /** Start the monitor on a streaming events frame: per micro-batch,
     * fold counts into `store` and overwrite `scoreOut` with the one-row
     * scorecard (overwrite is naturally idempotent). */
   def run(spark: SparkSession, events: DataFrame, store: String,
-          scoreOut: String, ckpt: String): StreamingQuery =
+          scoreOut: String, ckpt: String): StreamingQuery = {
+    val base = runBase(spark, ckpt, store)
     events.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        fold(spark, store, CurationPack.ratingCountsOf(b), id)
+        fold(spark, store, CurationPack.ratingCountsOf(b), base + id)
         CurationPack.fleissScorecard(
             spark.read.parquet(store).select("item_id", "label", "c"))
           .localCheckpoint(true)
           .write.mode(SaveMode.Overwrite).parquet(scoreOut)
       }.start()
+  }
 }

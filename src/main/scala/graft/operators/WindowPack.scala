@@ -269,15 +269,20 @@ object WindowPack {
     // arithmetic (epoch floor-division, floor-cents), ties broken by
     // user_id — byte-deterministic on any engine.
     "q140_rfm_segments" -> ((s, d) => {
+      // localCheckpoint between passes: each globalNtile references its
+      // input in THREE subtrees (rows, offsets, total), so three nested
+      // passes otherwise replan 3³ = 27 scans of the corpus-sized events
+      // aggregation — checkpointing pins it at one scan per pass
       val per = Tables.events(s, d).groupBy(col("user_id")).agg(
         expr("max(unix_timestamp(ts)) div 86400").as("recency_day"),
         count(lit(1)).as("frequency"),
         expr("sum(CAST(floor(value * 100) AS BIGINT)) div 100")
           .as("monetary_usd"))
+        .localCheckpoint()
       val r = CurationPack.globalNtile(per, "recency_day", "user_id", 5)
-        .withColumnRenamed("bucket", "r_q")
+        .withColumnRenamed("bucket", "r_q").localCheckpoint()
       val f = CurationPack.globalNtile(r, "frequency", "user_id", 5)
-        .withColumnRenamed("bucket", "f_q")
+        .withColumnRenamed("bucket", "f_q").localCheckpoint()
       val m = CurationPack.globalNtile(f, "monetary_usd", "user_id", 5)
         .withColumnRenamed("bucket", "m_q")
       m.select(col("user_id"), col("recency_day"), col("frequency"),

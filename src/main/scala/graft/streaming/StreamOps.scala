@@ -192,23 +192,37 @@ object StreamOps {
   /** q91's streaming twin: per-user 30-min-gap sessions close when the
     * event-time watermark passes last-event + gap (event-time timers —
     * the reference's session pattern, W6), emitting how far the
-    * view → click → purchase funnel got. The open session's events are
-    * buffered in state and staged AT CLOSE over the sorted buffer — the
-    * same ordered-conditional-minima as the batch
+    * view → click → purchase funnel got. Pending events buffer in state
+    * and sessions are staged AT CLOSE over the sorted buffer — the same
+    * ordered-conditional-minima as the batch
     * [[graft.operators.WindowPack.funnelSessions]], so a closed streaming
-    * session is row-identical to its batch twin (FunnelStreamSpec). A
-    * micro-batch whose arrivals already straddle a gap closes the earlier
-    * session(s) immediately and keeps only the open tail, so state is one
-    * session's events per user, bounded by session length — not stream
-    * length. Input must carry a watermark on `ts`. */
+    * session is row-identical to its batch twin (FunnelStreamSpec).
+    *
+    * Closure is WATERMARK-gated, not data-gated: a session whose last
+    * event + gap is still above the watermark may yet be bridged or
+    * extended by an admissible late event (Spark drops rows only BELOW
+    * the watermark), so even a buffer that already straddles a gap keeps
+    * its later-closing sessions pending. Once the watermark passes
+    * last + gap, no admissible event can land inside (it would be below
+    * the watermark) — the prefix of sessions with last + gap ≤ watermark
+    * is provably final and emits; the rest waits for the timer at the
+    * earliest pending close point. State is therefore bounded by the
+    * watermark horizon's worth of sessions per user, not stream length.
+    *
+    * Timestamps are carried at MICROsecond precision (the batch twin
+    * compares full-precision timestamps; ms flooring would split a
+    * 1799.9995 s gap the batch keeps). Input must carry a watermark on
+    * `ts`. */
   def sessionFunnel(events: Dataset[Ev], gapSec: Long = 1800L): Dataset[FunnelSession] = {
     implicit val stateEnc = Encoders.product[FunnelBufState]
     implicit val outEnc = Encoders.product[FunnelSession]
     implicit val keyEnc = Encoders.scalaLong
-    val gapMs = gapSec * 1000L
+    val gapUs = gapSec * 1000000L
 
-    def close(user: Long, evs: Seq[(Long, Long, String)]): FunnelSession = {
-      val s = evs.sortBy(e => (e._1, e._2))
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def close(user: Long, s: Seq[(Long, Long, String)]): FunnelSession = {
       val tv = s.collectFirst { case (t, _, "view") => t }
       val tc = tv.flatMap(v =>
         s.collectFirst { case (t, _, "click") if t >= v => t })
@@ -216,34 +230,38 @@ object StreamOps {
         s.collectFirst { case (t, _, "purchase") if t >= c => t })
       val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
         else if (tv.isDefined) 1 else 0
-      FunnelSession(user, Math.floorDiv(s.head._1, 1000L), s.size.toLong, stage)
+      FunnelSession(user, Math.floorDiv(s.head._1, 1000000L), s.size.toLong, stage)
+    }
+
+    // emit the provably-final session prefix, keep the rest + re-arm
+    def drain(user: Long, buf: Seq[(Long, Long, String)],
+              state: GroupState[FunnelBufState]): Iterator[FunnelSession] = {
+      val sorted = buf.sortBy(e => (e._1, e._2))
+      val sessions = sorted.foldLeft(Vector(Vector.empty[(Long, Long, String)])) {
+        case (acc, e) =>
+          if (acc.last.nonEmpty && e._1 - acc.last.last._1 >= gapUs)
+            acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }.filter(_.nonEmpty)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, pending) = sessions.span(s => s.last._1 + gapUs <= wmUs)
+      if (pending.isEmpty) state.remove()
+      else {
+        state.update(FunnelBufState(pending.flatten))
+        // timers are ms-granular; round UP so the timer never fires a
+        // hair before the µs close point
+        state.setTimeoutTimestamp(
+          Math.floorDiv(pending.head.last._1 + gapUs + 999L, 1000L))
+      }
+      closed.map(s => close(user, s)).iterator
     }
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, it: Iterator[Ev], state: GroupState[FunnelBufState]) => {
-          if (state.hasTimedOut) {
-            val out = state.getOption.filter(_.buf.nonEmpty)
-              .map(s => close(user, s.buf)).iterator
-            state.remove()
-            out.toSeq.iterator
-          } else {
-            val incoming = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toSeq
-            val all = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++ incoming)
-              .sortBy(e => (e._1, e._2))
-            // split the sorted buffer at >= gap jumps: all sessions but the
-            // last are already provably closed by the data itself
-            val sessions = all.foldLeft(Vector(Vector.empty[(Long, Long, String)])) {
-              case (acc, e) =>
-                if (acc.last.nonEmpty && e._1 - acc.last.last._1 >= gapMs)
-                  acc :+ Vector(e)
-                else acc.init :+ (acc.last :+ e)
-            }
-            val open = sessions.last
-            state.update(FunnelBufState(open))
-            state.setTimeoutTimestamp(open.last._1 + gapMs)
-            sessions.init.filter(_.nonEmpty).map(s => close(user, s)).iterator
-          }
+          val old = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val incoming = it.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq
+          drain(user, old ++ incoming, state)
         })
   }
 

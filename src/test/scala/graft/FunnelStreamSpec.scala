@@ -56,7 +56,7 @@ class FunnelStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
-  test("synthetic full funnel: stage-3 close, then a gap-straddling batch splits sessions") {
+  test("synthetic full funnel: closes are watermark-gated, never data-gated") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val t0 = 1700000000000L
@@ -64,34 +64,76 @@ class FunnelStreamSpec extends GraftSuite {
       Ev(id, new java.sql.Timestamp(ms), 42L, et, 1.0)
     val stream = MemoryStream[Ev]
     val q = StreamOps.sessionFunnel(
-        stream.toDS().withWatermark("ts", "1 second"))
+        stream.toDS().withWatermark("ts", "0 seconds"))
       .writeStream.format("memory").queryName("funnel_synth")
       .outputMode("append").start()
     try {
-      // ONE batch carrying a complete funnel AND the first event of the
-      // next session (>= 30 min later): the earlier session must close
-      // immediately from the data itself, before any timer fires
+      // batch 1 already straddles a gap — but the watermark is still at 0
+      // while it processes, so NOTHING may close yet (an admissible late
+      // event could still bridge the straddle)
       stream.addData(Seq(
         ev(1, t0, "view"), ev(2, t0 + 60000, "click"),
         ev(3, t0 + 120000, "purchase"),
         ev(4, t0 + 1800000 + 120000, "click")))
       q.processAllAvailable()
-      val afterBatch = spark.table("funnel_synth").collect()
-        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
-      assert(afterBatch.toSet ==
-        Set((t0 / 1000, 3L, 3)), "gap-straddle closes the full funnel early")
-      // sentinels fire the timer on the dangling click-only session
-      stream.addData(ev(9, t0 + 40L * 86400000L, "signup")
-        .copy(user_id = -1L))
+      assert(spark.table("funnel_synth").isEmpty,
+        "no close may precede the watermark")
+      // batch 2 advances the watermark to t0+10000s; processAllAvailable
+      // drains the follow-up timer batch too, so both the full-funnel
+      // session (close t0+1920s) and the lone-click session (close
+      // t0+3720s) become final — the new view (close t0+11800s) must not
+      stream.addData(ev(5, t0 + 10000000L, "view"))
       q.processAllAvailable()
-      stream.addData(ev(10, t0 + 41L * 86400000L, "signup")
-        .copy(user_id = -1L))
+      val afterB2 = spark.table("funnel_synth").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(afterB2.toSet == Set((t0 / 1000, 3L, 3),
+        ((t0 + 1920000) / 1000, 1L, 0)),
+        s"watermark-passed sessions should close: ${afterB2.toSet}")
+      // sentinels fire the timers on the two pending sessions
+      stream.addData(ev(9, t0 + 40L * 86400000L, "signup").copy(user_id = -1L))
+      q.processAllAvailable()
+      stream.addData(ev(10, t0 + 41L * 86400000L, "signup").copy(user_id = -1L))
       q.processAllAvailable()
       val fin = spark.table("funnel_synth").filter(col("user_id") === 42L)
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
       assert(fin == Set((t0 / 1000, 3L, 3),
-        ((t0 + 1920000) / 1000, 1L, 0)),
-        s"timer-closed session wrong: $fin")
+        ((t0 + 1920000) / 1000, 1L, 0),
+        ((t0 + 10000000L) / 1000, 1L, 1)),
+        s"timer-closed sessions wrong: $fin")
+    } finally q.stop()
+  }
+
+  test("an admissible late event bridges a straddled gap instead of splitting it") {
+    // the exact scenario the watermark gate exists for: with allowed
+    // lateness, a gap-straddling buffer must NOT close early — the late
+    // bridge arrives and the three events merge into ONE batch-identical
+    // session
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long, et: String) =
+      Ev(id, new java.sql.Timestamp(ms), 7L, et, 1.0)
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionFunnel(
+        stream.toDS().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, t0, "view")); q.processAllAvailable()
+      // straddles the 30-min gap — under the old data-gated close this
+      // would have emitted [view] as its own session
+      stream.addData(ev(2, t0 + 2000000L, "purchase")); q.processAllAvailable()
+      // late but admissible (only ~33 min behind a 2 h watermark delay):
+      // bridges the gap
+      stream.addData(ev(3, t0 + 1000000L, "click")); q.processAllAvailable()
+      stream.addData(ev(8, t0 + 30L * 86400000L, "signup").copy(user_id = -1L))
+      q.processAllAvailable()
+      stream.addData(ev(9, t0 + 31L * 86400000L, "signup").copy(user_id = -1L))
+      q.processAllAvailable()
+      val got = spark.table("funnel_late").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == Set((t0 / 1000, 3L, 3)),
+        s"late bridge must yield ONE full-funnel session: $got")
     } finally q.stop()
   }
 }

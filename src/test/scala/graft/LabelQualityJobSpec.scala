@@ -49,6 +49,39 @@ class LabelQualityJobSpec extends GraftSuite {
     assert(gotScore.sameElements(wantScore))
   }
 
+  test("a fresh checkpoint against a surviving store continues it instead of freezing") {
+    // run 1 folds chunk A under ckpt1; run 2 gets a NEW checkpoint and a
+    // NEW input dir with chunk B — its batchIds restart at 0, so without
+    // the checkpoint-bound version base every fold would lose the version
+    // tie against run 1's rows and the store would silently freeze
+    val base = Files.createTempDirectory("graft_labelq_fresh").toString
+    val store = s"$base/store"; val score = s"$base/score"
+    val all = Tables.events(spark, sf).select(eventCols.map(col): _*).collect()
+    val (a, b) = all.splitAt(all.length / 2)
+
+    def runOnce(rows: Array[org.apache.spark.sql.Row], tag: String): Unit = {
+      val in = s"$base/in_$tag"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq),
+        Tables.events(spark, sf).select(eventCols.map(col): _*).schema)
+        .write.parquet(in)
+      val q = LabelQualityJob.run(spark,
+        spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+        store, score, s"$base/ckpt_$tag")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(a, "one")
+    runOnce(b, "two") // fresh checkpoint, batchIds restart at 0
+
+    val got = spark.read.parquet(store)
+      .select(col("item_id"), col("label"), col("c"))
+      .orderBy(col("item_id"), col("label")).collect()
+    val want = CurationPack.ratingCountsOf(Tables.events(spark, sf))
+      .orderBy(col("item_id"), col("label")).collect()
+    assert(got.sameElements(want),
+      "run 2's folds must outrank run 1's rows and extend the counts")
+  }
+
   test("a replayed fold is a no-op: the version tie keeps the single-delivery counts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_labelq_replay").toString

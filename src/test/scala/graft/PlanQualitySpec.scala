@@ -466,6 +466,8 @@ class PlanQualitySpec extends GraftSuite {
       "q139_bitext_margin",    // bounded non-en query set (q40's brute
                                // shape); LSH/IVF is the documented scale path
       "q124_curriculum",       // 1-row corpus-count total for the ntile
+      "q140_rfm_segments",     // three 1-row total broadcasts (one per
+                               // globalNtile pass — q124's shape)
       "q125_bpe_fertility",    // q113's per-round 1-row merge broadcasts
       "q41_embed_neardup",     // 1-row threshold constant
       "q59_domain_rebalance",  // 1-row min-tokens total
