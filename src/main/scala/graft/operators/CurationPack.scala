@@ -608,7 +608,41 @@ object CurationPack {
     // truncates toward zero, DuckDB `//` floors). Scale: everything after
     // the (item, label) count is label-alphabet-sized or single-row; at
     // corpus scale the Σ C_l² term moves to DECIMAL(38) before squaring.
-    "q136_fleiss_kappa" -> ((s, d) => fleissScorecard(ratingCounts(s, d)))
+    "q136_fleiss_kappa" -> ((s, d) => fleissScorecard(ratingCounts(s, d))),
+
+    // Per-rater quality — the campaign-management companion to q134/q136:
+    // each rater scored by agreement with the adjudicated majority label,
+    // over the same qualifying items (n_ratings ≥ 2) the campaign is
+    // judged on. This is the table that decides rater weighting and
+    // re-training. Accuracy ships in exact ppm (positive floor division —
+    // engine-exact). Scale: the item→winner relation is item-count-sized
+    // and joins the ratings stream on item_id — both sides key on item_id
+    // so the shuffles co-partition; the winner rank is a WindowGroupLimit
+    // heap over tiny per-item label groups; the final agg is per-rater.
+    "q141_rater_quality" -> ((s, d) => {
+      val ratings = Tables.events(s, d).select(
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item_id"),
+        col("user_id").as("rater"), col("event_type").as("label"))
+      val cl = ratingCounts(s, d)
+      val top = cl.withColumn("rn", row_number().over(
+          Window.partitionBy(col("item_id"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("item_id"), col("label").as("top_label"))
+      val qual = cl.groupBy(col("item_id"))
+        .agg(sum(col("c")).cast("long").as("n"))
+        .filter(col("n") >= 2)
+        .join(top, "item_id")
+        .select(col("item_id"), col("top_label"))
+      ratings.join(qual, "item_id")
+        .groupBy(col("rater"))
+        .agg(count(lit(1)).as("n_ratings"),
+          sum(when(col("label") === col("top_label"), 1L).otherwise(0L))
+            .cast("long").as("n_agree"))
+        .withColumn("accuracy_ppm",
+          expr("(1000000 * n_agree) div n_ratings").cast("long"))
+        .orderBy(col("rater"))
+    })
   )
 
   /** (item_id, label, c) rating counts shared by q134/q136: one event =
@@ -953,7 +987,33 @@ object CurationPack {
          |SELECT n_items, n_ratings, po_ppm, pe_ppm,
          |  (po_ppm - pe_ppm)::BIGINT AS kappa_num,
          |  (1000000 - pe_ppm)::BIGINT AS kappa_den
-         |FROM a1, a2""".stripMargin
+         |FROM a1, a2""".stripMargin,
+
+    "q141_rater_quality" ->
+      s"""WITH ratings AS (
+         |  SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS item_id,
+         |    user_id AS rater, event_type AS label
+         |  FROM events
+         |), cl AS (
+         |  $sqlRatingCounts
+         |), top AS (
+         |  SELECT item_id, label AS top_label FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_id ORDER BY c DESC, label) AS rn
+         |    FROM cl)
+         |  WHERE rn = 1
+         |), qual AS (
+         |  SELECT item_id, top_label
+         |  FROM (SELECT item_id, sum(c)::BIGINT AS n FROM cl GROUP BY item_id)
+         |  JOIN top USING (item_id)
+         |  WHERE n >= 2
+         |)
+         |SELECT rater, count(*)::BIGINT AS n_ratings,
+         |  sum(CASE WHEN label = top_label THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+         |  ((1000000 * sum(CASE WHEN label = top_label THEN 1 ELSE 0 END))
+         |     // count(*))::BIGINT AS accuracy_ppm
+         |FROM ratings JOIN qual USING (item_id)
+         |GROUP BY rater ORDER BY rater""".stripMargin
   )
 
   /** Shared oracle prefix for q114/q117: the feature CTE plus the full

@@ -653,6 +653,29 @@ object PipelinePack {
             .as("status"),
           coalesce(col("lbl"), col("sid")).as("cluster"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup cluster representative selection — the pass after q44's
+    // transitive clustering that decides WHICH copy survives: the
+    // highest-quality member (q36's score), ties to the smaller doc_id.
+    // Exact dedup keeps-best by content key (q28); this is the same
+    // policy lifted to TRANSITIVE near-dup components, the form a
+    // curation pipeline actually ships. The argmax is a lexicographic
+    // struct max_by (valid at any id range — q94's precedent); quality
+    // rides q36's cross-engine rounding contract. Scale: one
+    // doc_id-keyed join of the CC labeling against the quality relation,
+    // then a per-cluster agg over small components.
+    "q142_cluster_reps" -> ((s, d) => {
+      val lab = dupClusterLabels(s, d) // (id, lbl)
+      val qual = TextPack.queries("q36_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      lab.join(qual, col("id") === col("doc_id"))
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), struct(col("quality"), -col("id")))
+            .as("rep_doc"),
+          max(col("quality")).as("rep_quality"))
+        .orderBy(col("cluster"))
     })
   )
 
@@ -701,6 +724,36 @@ object PipelinePack {
          |SELECT cluster, count(*) AS n_members,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q142_cluster_reps" ->
+      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
+         |  SELECT i AS a, j AS b FROM pairs
+         |  UNION ALL
+         |  SELECT j AS a, i AS b FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT a AS id FROM edges
+         |), reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+         |), lab AS (
+         |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+         |), qual AS (
+         |  ${TextPack.oracle("q36_quality_score")}
+         |), j AS (
+         |  SELECT lab.cluster, lab.id, qual.quality
+         |  FROM lab JOIN qual ON qual.doc_id = lab.id
+         |), reps AS (
+         |  SELECT cluster, id AS rep_doc, quality AS rep_quality FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY cluster ORDER BY quality DESC, id) AS rn
+         |    FROM j)
+         |  WHERE rn = 1
+         |)
+         |SELECT cluster, count(*) AS n_members, max(rep_doc) AS rep_doc,
+         |  max(rep_quality) AS rep_quality
+         |FROM j JOIN reps USING (cluster)
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q48_skew_agg" ->
       """SELECT event_type, count(*) AS n,

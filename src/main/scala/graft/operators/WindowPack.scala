@@ -347,6 +347,65 @@ object WindowPack {
         .orderBy(col("delay_sec"))
     }),
 
+    // Event-transition (Markov) matrix — the user-journey table behind
+    // "what do users do after a click": consecutive same-user event pairs
+    // closer than the 30-min session gap (strict <, the complement of
+    // q24's >= 1800 new-session rule, so transitions never bridge
+    // sessions), counted per (from, to) with the per-from share in exact
+    // ppm. Gaps compare as µs longs — engine-exact, no float seconds.
+    // Scale: one shuffle on user_id feeds the lag window (per-user
+    // partitions, bounded by user activity); everything after the pair
+    // count is alphabet²-sized, and the per-from totals broadcast.
+    "q143_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+      val tr = seq
+        .filter(col("prev_type").isNotNull &&
+          col("tus") - col("prev_tus") < 1800000000L)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).cast("long").as("from_total"))
+      tr.join(broadcast(tot), "from_type")
+        .withColumn("share_ppm",
+          expr("(1000000 * n) div from_total").cast("long"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("from_total"), col("share_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Hourly-count anomaly detection — the ops-monitoring pass that flags
+    // event-rate spikes and dips per type. 3σ on the population variance,
+    // expressed entirely in integers: (x−μ)² > 9σ² over observed hourly
+    // buckets ⟺ (nb·x − S)² > 9·(nb·Q − S²) with S = Σx, Q = Σx² — no
+    // division, no floats, byte-exact on any engine. Output ∝ anomalies
+    // (plus direction), never the bucket table. Scale: one (type, hour)
+    // partial-agg shuffle; the per-type stats relation is alphabet-sized
+    // and broadcasts back. At corpus scale the squared terms move to
+    // DECIMAL(38) before (nb·x)² can cross 2^63.
+    "q144_count_anomaly" -> ((s, d) => {
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"), sum(col("cnt")).cast("long").as("s"),
+          sum(col("cnt") * col("cnt")).cast("long").as("q"))
+      val dev = col("nb") * col("cnt") - col("s")
+      b.join(broadcast(st), "event_type")
+        .filter(dev * dev > lit(9L) * (col("nb") * col("q") - col("s") * col("s")))
+        .withColumn("direction",
+          when(dev > 0, "high").otherwise("low"))
+        .select(col("event_type"), col("hr"), col("cnt"), col("direction"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
     // list — declared-supported in our engine; Catalyst expands for free).
     "q25_rollup" -> ((s, d) => {
@@ -540,6 +599,43 @@ object WindowPack {
          |    AS late_share
          |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q143_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_tus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), tr AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |    count(*)::BIGINT AS n
+        |  FROM seq
+        |  WHERE prev_type IS NOT NULL AND tus - prev_tus < 1800000000
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, sum(n)::BIGINT AS from_total FROM tr GROUP BY 1
+        |)
+        |SELECT from_type, to_type, n, from_total,
+        |  ((1000000 * n) // from_total)::BIGINT AS share_ppm
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q144_count_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*)::BIGINT AS nb, sum(cnt)::BIGINT AS s,
+        |    sum(cnt * cnt)::BIGINT AS q
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT event_type, hr, cnt,
+        |  CASE WHEN nb * cnt - s > 0 THEN 'high' ELSE 'low' END AS direction
+        |FROM b JOIN st USING (event_type)
+        |WHERE (nb * cnt - s) * (nb * cnt - s) > 9 * (nb * q - s * s)
+        |ORDER BY event_type, hr""".stripMargin,
 
     "q25_rollup" ->
       """SELECT CAST(floor(epoch(day)) AS BIGINT) AS day_epoch, event_type,

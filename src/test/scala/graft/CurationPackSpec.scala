@@ -375,4 +375,32 @@ class CurationPackSpec extends GraftSuite {
     assert(pe == 1000000L * labelTot.map(c => c * c).sum / (tot * tot))
     assert(kNum == po - pe && kDen == 1000000L - pe)
   }
+
+  test("q141 rater quality reconciles with q134's adjudicated winners") {
+    val winners = CurationPack.queries("q134_label_vote")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getLong(1)))
+      .toMap // item -> (top_label, n_ratings)
+    // per-rater recompute over qualifying items from the raw event stream
+    val perRater = Tables.events(spark, sf)
+      .select(regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+        col("user_id"), col("event_type"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(r => winners.contains(r._1))
+      .groupBy(_._2).view.mapValues { rs =>
+        val agree = rs.count(r => winners(r._1)._1 == r._3).toLong
+        (rs.size.toLong, agree)
+      }.toMap
+    val got = CurationPack.queries("q141_rater_quality")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == perRater.keySet)
+    got.foreach { case (rater, (n, agree, ppm)) =>
+      assert((n, agree) == perRater(rater), s"rater $rater")
+      assert(ppm == 1000000L * agree / n)
+    }
+    // global reconciliation: every rating of a qualifying item is judged
+    // exactly once, and total agreement is the sum of winner counts
+    assert(got.values.map(_._1).sum == winners.values.map(_._2).sum)
+  }
 }

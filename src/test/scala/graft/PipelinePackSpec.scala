@@ -274,6 +274,27 @@ class PipelinePackSpec extends GraftSuite {
     }
   }
 
+  test("q142 representatives are the max-quality member of each q44 cluster") {
+    val quality = TextPack.queries("q36_quality_score")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clusters = PipelinePack.queries("q44_dup_clusters")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .toMap
+    val got = PipelinePack.queries("q142_cluster_reps")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == clusters.keySet)
+    got.foreach { case (c, (n, rep, repQ)) =>
+      val members = clusters(c)
+      assert(n == members.size, s"cluster $c size")
+      val expectedRep = members.minBy(id => (-quality(id), id))
+      assert(rep == expectedRep, s"cluster $c rep")
+      assert(repQ == quality(expectedRep), s"cluster $c rep quality")
+    }
+  }
+
   test("common-token bigrams dominate per-source top lists deterministically") {
     val rows = PipelinePack.queries("q65_bigram_counts")(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>

@@ -117,6 +117,56 @@ class WindowPackSpec extends GraftSuite {
     }
   }
 
+  test("q143 transitions equal a driver-side consecutive-pair recomputation") {
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val pairs = byUser.values.flatMap { evs =>
+      val s = evs.sortBy(e => (e._2, e._3))
+      s.zip(s.tail).collect {
+        case (a, b) if b._2 - a._2 < 1800000000L => (a._4, b._4)
+      }
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rows = WindowPack.queries("q143_event_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == counts.keySet)
+    rows.foreach { case ((f, t), (n, tot, ppm)) =>
+      assert(n == counts((f, t)), s"($f,$t) count")
+      assert(tot == totals(f), s"$f total")
+      assert(ppm == 1000000L * n / tot)
+    }
+    // shares per from_type sum to ~1e6 (floor loses < |alphabet| ppm each)
+    rows.toSeq.groupBy(_._1._1).foreach { case (f, rs) =>
+      val s = rs.map(_._2._3).sum
+      assert(s <= 1000000L && s > 1000000L - rs.size, s"$f share sum $s")
+    }
+  }
+
+  test("q144 anomalies equal a driver-side integer 3-sigma recomputation") {
+    val buckets = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val flagged = buckets.groupBy(_._1._1).flatMap { case (_, bs) =>
+      val xs = bs.values.toSeq
+      val (nb, s, q) = (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+      bs.collect {
+        case ((t, h), x) if (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) =>
+          (t, h) -> (x, if (nb * x - s > 0) "high" else "low")
+      }
+    }
+    val rows = WindowPack.queries("q144_count_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(rows == flagged)
+    assert(rows.nonEmpty, "synthetic data should surface at least one 3-sigma hour")
+  }
+
   test("batch and streaming share the sliding-stats transform") {
     // WindowPack.slidingStats is the single definition used by both paths;
     // spot-check it agrees with q21 (modulo ordering).
