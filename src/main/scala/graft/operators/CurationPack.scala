@@ -623,7 +623,9 @@ object CurationPack {
       val ratings = Tables.events(s, d).select(
         regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item_id"),
         col("user_id").as("rater"), col("event_type").as("label"))
-      val cl = ratingCounts(s, d)
+      // pin the count relation: `top` and `qual` both derive from it, and
+      // without the checkpoint each re-derives (and re-scans) the corpus
+      val cl = ratingCounts(s, d).localCheckpoint()
       val top = cl.withColumn("rn", row_number().over(
           Window.partitionBy(col("item_id"))
             .orderBy(col("c").desc, col("label"))))

@@ -355,7 +355,7 @@ object WindowPack {
     // ppm. Gaps compare as µs longs — engine-exact, no float seconds.
     // Scale: one shuffle on user_id feeds the lag window (per-user
     // partitions, bounded by user activity); everything after the pair
-    // count is alphabet²-sized, and the per-from totals broadcast.
+    // count is alphabet²-sized, where the per-from totals are a window sum.
     "q143_event_transitions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tus"), col("event_id"))
@@ -370,9 +370,12 @@ object WindowPack {
         .groupBy(col("prev_type").as("from_type"),
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-      val tot = tr.groupBy(col("from_type"))
-        .agg(sum(col("n")).cast("long").as("from_total"))
-      tr.join(broadcast(tot), "from_type")
+      // per-from totals as a window over the already-aggregated alphabet²
+      // relation — a second aggregation would re-derive (and re-scan) the
+      // whole corpus subtree, q140's self-reference replan trap
+      tr.withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("long"))
         .withColumn("share_ppm",
           expr("(1000000 * n) div from_total").cast("long"))
         .select(col("from_type"), col("to_type"), col("n"),
@@ -386,19 +389,20 @@ object WindowPack {
     // buckets ⟺ (nb·x − S)² > 9·(nb·Q − S²) with S = Σx, Q = Σx² — no
     // division, no floats, byte-exact on any engine. Output ∝ anomalies
     // (plus direction), never the bucket table. Scale: one (type, hour)
-    // partial-agg shuffle; the per-type stats relation is alphabet-sized
-    // and broadcasts back. At corpus scale the squared terms move to
-    // DECIMAL(38) before (nb·x)² can cross 2^63.
+    // partial-agg shuffle; the per-type stats ride a window over the
+    // bucket relation (hours × alphabet rows — a second aggregation would
+    // duplicate the corpus subtree). At corpus scale the squared terms
+    // move to DECIMAL(38) before (nb·x)² can cross 2^63.
     "q144_count_anomaly" -> ((s, d) => {
       val b = Tables.events(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt"))
-      val st = b.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("nb"), sum(col("cnt")).cast("long").as("s"),
-          sum(col("cnt") * col("cnt")).cast("long").as("q"))
+      val wt = Window.partitionBy(col("event_type"))
       val dev = col("nb") * col("cnt") - col("s")
-      b.join(broadcast(st), "event_type")
+      b.withColumn("nb", count(lit(1)).over(wt))
+        .withColumn("s", sum(col("cnt")).over(wt).cast("long"))
+        .withColumn("q", sum(col("cnt") * col("cnt")).over(wt).cast("long"))
         .filter(dev * dev > lit(9L) * (col("nb") * col("q") - col("s") * col("s")))
         .withColumn("direction",
           when(dev > 0, "high").otherwise("low"))

@@ -552,4 +552,39 @@ class PlanQualitySpec extends GraftSuite {
       plan.lastIndexOf("HashAggregate") > exchange,
       s"no partial-agg before the shuffle:\n$plan")
   }
+
+  test("q143: the corpus is scanned and user_id-shuffled exactly once") {
+    val plan = executedPlan(
+      WindowPack.queries("q143_event_transitions")(spark, sf))
+    // the from-totals are a window over the alphabet² pair counts — a
+    // second aggregation would duplicate the whole corpus subtree
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1, s"expected 1 user_id exchange:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
+  test("q144: the corpus is scanned once; stats are a window over the bucket relation") {
+    val plan = executedPlan(
+      WindowPack.queries("q144_count_anomaly")(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"stats must ride a window, not a rejoin of a duplicated subtree:\n$plan")
+  }
+
+  test("q141: winner pick stays a WindowGroupLimit heap; rater agg partial-aggregates") {
+    val plan = executedPlan(
+      graft.operators.CurationPack.queries("q141_rater_quality")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    val exchange = plan.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && plan.lastIndexOf("HashAggregate") > exchange,
+      s"no partial-agg before the shuffle:\n$plan")
+    // ratings + the checkpointed count relation: exactly two corpus scans
+    // (winner/qualifier reuse the checkpoint instead of re-deriving)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, // `cl` is checkpointed pre-plan, so only ratings scans
+      s"expected 1 events scan (cl checkpointed), got $scans:\n$plan")
+  }
 }
