@@ -28,6 +28,9 @@ final case class FunnelSession(user_id: Long, sess_start: Long,
   * triples of the not-yet-closed session. */
 final case class FunnelBufState(buf: Seq[(Long, Long, String)])
 
+/** One session-final consecutive event pair — [[StreamOps.sessionTransitions]]. */
+final case class TransitionPair(user_id: Long, from_type: String, to_type: String)
+
 /** One signed update to a cohort-retention cell (q138's streaming form):
   * `delta` is +1 / -1 so late data that rewinds a user's first-active week
   * RETRACTS the previously emitted cells instead of double-counting. */
@@ -214,15 +217,9 @@ object StreamOps {
     * 1799.9995 s gap the batch keeps). Input must carry a watermark on
     * `ts`. */
   def sessionFunnel(events: Dataset[Ev], gapSec: Long = 1800L): Dataset[FunnelSession] = {
-    implicit val stateEnc = Encoders.product[FunnelBufState]
     implicit val outEnc = Encoders.product[FunnelSession]
-    implicit val keyEnc = Encoders.scalaLong
-    val gapUs = gapSec * 1000000L
 
-    def micros(ts: java.sql.Timestamp): Long =
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
-    def close(user: Long, s: Seq[(Long, Long, String)]): FunnelSession = {
+    def close(user: Long, s: Seq[(Long, Long, String)]): Iterator[FunnelSession] = {
       val tv = s.collectFirst { case (t, _, "view") => t }
       val tc = tv.flatMap(v =>
         s.collectFirst { case (t, _, "click") if t >= v => t })
@@ -230,12 +227,54 @@ object StreamOps {
         s.collectFirst { case (t, _, "purchase") if t >= c => t })
       val stage = if (tp.isDefined) 3 else if (tc.isDefined) 2
         else if (tv.isDefined) 1 else 0
-      FunnelSession(user, Math.floorDiv(s.head._1, 1000000L), s.size.toLong, stage)
+      Iterator.single(FunnelSession(
+        user, Math.floorDiv(s.head._1, 1000000L), s.size.toLong, stage))
     }
+
+    sessionClosed(events, gapSec)(close)
+  }
+
+  /** Q143's streaming twin: consecutive event pairs of each CLOSED
+    * session, emitted exactly once (the same watermark-gated close as
+    * [[sessionFunnel]] — a pair is final only when its session is).
+    * Within a closed session consecutive gaps are < gap by construction
+    * (sessions split at >= gap), so the pair stream counts to exactly the
+    * batch q143 matrix; the per-from totals/shares are then an
+    * alphabet²-sized pass over the folded counts ([[transitionCounts]]),
+    * never the corpus. */
+  def sessionTransitions(events: Dataset[Ev], gapSec: Long = 1800L): Dataset[TransitionPair] = {
+    implicit val outEnc = Encoders.product[TransitionPair]
+    sessionClosed(events, gapSec)((user, s) =>
+      s.iterator.zip(s.iterator.drop(1)).map {
+        case (a, b) => TransitionPair(user, a._3, b._3)
+      })
+  }
+
+  /** The live (from, to) count matrix: [[sessionTransitions]] folded by a
+    * streaming sum (update mode). */
+  def transitionCounts(events: Dataset[Ev]): DataFrame =
+    sessionTransitions(events)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Shared watermark-gated session machinery behind [[sessionFunnel]]
+    * and [[sessionTransitions]]: per-user event buffer, 30-min-gap split
+    * over the sorted buffer, the provably-final session prefix (last +
+    * gap ≤ watermark) handed to `closeFn`, the rest kept in state with
+    * the event-time timer re-armed at the earliest pending close point. */
+  private def sessionClosed[T](events: Dataset[Ev], gapSec: Long)(
+      closeFn: (Long, Seq[(Long, Long, String)]) => Iterator[T])(
+      implicit outEnc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val stateEnc = Encoders.product[FunnelBufState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapSec * 1000000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
     // emit the provably-final session prefix, keep the rest + re-arm
     def drain(user: Long, buf: Seq[(Long, Long, String)],
-              state: GroupState[FunnelBufState]): Iterator[FunnelSession] = {
+              state: GroupState[FunnelBufState]): Iterator[T] = {
       val sorted = buf.sortBy(e => (e._1, e._2))
       val sessions = sorted.foldLeft(Vector(Vector.empty[(Long, Long, String)])) {
         case (acc, e) =>
@@ -253,7 +292,7 @@ object StreamOps {
         state.setTimeoutTimestamp(
           Math.floorDiv(pending.head.last._1 + gapUs + 999L, 1000L))
       }
-      closed.map(s => close(user, s)).iterator
+      closed.iterator.flatMap(s => closeFn(user, s))
     }
 
     events.groupByKey(_.user_id)

@@ -103,6 +103,39 @@ class FunnelStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streamed session transitions count to exactly the batch q143 matrix") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionTransitions(
+        stream.toDS().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      // reversed chunks: in-chunk arrival disorder must not matter (the
+      // buffer sorts by (tus, event_id) at close)
+      all.grouped(all.length / 3 + 1)
+        .foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val sentinelTs = new java.sql.Timestamp(all.last.ts.getTime + 30L * 86400 * 1000)
+      stream.addData(Ev(999999999L, sentinelTs, -1L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(999999998L,
+        new java.sql.Timestamp(sentinelTs.getTime + 86400000L), -1L, "signup", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("trans_stream")
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = WindowPack.queries("q143_event_transitions")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"streamed counts != batch q143: $got vs $want")
+    } finally q.stop()
+  }
+
   test("an admissible late event bridges a straddled gap instead of splitting it") {
     // the exact scenario the watermark gate exists for: with allowed
     // lateness, a gap-straddling buffer must NOT close early — the late
