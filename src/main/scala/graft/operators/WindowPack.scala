@@ -80,6 +80,7 @@ object WindowPack {
           && col("ts") >= col("t_click"), col("ts"))).over(wS))
       .groupBy(col("user_id"), col("sid"))
       .agg(unix_timestamp(min(col("ts"))).as("sess_start"),
+        min(unix_micros(col("ts"))).as("first_us"),
         count(lit(1)).as("n_events"),
         max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
         max(col("t_purchase")).as("tp"))
@@ -347,6 +348,36 @@ object WindowPack {
         .orderBy(col("delay_sec"))
     }),
 
+    // Stage-latency histogram — the funnel's companion metric: how long
+    // each funnel hop took (session start → first view, view → first
+    // ordered click), bucketed to whole minutes per cohort. Durations are
+    // exact µs differences floor-divided to minutes — all-integer,
+    // engine-exact — and the histogram form keeps the output bounded by
+    // cohorts × stages × minutes (a per-cohort exact percentile would
+    // instead sort 10 hot groups; any quantile is derivable downstream).
+    // Both stages ride ONE pass over q91's per-session staging: the
+    // stage rows are an explode of per-row structs, never a self-union
+    // that would duplicate the sessionization subtree. Further hops
+    // (click → purchase) slot in as more structs; the synthetic corpus
+    // never completes that hop, so it is left out rather than shipping a
+    // dead branch.
+    "q145_stage_latency" -> ((s, d) => {
+      funnelSessions(Tables.events(s, d))
+        .select((col("user_id") % 10).as("cohort"), explode(array(
+          struct(lit("start_view").as("stage"),
+            // `div`, not `/`: Column / is double division
+            expr("(unix_micros(tv) - first_us) div 60000000")
+              .cast("long").as("latency_min")),
+          struct(lit("view_click").as("stage"),
+            expr("(unix_micros(tc) - unix_micros(tv)) div 60000000")
+              .cast("long").as("latency_min")))).as("x"))
+        .filter(col("x.latency_min").isNotNull)
+        .groupBy(col("cohort"), col("x.stage").as("stage"),
+          col("x.latency_min").as("latency_min"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cohort"), col("stage"), col("latency_min"))
+    }),
+
     // Event-transition (Markov) matrix — the user-journey table behind
     // "what do users do after a click": consecutive same-user event pairs
     // closer than the 30-min session gap (strict <, the complement of
@@ -422,6 +453,40 @@ object WindowPack {
     })
   )
 
+  /** The q91 session-staging CTE chain (sessionize → ordered stage
+    * minima → one row per session), shared by the q91 and q145 oracles. */
+  private val sqlFunnelCtes: String =
+    """marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |), s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id, sid) AS t_view
+      |  FROM numbered
+      |), s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
+      |      AND ts >= t_view THEN ts END)
+      |    OVER (PARTITION BY user_id, sid) AS t_click
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
+      |      AND ts >= t_click THEN ts END)
+      |    OVER (PARTITION BY user_id, sid) AS t_purchase
+      |  FROM s2
+      |), per AS (
+      |  SELECT user_id, sid, max(t_view) AS tv, max(t_click) AS tc,
+      |    max(t_purchase) AS tp, min(epoch_us(ts)) AS first_us
+      |  FROM s3 GROUP BY user_id, sid
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_tumbling_stats" ->
       """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS wstart,
@@ -483,36 +548,7 @@ object WindowPack {
 
     "q91_funnel" -> {
       def r4(e: String) = graft.functions.Hashes.sqlRound(e, 4)
-      s"""WITH marked AS (
-         |  SELECT user_id, event_id, ts, event_type,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-         |         THEN 1 ELSE 0 END AS new_s
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |), numbered AS (
-         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM marked
-         |), s1 AS (
-         |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
-         |    OVER (PARTITION BY user_id, sid) AS t_view
-         |  FROM numbered
-         |), s2 AS (
-         |  SELECT *, min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
-         |      AND ts >= t_view THEN ts END)
-         |    OVER (PARTITION BY user_id, sid) AS t_click
-         |  FROM s1
-         |), s3 AS (
-         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
-         |      AND ts >= t_click THEN ts END)
-         |    OVER (PARTITION BY user_id, sid) AS t_purchase
-         |  FROM s2
-         |), per AS (
-         |  SELECT user_id, sid, max(t_view) AS tv, max(t_click) AS tc,
-         |    max(t_purchase) AS tp
-         |  FROM s3 GROUP BY user_id, sid
-         |)
+      s"""WITH $sqlFunnelCtes
          |SELECT user_id % 10 AS cohort, count(*) AS n_sessions,
          |  count(tv) AS n_view, count(tc) AS n_view_click,
          |  count(tp) AS n_full_funnel,
@@ -603,6 +639,19 @@ object WindowPack {
          |    AS late_share
          |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q145_stage_latency" ->
+      s"""WITH $sqlFunnelCtes, stages AS (
+         |  SELECT user_id % 10 AS cohort, 'start_view' AS stage,
+         |    (epoch_us(tv) - first_us) // 60000000 AS latency_min
+         |  FROM per WHERE tv IS NOT NULL
+         |  UNION ALL
+         |  SELECT user_id % 10, 'view_click',
+         |    (epoch_us(tc) - epoch_us(tv)) // 60000000
+         |  FROM per WHERE tc IS NOT NULL
+         |)
+         |SELECT cohort, stage, latency_min, count(*)::BIGINT AS n
+         |FROM stages GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q143_event_transitions" ->
       """WITH seq AS (

@@ -117,6 +117,33 @@ class WindowPackSpec extends GraftSuite {
     }
   }
 
+  test("q145 stage latencies equal a driver recompute and reconcile with q91") {
+    val sess = WindowPack.funnelSessions(Tables.events(spark, sf))
+      .select(col("user_id"), col("first_us"),
+        expr("unix_micros(tv)").as("v"), expr("unix_micros(tc)").as("c"))
+      .collect()
+    val want = sess.flatMap { r =>
+      val cohort = r.getLong(0) % 10
+      val sv = if (r.isNullAt(2)) Nil else Seq((cohort, "start_view",
+        Math.floorDiv(r.getLong(2) - r.getLong(1), 60000000L)))
+      val vc = if (r.isNullAt(3)) Nil else Seq((cohort, "view_click",
+        Math.floorDiv(r.getLong(3) - r.getLong(2), 60000000L)))
+      sv ++ vc
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = WindowPack.queries("q145_stage_latency")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == want)
+    // cell totals reconcile with q91's stage counts: one start_view row
+    // per session with a view, one view_click row per ordered click
+    val q91 = WindowPack.queries("q91_funnel")(spark, sf).collect()
+    assert(got.filter(_._1._2 == "start_view").values.sum ==
+      q91.map(_.getLong(2)).sum)
+    assert(got.filter(_._1._2 == "view_click").values.sum ==
+      q91.map(_.getLong(3)).sum)
+    got.keys.foreach { case (_, _, m) => assert(m >= 0) }
+  }
+
   test("q143 transitions equal a driver-side consecutive-pair recomputation") {
     val byUser = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
