@@ -441,6 +441,18 @@ object WindowPack {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // A/B experiment evaluation — the two-proportion z-test every
+    // product-analytics pipeline ends in, in pure integers: variant =
+    // user_id % 2, exposure = any view, conversion = a purchase within
+    // 24 h after the user's FIRST view. Significance at 95% without a
+    // single float: z² > 3.8416 ⟺ 2500·(c_a·n_b − c_b·n_a)²·(n_a+n_b) >
+    // 9604·n_a·n_b·c·(n−c) (pooled variance cleared of its denominators;
+    // 3.8416 = 9604/2500 exactly) — the decision is byte-identical on
+    // any engine, no rounding contract at all. See [[abEval]] for the
+    // shuffle shape and the DECIMAL(38) note.
+    "q146_ab_experiment" -> ((s, d) =>
+      abEval(Tables.events(s, d), 86400000000L)),
+
     // ROLLUP grouping sets (absent in the reference — SURVEY §2.5 "absent"
     // list — declared-supported in our engine; Catalyst expands for free).
     "q25_rollup" -> ((s, d) => {
@@ -452,6 +464,43 @@ object WindowPack {
         .orderBy(col("day_epoch").asc_nulls_first, col("event_type").asc_nulls_first)
     })
   )
+
+  /** q146's core over an arbitrary events frame (the spec drives the
+    * significant branch with synthetic skew — the uniform corpus's
+    * variants are near-identical by construction, so `significant` is
+    * false there). Scale: the first-view window and the per-user
+    * conversion fold share ONE user_id exchange; the variant rollup
+    * partial-aggregates each partition to ≤ 2 rows before its shuffle, so
+    * the 2-key "hot" groupBy never moves user-count rows. The z² integers
+    * reach ~(c·n)²·n — at ≳10⁸ exposed users per variant move the last
+    * three columns to DECIMAL(38) (q144's note). */
+  def abEval(events: DataFrame, windowUs: Long): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val flags = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("tus"))).over(wU))
+      .filter(col("fv").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase"
+        && col("tus") > col("fv")
+        && col("tus") <= col("fv") + windowUs, 1L).otherwise(0L)).as("conv"))
+    flags.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).cast("long").as("n_a"),
+        max(when(col("variant") === 0, col("c"))).cast("long").as("c_a"),
+        max(when(col("variant") === 1, col("n"))).cast("long").as("n_b"),
+        max(when(col("variant") === 1, col("c"))).cast("long").as("c_b"))
+      .withColumn("cr_a_ppm", expr("(1000000 * c_a) div n_a"))
+      .withColumn("cr_b_ppm", expr("(1000000 * c_b) div n_b"))
+      .withColumn("z2_lhs", expr(
+        "2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)"))
+      .withColumn("z2_rhs", expr(
+        "9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)"))
+      .withColumn("significant", col("z2_lhs") > col("z2_rhs"))
+  }
 
   /** The q91 session-staging CTE chain (sessionize → ordered stage
     * minima → one row per session), shared by the q91 and q145 oracles. */
@@ -639,6 +688,41 @@ object WindowPack {
          |    AS late_share
          |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q146_ab_experiment" ->
+      """WITH fv AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS fv
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND tus > fv
+        |          AND tus <= fv + 86400000000 THEN 1 ELSE 0 END) AS conv
+        |  FROM fv WHERE fv IS NOT NULL GROUP BY user_id
+        |), v AS (
+        |  SELECT user_id % 2 AS variant, count(*)::BIGINT AS n,
+        |    sum(conv)::BIGINT AS c
+        |  FROM flags GROUP BY 1
+        |), w AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 0 THEN n END)::BIGINT AS n_a,
+        |    max(CASE WHEN variant = 0 THEN c END)::BIGINT AS c_a,
+        |    max(CASE WHEN variant = 1 THEN n END)::BIGINT AS n_b,
+        |    max(CASE WHEN variant = 1 THEN c END)::BIGINT AS c_b
+        |  FROM v
+        |)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  ((1000000 * c_a) // n_a)::BIGINT AS cr_a_ppm,
+        |  ((1000000 * c_b) // n_b)::BIGINT AS cr_b_ppm,
+        |  (2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b))::BIGINT
+        |    AS z2_lhs,
+        |  (9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))::BIGINT
+        |    AS z2_rhs,
+        |  2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)
+        |    > 9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)
+        |    AS significant
+        |FROM w""".stripMargin,
 
     "q145_stage_latency" ->
       s"""WITH $sqlFunnelCtes, stages AS (

@@ -136,6 +136,48 @@ class FunnelStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("session transitions survive a checkpoint restart with a pending buffered session") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trans_rec").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    val sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long, user: Long, et: String) =
+      (id, new java.sql.Timestamp(ms), user, et, 1.0)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+    def runOnce(c: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      c.toDF(cols: _*).write.mode("append").parquet(in)
+      val q = StreamOps.sessionTransitions(
+          spark.readStream.schema(sch).parquet(in).as[Ev]
+            .withWatermark("ts", "1 second"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop() // "crash" between chunks
+    }
+    // run 1 buffers an OPEN session (3 events) — nothing may close yet
+    runOnce(Seq(ev(1, t0, 7L, "view"), ev(2, t0 + 60000, 7L, "click"),
+      ev(3, t0 + 120000, 7L, "view")))
+    // run 2: a 4th same-session event (pairs correctly only if the
+    // buffered state recovered) + a second session that advances the
+    // watermark past session 1's close point
+    runOnce(Seq(ev(4, t0 + 180000, 7L, "click"),
+      ev(5, t0 + 7200000, 7L, "view"), ev(6, t0 + 7260000, 7L, "purchase")))
+    // two sentinel runs fire the timer on the pending session 2
+    runOnce(Seq(ev(9, t0 + 40L * 86400000L, -1L, "signup")))
+    runOnce(Seq(ev(10, t0 + 41L * 86400000L, -1L, "signup")))
+
+    val got = spark.read.parquet(out).filter(col("user_id") === 7L)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("view", "click") -> 2L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L),
+      s"restart lost or duplicated session pairs: $got")
+  }
+
   test("an admissible late event bridges a straddled gap instead of splitting it") {
     // the exact scenario the watermark gate exists for: with allowed
     // lateness, a gap-straddling buffer must NOT close early — the late

@@ -144,6 +144,46 @@ class WindowPackSpec extends GraftSuite {
     got.keys.foreach { case (_, _, m) => assert(m >= 0) }
   }
 
+  test("q146 A/B evaluation equals a driver recompute; synthetic skew goes significant") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val flags = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val fv = es.collect { case (_, "view", t) => t }.minOption
+      fv.map(v => (u % 2, if (es.exists { case (_, et, t) =>
+        et == "purchase" && t > v && t <= v + 86400000000L }) 1L else 0L))
+    }
+    val (na, ca) = (flags.count(_._1 == 0).toLong,
+      flags.filter(_._1 == 0).map(_._2).sum)
+    val (nb, cb) = (flags.count(_._1 == 1).toLong,
+      flags.filter(_._1 == 1).map(_._2).sum)
+    val row = WindowPack.queries("q146_ab_experiment")(spark, sf).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == (na, ca, nb, cb))
+    val d = ca * nb - cb * na
+    assert(row.getBoolean(8) ==
+      (2500L * d * d * (na + nb) > 9604L * na * nb * (ca + cb) * (na + nb - ca - cb)))
+
+    // synthetic 90% vs 10% conversion, 100 users per variant: the
+    // significant branch must fire (the uniform corpus never does)
+    val t0 = 1700000000000L
+    val synth = (0 until 200).flatMap { u =>
+      val converts = if (u % 2 == 0) (u / 2) % 10 < 9 else (u / 2) % 10 < 1
+      val view = (u.toLong * 10 + 1, new java.sql.Timestamp(t0 + u * 1000L),
+        u.toLong, "view", 1.0)
+      val purchase = (u.toLong * 10 + 2,
+        new java.sql.Timestamp(t0 + u * 1000L + 60000L),
+        u.toLong, "purchase", 1.0)
+      if (converts) Seq(view, purchase) else Seq(view)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = WindowPack.abEval(synth, 86400000000L).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      == (100L, 90L, 100L, 10L))
+    assert(s.getLong(4) == 900000L && s.getLong(5) == 100000L)
+    assert(s.getBoolean(8), "90% vs 10% at n=100 must be significant")
+  }
+
   test("q143 transitions equal a driver-side consecutive-pair recomputation") {
     val byUser = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
