@@ -582,13 +582,7 @@ object CurationPack {
         sum(col("c")).cast("long").as("n_ratings"),
         count(lit(1)).as("n_labels"),
         sum(col("c") * (col("c") - 1)).cast("long").as("agree_num"))
-      val top = cl.withColumn("rn", row_number().over(
-          Window.partitionBy(col("item_id"))
-            .orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("item_id"), col("label").as("top_label"),
-          col("c").as("top_count"))
-      per.join(top, "item_id")
+      per.join(topLabelOf(cl), "item_id")
         .filter(col("n_ratings") >= 2)
         .withColumn("agreement_ppm",
           expr("(1000000 * agree_num) div (n_ratings * (n_ratings - 1))")
@@ -626,15 +620,10 @@ object CurationPack {
       // pin the count relation: `top` and `qual` both derive from it, and
       // without the checkpoint each re-derives (and re-scans) the corpus
       val cl = ratingCounts(s, d).localCheckpoint()
-      val top = cl.withColumn("rn", row_number().over(
-          Window.partitionBy(col("item_id"))
-            .orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("item_id"), col("label").as("top_label"))
       val qual = cl.groupBy(col("item_id"))
         .agg(sum(col("c")).cast("long").as("n"))
         .filter(col("n") >= 2)
-        .join(top, "item_id")
+        .join(topLabelOf(cl), "item_id")
         .select(col("item_id"), col("top_label"))
       ratings.join(qual, "item_id")
         .groupBy(col("rater"))
@@ -692,6 +681,25 @@ object CurationPack {
     """SELECT CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item_id,
       |       event_type AS label, count(*)::BIGINT AS c
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Adjudicated winner per item over the (item_id, label, c) counts —
+    * count desc, label asc. The ONE place the adjudication policy lives
+    * (q134's winner and q141's rater scoring share it). */
+  private def topLabelOf(cl: DataFrame): DataFrame =
+    cl.withColumn("rn", row_number().over(
+        Window.partitionBy(col("item_id"))
+          .orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("item_id"), col("label").as("top_label"),
+        col("c").as("top_count"))
+
+  /** SQL twin of [[topLabelOf]] — expects a CTE named `cl` in scope. */
+  private val sqlTopLabel: String =
+    """SELECT item_id, label AS top_label, c AS top_count FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY item_id ORDER BY c DESC, label) AS rn
+      |    FROM cl)
+      |  WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q55_decontaminate" ->
@@ -950,11 +958,7 @@ object CurationPack {
          |    sum(c * (c - 1))::BIGINT AS agree_num
          |  FROM cl GROUP BY item_id
          |), top AS (
-         |  SELECT item_id, label AS top_label, c AS top_count FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY item_id ORDER BY c DESC, label) AS rn
-         |    FROM cl)
-         |  WHERE rn = 1
+         |  $sqlTopLabel
          |)
          |SELECT per.item_id, n_ratings, n_labels, top_label, top_count,
          |  ((1000000 * agree_num)
@@ -999,11 +1003,7 @@ object CurationPack {
          |), cl AS (
          |  $sqlRatingCounts
          |), top AS (
-         |  SELECT item_id, label AS top_label FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY item_id ORDER BY c DESC, label) AS rn
-         |    FROM cl)
-         |  WHERE rn = 1
+         |  $sqlTopLabel
          |), qual AS (
          |  SELECT item_id, top_label
          |  FROM (SELECT item_id, sum(c)::BIGINT AS n FROM cl GROUP BY item_id)

@@ -679,6 +679,25 @@ object PipelinePack {
     })
   )
 
+  /** Recursive transitive-closure chain over TextPack's verified
+    * near-dup pair relation, ending in `lab(id, cluster)` (cluster = min
+    * member id) — the ONE place the closure SQL lives, shared by the
+    * q44/q137/q142 oracles (q94 closes over its own fuzzy pair CTE). */
+  private val sqlCcCtes: String =
+    s"""${TextPack.sqlPairCtes}, edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL
+       |  SELECT j AS a, i AS b FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT a AS id FROM edges
+       |), reach AS (
+       |  SELECT id, id AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+       |), lab AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same hash split + fingerprint compare; FULL OUTER JOIN mirrors the
     // Spark plan exactly.
@@ -708,37 +727,13 @@ object PipelinePack {
          |FROM diff WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
 
     "q44_dup_clusters" ->
-      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
-         |  SELECT i AS a, j AS b FROM pairs
-         |  UNION ALL
-         |  SELECT j AS a, i AS b FROM pairs
-         |), nodes AS (
-         |  SELECT DISTINCT a AS id FROM edges
-         |), reach AS (
-         |  SELECT id, id AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-         |), lab AS (
-         |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
-         |)
+      s"""WITH RECURSIVE $sqlCcCtes
          |SELECT cluster, count(*) AS n_members,
          |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
          |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q142_cluster_reps" ->
-      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
-         |  SELECT i AS a, j AS b FROM pairs
-         |  UNION ALL
-         |  SELECT j AS a, i AS b FROM pairs
-         |), nodes AS (
-         |  SELECT DISTINCT a AS id FROM edges
-         |), reach AS (
-         |  SELECT id, id AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-         |), lab AS (
-         |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
-         |), qual AS (
+      s"""WITH RECURSIVE $sqlCcCtes, qual AS (
          |  ${TextPack.oracle("q36_quality_score")}
          |), j AS (
          |  SELECT lab.cluster, lab.id, qual.quality
@@ -1005,24 +1000,12 @@ object PipelinePack {
     // Same recursive-CTE closure that gates q44, then the seed semi-join +
     // full-outer union with off-graph seeds.
     "q137_takedown" ->
-      s"""WITH RECURSIVE ${TextPack.sqlPairCtes}, edges AS (
-         |  SELECT i AS a, j AS b FROM pairs
-         |  UNION ALL
-         |  SELECT j AS a, i AS b FROM pairs
-         |), nodes AS (
-         |  SELECT DISTINCT a AS id FROM edges
-         |), reach AS (
-         |  SELECT id, id AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-         |), lab AS (
-         |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
-         |), seeds AS (
+      s"""WITH RECURSIVE $sqlCcCtes, seeds AS (
          |  SELECT doc_id FROM documents WHERE doc_id % 37 = 0
          |), flagged AS (
-         |  SELECT id AS fid, lbl FROM lab
-         |  WHERE lbl IN (SELECT l.lbl FROM lab l
-         |                JOIN seeds s ON l.id = s.doc_id)
+         |  SELECT id AS fid, cluster AS lbl FROM lab
+         |  WHERE cluster IN (SELECT l.cluster FROM lab l
+         |                    JOIN seeds s ON l.id = s.doc_id)
          |)
          |SELECT coalesce(fid, doc_id) AS doc_id,
          |  CASE WHEN doc_id IS NOT NULL THEN 'seed'

@@ -422,19 +422,25 @@ object WindowPack {
     // (plus direction), never the bucket table. Scale: one (type, hour)
     // partial-agg shuffle; the per-type stats ride a window over the
     // bucket relation (hours × alphabet rows — a second aggregation would
-    // duplicate the corpus subtree). At corpus scale the squared terms
-    // move to DECIMAL(38) before (nb·x)² can cross 2^63.
+    // duplicate the corpus subtree). The comparison runs in DECIMAL(38,0)
+    // (s² alone crosses 2^63 at ~3e9 events per type — int64 would WRAP
+    // silently there; 38 digits cover s ≤ ~1e18, far past any corpus) —
+    // no decimal reaches the output, so the hash contract stays integer.
     "q144_count_anomaly" -> ((s, d) => {
       val b = Tables.events(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt"))
       val wt = Window.partitionBy(col("event_type"))
-      val dev = col("nb") * col("cnt") - col("s")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val dev = dec(col("nb")) * dec(col("cnt")) - dec(col("s"))
       b.withColumn("nb", count(lit(1)).over(wt))
         .withColumn("s", sum(col("cnt")).over(wt).cast("long"))
-        .withColumn("q", sum(col("cnt") * col("cnt")).over(wt).cast("long"))
-        .filter(dev * dev > lit(9L) * (col("nb") * col("q") - col("s") * col("s")))
+        // Σcnt² accumulates in decimal too: one 2^31.5-count hour already
+        // wraps an int64 square
+        .withColumn("q", sum(dec(col("cnt")) * dec(col("cnt"))).over(wt))
+        .filter(dev * dev > dec(lit(9L)) *
+          (dec(col("nb")) * col("q") - dec(col("s")) * dec(col("s"))))
         .withColumn("direction",
           when(dev > 0, "high").otherwise("low"))
         .select(col("event_type"), col("hr"), col("cnt"), col("direction"))
@@ -471,9 +477,15 @@ object WindowPack {
     * false there). Scale: the first-view window and the per-user
     * conversion fold share ONE user_id exchange; the variant rollup
     * partial-aggregates each partition to ≤ 2 rows before its shuffle, so
-    * the 2-key "hot" groupBy never moves user-count rows. The z² integers
-    * reach ~(c·n)²·n — at ≳10⁸ exposed users per variant move the last
-    * three columns to DECIMAL(38) (q144's note). */
+    * the 2-key "hot" groupBy never moves user-count rows. The z² terms
+    * are compared in DECIMAL(38,0) — int64 wraps SILENTLY already at
+    * ~10⁶ users/variant with a routine 2pp lift (d = c_a·n_b − c_b·n_a
+    * ≈ Δp·n²/4, and 2500·d²·n must fit) — and the decimals stay internal
+    * so every output column keeps the integer hash contract. 38 digits
+    * hold to n ≈ 10⁷ total in the adversarial worst case (full-vs-zero
+    * conversion) and ≈ 10⁹ at realistic lifts; beyond that the overflow
+    * SURFACES (NULL verdict on Spark, error on DuckDB) instead of
+    * silently flipping the verdict. */
   def abEval(events: DataFrame, windowUs: Long): DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
     val flags = events
@@ -495,11 +507,12 @@ object WindowPack {
         max(when(col("variant") === 1, col("c"))).cast("long").as("c_b"))
       .withColumn("cr_a_ppm", expr("(1000000 * c_a) div n_a"))
       .withColumn("cr_b_ppm", expr("(1000000 * c_b) div n_b"))
-      .withColumn("z2_lhs", expr(
-        "2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)"))
-      .withColumn("z2_rhs", expr(
-        "9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)"))
-      .withColumn("significant", col("z2_lhs") > col("z2_rhs"))
+      .withColumn("significant", expr(
+        """2500 * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+          |     * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+          |     * (n_a + n_b)
+          | > 9604 * CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+          |     * (n_a + n_b - c_a - c_b)""".stripMargin))
   }
 
   /** The q91 session-staging CTE chain (sessionize → ordered stage
@@ -715,12 +728,10 @@ object WindowPack {
         |SELECT n_a, c_a, n_b, c_b,
         |  ((1000000 * c_a) // n_a)::BIGINT AS cr_a_ppm,
         |  ((1000000 * c_b) // n_b)::BIGINT AS cr_b_ppm,
-        |  (2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b))::BIGINT
-        |    AS z2_lhs,
-        |  (9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))::BIGINT
-        |    AS z2_rhs,
-        |  2500 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)
-        |    > 9604 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)
+        |  2500::HUGEINT * (c_a::HUGEINT*n_b - c_b::HUGEINT*n_a)
+        |      * (c_a::HUGEINT*n_b - c_b::HUGEINT*n_a) * (n_a + n_b)
+        |    > 9604::HUGEINT * n_a * n_b * (c_a + c_b)
+        |      * (n_a + n_b - c_a - c_b)
         |    AS significant
         |FROM w""".stripMargin,
 

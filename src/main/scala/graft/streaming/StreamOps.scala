@@ -251,9 +251,17 @@ object StreamOps {
   }
 
   /** The live (from, to) count matrix: [[sessionTransitions]] folded by a
-    * streaming sum (update mode). */
-  def transitionCounts(events: Dataset[Ev]): DataFrame =
-    sessionTransitions(events)
+    * streaming sum (update/complete mode). Chaining an aggregation after
+    * a flatMapGroupsWithState trips Spark's conservative global-watermark
+    * rule at query start — the caller scope-disables
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * around start() (PostStatisticsJob.runResolved's pattern). Safe by
+    * construction here: [[TransitionPair]] carries NO event-time column
+    * and the fold keys only on the type pair, so no row can be dropped as
+    * late — the rule's failure mode cannot occur. (FunnelStreamSpec runs
+    * this exact chain end-to-end against batch q143.) */
+  def transitionCounts(events: Dataset[Ev], gapSec: Long = 1800L): DataFrame =
+    sessionTransitions(events, gapSec)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
 

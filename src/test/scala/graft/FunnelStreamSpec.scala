@@ -136,6 +136,46 @@ class FunnelStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("transitionCounts runs the fold as a streaming query and matches batch q143") {
+    // the advertised live-matrix path itself: an unwindowed aggregation
+    // DOWNSTREAM of flatMapGroupsWithState must plan and fold correctly
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    // agg-after-fMGWS trips the conservative static watermark rule; safe
+    // here because the fold has no event-time column (see transitionCounts
+    // scaladoc) — scope the opt-out to query startup like runResolved
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
+    val q =
+      try StreamOps.transitionCounts(
+          stream.toDS().withWatermark("ts", "1 second"))
+        .writeStream.format("memory").queryName("trans_counts")
+        .outputMode("complete").start()
+      finally prev match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    try {
+      all.grouped(all.length / 3 + 1)
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      val sentinelTs = new java.sql.Timestamp(all.last.ts.getTime + 30L * 86400 * 1000)
+      stream.addData(Ev(999999999L, sentinelTs, -1L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(999999998L,
+        new java.sql.Timestamp(sentinelTs.getTime + 86400000L), -1L, "signup", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("trans_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = WindowPack.queries("q143_event_transitions")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"live matrix != batch q143: $got vs $want")
+    } finally q.stop()
+  }
+
   test("session transitions survive a checkpoint restart with a pending buffered session") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_trans_rec").toString

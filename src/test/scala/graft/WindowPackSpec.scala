@@ -162,8 +162,10 @@ class WindowPackSpec extends GraftSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
       == (na, ca, nb, cb))
     val d = ca * nb - cb * na
-    assert(row.getBoolean(8) ==
-      (2500L * d * d * (na + nb) > 9604L * na * nb * (ca + cb) * (na + nb - ca - cb)))
+    val lhs = BigInt(2500) * BigInt(d) * BigInt(d) * BigInt(na + nb)
+    val rhs = BigInt(9604) * BigInt(na) * BigInt(nb) * BigInt(ca + cb) *
+      BigInt(na + nb - ca - cb)
+    assert(row.getBoolean(6) == (lhs > rhs))
 
     // synthetic 90% vs 10% conversion, 100 users per variant: the
     // significant branch must fire (the uniform corpus never does)
@@ -181,7 +183,7 @@ class WindowPackSpec extends GraftSuite {
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
       == (100L, 90L, 100L, 10L))
     assert(s.getLong(4) == 900000L && s.getLong(5) == 100000L)
-    assert(s.getBoolean(8), "90% vs 10% at n=100 must be significant")
+    assert(s.getBoolean(6), "90% vs 10% at n=100 must be significant")
   }
 
   test("q143 transitions equal a driver-side consecutive-pair recomputation") {
