@@ -422,30 +422,15 @@ object WindowPack {
     // (plus direction), never the bucket table. Scale: one (type, hour)
     // partial-agg shuffle; the per-type stats ride a window over the
     // bucket relation (hours × alphabet rows — a second aggregation would
-    // duplicate the corpus subtree). The comparison runs in DECIMAL(38,0)
-    // (s² alone crosses 2^63 at ~3e9 events per type — int64 would WRAP
-    // silently there; 38 digits cover s ≤ ~1e18, far past any corpus) —
-    // no decimal reaches the output, so the hash contract stays integer.
-    "q144_count_anomaly" -> ((s, d) => {
-      val b = Tables.events(s, d)
+    // duplicate the corpus subtree). The scorecard itself lives in
+    // [[anomalyScore]] (DECIMAL(38,0) comparison; shared with the live
+    // streaming-fold path).
+    "q144_count_anomaly" -> ((s, d) =>
+      anomalyScore(Tables.events(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"))
-        .agg(count(lit(1)).as("cnt"))
-      val wt = Window.partitionBy(col("event_type"))
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val dev = dec(col("nb")) * dec(col("cnt")) - dec(col("s"))
-      b.withColumn("nb", count(lit(1)).over(wt))
-        .withColumn("s", sum(col("cnt")).over(wt).cast("long"))
-        // Σcnt² accumulates in decimal too: one 2^31.5-count hour already
-        // wraps an int64 square
-        .withColumn("q", sum(dec(col("cnt")) * dec(col("cnt"))).over(wt))
-        .filter(dev * dev > dec(lit(9L)) *
-          (dec(col("nb")) * col("q") - dec(col("s")) * dec(col("s"))))
-        .withColumn("direction",
-          when(dev > 0, "high").otherwise("low"))
-        .select(col("event_type"), col("hr"), col("cnt"), col("direction"))
-        .orderBy(col("event_type"), col("hr"))
-    }),
+        .agg(count(lit(1)).as("cnt")))
+        .orderBy(col("event_type"), col("hr"))),
 
     // A/B experiment evaluation — the two-proportion z-test every
     // product-analytics pipeline ends in, in pure integers: variant =
@@ -470,6 +455,30 @@ object WindowPack {
         .orderBy(col("day_epoch").asc_nulls_first, col("event_type").asc_nulls_first)
     })
   )
+
+  /** q144's 3σ scorecard over an arbitrary (event_type, hr, cnt) bucket
+    * relation — shared by the batch query and the live monitor path
+    * (StreamingSpec folds hourly counts with a streaming window agg and
+    * scores the folded table with this exact pass; counts are the
+    * sufficient statistic, the LabelQualityJob pattern). The comparison
+    * runs in DECIMAL(38,0) (s² alone crosses 2^63 at ~3e9 events per
+    * type — int64 would WRAP silently there; 38 digits cover s ≤ ~1e18);
+    * no decimal reaches the output, so the hash contract stays integer. */
+  def anomalyScore(b: DataFrame): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dev = dec(col("nb")) * dec(col("cnt")) - dec(col("s"))
+    b.withColumn("nb", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("cnt")).over(wt).cast("long"))
+      // Σcnt² accumulates in decimal too: one 2^31.5-count hour already
+      // wraps an int64 square
+      .withColumn("q", sum(dec(col("cnt")) * dec(col("cnt"))).over(wt))
+      .filter(dev * dev > dec(lit(9L)) *
+        (dec(col("nb")) * col("q") - dec(col("s")) * dec(col("s"))))
+      .withColumn("direction",
+        when(dev > 0, "high").otherwise("low"))
+      .select(col("event_type"), col("hr"), col("cnt"), col("direction"))
+  }
 
   /** q146's core over an arbitrary events frame (the spec drives the
     * significant branch with synthetic skew — the uniform corpus's

@@ -278,6 +278,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("live anomaly monitor: streamed hourly counts + shared scorecard equal batch q144") {
+    // the ops-monitoring composition: a native streaming window count
+    // folds the live (type, hour) buckets — counts are the sufficient
+    // statistic — and WindowPack.anomalyScore (q144's own scorecard)
+    // scores the folded table
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val counts = stream.toDF()
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 3600000000").as("hr"), col("cnt"))
+    val q = counts.writeStream.format("memory").queryName("anomaly_counts")
+      .outputMode("complete").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1))
+        .foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val streamed = graft.operators.WindowPack
+        .anomalyScore(spark.table("anomaly_counts"))
+        .orderBy(col("event_type"), col("hr")).collect()
+      val batch = WindowPack.queries("q144_count_anomaly")(spark, sf).collect()
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("funnel sessions: stream equals batch and reconciles with q91's cohorts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
