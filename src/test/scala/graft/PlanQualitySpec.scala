@@ -581,10 +581,10 @@ class PlanQualitySpec extends GraftSuite {
     val exchange = plan.indexOf("Exchange hashpartitioning")
     assert(exchange >= 0 && plan.lastIndexOf("HashAggregate") > exchange,
       s"no partial-agg before the shuffle:\n$plan")
-    // ratings + the checkpointed count relation: exactly two corpus scans
-    // (winner/qualifier reuse the checkpoint instead of re-deriving)
+    // the count relation is localCheckpointed before planning, so the
+    // winner/qualifier passes reuse it and only the ratings stream scans
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, // `cl` is checkpointed pre-plan, so only ratings scans
+    assert(scans == 1,
       s"expected 1 events scan (cl checkpointed), got $scans:\n$plan")
   }
 }
