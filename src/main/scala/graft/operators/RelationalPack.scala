@@ -476,6 +476,45 @@ object RelationalPack {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // TPC-H Q21-shaped waiting-suppliers: the hardest decorrelation shape
+    // in the benchmark — a correlated EXISTS and NOT EXISTS against the
+    // same relation. Suppliers who were the SOLE late shipper (ship >
+    // order date + 60 d) on a finished multi-supplier order, ranked by
+    // offence count. Spark plans the quantifiers as a left-semi and a
+    // left-anti join; all three probes key on l_orderkey, so the chain
+    // rides ONE orderkey partitioning (AQE reuses the exchange), and the
+    // base 'F'-order relation is localCheckpointed — it feeds the late
+    // filter, the semi probe, and the anti probe, which would otherwise
+    // re-derive (and re-scan) the lineitem ⋈ orders join three times.
+    // The top-20 is a TakeOrdered heap under the (numwait desc, name)
+    // total order — deterministic at the cut.
+    "q147_waiting_suppliers" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("o_orderdate"))
+        .localCheckpoint()
+      val late = l.filter(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val withOther = late.as("l1").join(
+          l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l1.l_orderkey") === col("k2")
+            && col("l1.l_suppkey") =!= col("s2"), "left_semi")
+      val sole = withOther.join(
+          late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3")
+            && col("l_suppkey") =!= col("s3"), "left_anti")
+      sole.join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
     // revenue sold to ASIA customers, per order year. Every dimension
     // (part filter, supplier→nation, customer→nation→region) broadcasts;
@@ -818,6 +857,24 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q147_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), late AS (
+        |  SELECT * FROM l WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |              AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q130_trade_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -553,6 +553,20 @@ class PlanQualitySpec extends GraftSuite {
       s"no partial-agg before the shuffle:\n$plan")
   }
 
+  test("q147: quantifiers plan as semi/anti joins; base relation checkpointed to one derivation") {
+    val plan = executedPlan(
+      RelationalPack.queries("q147_waiting_suppliers")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS did not plan as semi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not plan as anti:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap, not a global sort:\n$plan")
+    // the 'F'-order join is localCheckpointed: no lineitem/orders re-scan
+    // for the three probes
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, // supplier broadcast side only
+      s"base relation re-derived (got $scans file scans):\n$plan")
+  }
+
   test("q143: the corpus is scanned and user_id-shuffled exactly once") {
     val plan = executedPlan(
       WindowPack.queries("q143_event_transitions")(spark, sf))

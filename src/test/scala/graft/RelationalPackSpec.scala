@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.RelationalPack
+import org.apache.spark.sql.functions.{col, expr}
 
 class RelationalPackSpec extends GraftSuite {
 
@@ -160,5 +161,35 @@ class RelationalPackSpec extends GraftSuite {
     val joined = got.join(ev, "user_id")
       .filter(col("last_ts") =!= col("m")).count()
     assert(joined == 0)
+  }
+
+  test("q147 sole-late suppliers equal a driver-side exists/not-exists recompute") {
+    val l = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        // the TPC-H dates are TIMESTAMP_NTZ; session tz is UTC so the
+        // cast relabels the same instant
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val suppsByOrder = l.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val late = l.filter(r => r._3 > r._4 + 60L * 86400 * 1000000)
+    val lateSuppsByOrder = late.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val counted = late.filter { case (ok, sk, _, _) =>
+      suppsByOrder(ok).exists(_ != sk) && lateSuppsByOrder(ok) == Set(sk)
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val names = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = counted.toSeq.map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    val got = RelationalPack.queries("q147_waiting_suppliers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"$got vs $want")
+    assert(got.nonEmpty, "the 60-day threshold must fire at sf0.001")
   }
 }
