@@ -515,6 +515,35 @@ object RelationalPack {
         .limit(20)
     }),
 
+    // TPC-H Q22-shaped dormant premium customers: scalar-subquery
+    // threshold + anti-join — above-average-balance customers with no
+    // urgent order, grouped by nation-code bucket. The float trap in
+    // Q22's AVG is removed by CROSS-MULTIPLICATION: qualify iff
+    // cents·N > S (N, S = count/sum of positive balances) — the exact
+    // rational comparison, no division, no float, byte-identical on any
+    // engine. Scale: the 1-row (N, S) aggregate broadcasts into a literal
+    // cross join (the whitelisted 1-row pattern); NOT EXISTS plans as a
+    // left-anti join keyed on custkey against the pre-filtered urgent
+    // orders; one partial-agg rollup on the 5-value code.
+    "q148_dormant_premium" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_nationkey") % 5).cast("long").as("code"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val pos = cust.filter(col("cents") > 0)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("cents") * col("n") > col("s"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("cents")).cast("long").as("total_cents"))
+        .orderBy(col("code"))
+    }),
+
     // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
     // revenue sold to ASIA customers, per order year. Every dimension
     // (part filter, supplier→nation, customer→nation→region) broadcasts;
@@ -857,6 +886,23 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q148_dormant_premium" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, (c_nationkey % 5)::BIGINT AS code,
+        |    floor(c_acctbal * 100)::BIGINT AS cents
+        |  FROM customer
+        |), pos AS (
+        |  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+        |  FROM cust WHERE cents > 0
+        |)
+        |SELECT code, count(*)::BIGINT AS n_custs,
+        |  sum(cents)::BIGINT AS total_cents
+        |FROM cust, pos
+        |WHERE cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY code ORDER BY code""".stripMargin,
 
     "q147_waiting_suppliers" ->
       """WITH l AS (

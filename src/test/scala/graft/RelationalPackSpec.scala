@@ -163,6 +163,33 @@ class RelationalPackSpec extends GraftSuite {
     assert(joined == 0)
   }
 
+  test("q148 dormant premium equals a driver recompute; threshold matches the float avg") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (n, s) = (pos.length.toLong, pos.sum)
+    val want = cust
+      .filter { case (ck, _, cents) => cents * n > s && !urgent(ck) }
+      .groupBy(_._2 % 5).view.mapValues { rs =>
+        (rs.length.toLong, rs.map(_._3).sum)
+      }.toMap
+    val got = RelationalPack.queries("q148_dormant_premium")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.nonEmpty)
+    // the integer cross-multiplication is the same predicate as the float
+    // mean on this data (cents*n > s  ⟺  cents > s/n)
+    val mean = s.toDouble / n
+    cust.foreach { case (_, _, cents) =>
+      assert((cents * n > s) == (cents > mean))
+    }
+  }
+
   test("q147 sole-late suppliers equal a driver-side exists/not-exists recompute") {
     val l = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
