@@ -476,7 +476,8 @@ class PlanQualitySpec extends GraftSuite {
       "q83_lm_quality",        // 1-row vocab-size total
       "q84_mix_temperature",   // 1-row max-tokens total
       "q90_bm25",              // 1-row avgdl total + bounded query set
-      "q98_pmi_phrases")       // 1-row corpus-size total
+      "q98_pmi_phrases",       // 1-row corpus-size total
+      "q148_dormant_premium")  // 1-row (N, S) balance-threshold broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))
