@@ -515,6 +515,29 @@ object RelationalPack {
         .limit(20)
     }),
 
+    // TPC-H Q17-shaped small-quantity revenue: the per-GROUP correlated
+    // scalar (quantity < 0.2 × its part's average) — the shape Q22/q148's
+    // global threshold doesn't cover. Exact without floats: qty < sum/(5n)
+    // ⟺ 5·qty·n < sum, per part. Planned as ONE lineitem scan: the
+    // per-part count/sum ride a window over the partkey partitioning
+    // (groups are a handful of rows) — the textbook agg + self-join form
+    // would scan and shuffle the fact table twice. qty casts exactly
+    // (TPC-H quantities are integers stored as DOUBLE).
+    "q149_small_qty_revenue" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .withColumn("n_p", count(lit(1)).over(w))
+        .withColumn("sum_p", sum(col("qty")).over(w).cast("long"))
+        .filter(lit(5L) * col("qty") * col("n_p") < col("sum_p"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // TPC-H Q22-shaped dormant premium customers: scalar-subquery
     // threshold + anti-join — above-average-balance customers with no
     // urgent order, grouped by nation-code bucket. The float trap in
@@ -886,6 +909,20 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q149_small_qty_revenue" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    floor(l_extendedprice * 100)::BIGINT AS cents,
+        |    count(*) OVER (PARTITION BY l_partkey)::BIGINT AS n_p,
+        |    sum(CAST(l_quantity AS BIGINT))
+        |      OVER (PARTITION BY l_partkey)::BIGINT AS sum_p
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, count(*)::BIGINT AS n_small,
+        |  sum(cents)::BIGINT AS revenue_cents
+        |FROM t WHERE 5 * qty * n_p < sum_p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q148_dormant_premium" ->
       """WITH cust AS (

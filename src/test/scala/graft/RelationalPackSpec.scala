@@ -163,6 +163,29 @@ class RelationalPackSpec extends GraftSuite {
     assert(joined == 0)
   }
 
+  test("q149 small-quantity revenue equals a driver recompute; single scan, per-part windows") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_returnflag"),
+        col("l_quantity").cast("long"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perPart = li.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val want = li.filter { case (pk, _, qty, _) =>
+      val (n, s) = perPart(pk); 5 * qty * n < s
+    }.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._4).sum)).toMap
+    val got = RelationalPack.queries("q149_small_qty_revenue")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.nonEmpty)
+    val plan = RelationalPack.queries("q149_small_qty_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"per-part threshold must ride a window, not a self-join re-scan:\n$plan")
+  }
+
   test("q148 dormant premium equals a driver recompute; threshold matches the float avg") {
     val cust = Tables.customer(spark, sf)
       .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
