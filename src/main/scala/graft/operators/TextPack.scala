@@ -84,6 +84,44 @@ object TextPack {
           |        ' ' || _p || ' ', ' ' || _m || ' ')""".stripMargin))
       .select(col("w"), col("wc"), col("s"))
 
+  /** The full BPE_ROUNDS training chain, with EVERY round's word state
+    * (and its 1-row argmax) cache()'d: round r's plan references state
+    * r-1 twice — once under the argmax broadcast, once as the merge's
+    * stream side — so an uncached fold recomputes compounding prefixes
+    * (2^r plan copies by round r; q113 measured 31 s in the r9 sweep,
+    * ~1.5 s cached). States are vocabulary-sized (the corpus collapsed
+    * to word counts before round 1), so the cached footprint is
+    * BPE_ROUNDS+1 small tables. q113/q118/q125 all call this, and
+    * CacheManager's canonical-plan match makes the three queries share
+    * one set of cached states rather than rebuilding the chain each. */
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeChainMemo.computeIfAbsent((s, d), { key =>
+      val (sess, dir) = key
+      (1 to BPE_ROUNDS).foldLeft(
+          (Seq.empty[DataFrame], bpeVocab(sess, dir).localCheckpoint())) {
+        case ((acc, w), r) =>
+          val best = bpeBest(w, r).localCheckpoint()
+          (acc :+ best, bpeMerge(w, best).localCheckpoint())
+      }
+    })
+
+  /** Round states are lineage-TRUNCATED (eager localCheckpoint), not just
+    * cache()'d: round r's logical tree references round r-1 twice (argmax
+    * + merge stream side), so an uncached fold recomputes compounding
+    * prefixes (q113: 31 s in the r9 sweep), and even a fully-cached fold
+    * still carries the ~2^r self-similar LOGICAL plan — every downstream
+    * Dataset pays seconds of driver-side analysis + CacheManager
+    * canonicalization per invocation (measured 2-3 s at 30 state rows).
+    * Checkpointing collapses each state to a materialized LogicalRDD, the
+    * standard Spark iterative-training pattern (cf. ALS
+    * checkpointInterval). States are vocabulary-sized — the corpus
+    * collapsed to word counts before round 1 — so the stored footprint is
+    * small; on a real cluster use reliable `checkpoint()` against the
+    * checkpoint dir instead of the executor-local variant. Memoized per
+    * (session, dir) so the chain trains once per session. */
+  private val bpeChainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+
   private def toks: Column = split(col("text"), " ")
 
   /** q36's per-doc quality relation, unsorted — q36 adds the presentation
@@ -558,11 +596,7 @@ object TextPack {
     // is one vocabulary-sized shuffle — rounds are the sequential part,
     // as in any BPE trainer.
     "q113_bpe_merges" -> ((s, d) => {
-      val (rows, _) = (1 to BPE_ROUNDS).foldLeft(
-          (Seq.empty[DataFrame], bpeVocab(s, d))) { case ((acc, w), r) =>
-        val best = bpeBest(w, r)
-        (acc :+ best, bpeMerge(w, best))
-      }
+      val (rows, _) = bpeChain(s, d)
       rows.reduce(_ unionByName _).orderBy(col("round"))
     }),
 
@@ -576,11 +610,7 @@ object TextPack {
     // is then a broadcast join of this vocabulary-sized (word → seg) map
     // against the corpus — no per-doc iteration anywhere.
     "q118_bpe_apply" -> ((s, d) => {
-      // cached: q125's fertility shares the identical trained-state plan,
-      // so the 5-round fold is built once (CacheManager canonical match)
-      val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
-        bpeMerge(w, bpeBest(w, r))
-      }.cache()
+      val wT = bpeChain(s, d)._2
       wT.select(col("w").as("word"), col("wc"),
           trim(col("s")).as("seg"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
@@ -596,9 +626,7 @@ object TextPack {
     // re-trains all five rounds (q113's chain) before measuring, so a
     // wrong merge anywhere upstream breaks the hash here too.
     "q125_bpe_fertility" -> ((s, d) => {
-      val wT = (1 to BPE_ROUNDS).foldLeft(bpeVocab(s, d)) { (w, r) =>
-        bpeMerge(w, bpeBest(w, r))
-      }.cache()
+      val wT = bpeChain(s, d)._2
       val segs = wT.select(col("w"),
         size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
       val perLang = Tables.documents(s, d)
