@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 149-query bench sweep holds ~40 cached relations at
+  // sf0.1; under the old 8g ceiling the ~2.4 GiB storage pool evicted
+  // mid-sweep and GC/rebuild pressure inflated unrelated queries' timed
+  // reps by up to 22x (r9 verdict). The machine has 128 GiB; the heap is
+  // lazily committed, so tests and small runs are unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -56,9 +56,20 @@ object Bench {
     // 3-7x phantom regressions on q43/q51/q53 — first rep 5-8 s, steady
     // state 0.8-1.4 s). The per-query untimed run absorbs any rebuild so
     // the timed best-of-3 always measures a warm plan.
+    // Per-query GC-delta marker on stderr: a timed rep inflated by heap
+    // pressure (eviction/GC, not plan cost) is machine-detectable by a
+    // large gc share — the r9 sweep had 10-22x phantom inflation on
+    // trivially-planned queries with zero code changes.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       timeOnce(name, fn) // untimed rebuild absorber (result discarded)
-      name -> Seq.fill(3)(timeOnce(name, fn)).min
+      val gc0 = gcMs
+      val best = Seq.fill(3)(timeOnce(name, fn)).min
+      System.err.println(f"[bench] $name%-28s best=$best%7.3f gc=${(gcMs - gc0) / 1000.0}%6.2f s")
+      name -> best
     }
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness contract (r9: the driver's gate produced an empty artifact,
+  * so a partial run must still yield usable evidence):
+  *  - oracle_sql.json is written FIRST, so dumps that complete before any
+  *    interruption are comparable;
+  *  - a status.json sidecar ({name: {status, secs, rows?, msg?}}) is
+  *    rewritten after EVERY query — a thrown query leaves an explicit
+  *    "err" row instead of a silently missing directory;
+  *  - each query runs under a per-query wall cap (default 120 s,
+  *    SPARK_GRAFT_QUERY_CAP_SEC to override): on expiry its job group is
+  *    cancelled and the gate moves on, so one pathological query cannot
+  *    consume the whole gate budget;
+  *  - a per-query heartbeat line goes to stderr for timeout forensics.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name subset for local runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "120").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,18 +32,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // the sf dir is known here: enable the data-dependent oracles
-    // (centroid literals) so q43/q62 get full hash checks
-    SparkEntry.oracleContext = Some((spark, sfDir))
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,9 +44,52 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the sf dir is known here: enable the data-dependent oracles
+    // (centroid literals) so q43/q62 get full hash checks
+    SparkEntry.oracleContext = Some((spark, sfDir))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def flushStatus(): Unit = {
+      val body = status.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/status.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(s"$outDir/status.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.isEmpty || only(n))
+    names.zipWithIndex.foreach { case (name, i) =>
+      val t0 = System.nanoTime()
+      def secs = (System.nanoTime() - t0) / 1e9
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val entry =
+        try { Await.result(fut, capSec.seconds); f"""{"status":"ok","secs":$secs%.2f}""" }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[verify] $name TIMED OUT after $capSec s — cancelled")
+            f"""{"status":"timeout","secs":$secs%.2f}"""
+          case e: Throwable =>
+            val m = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            System.err.println(s"[verify] $name failed: $m")
+            s"""{"status":"err","secs":${f"$secs%.2f"},"msg":${q(m)}}"""
+        }
+      status(name) = entry
+      flushStatus()
+      System.err.println(f"[verify] ${i + 1}%3d/${names.size} $name%-28s $secs%7.2f s")
+    }
     spark.stop()
   }
 }
