@@ -108,17 +108,15 @@ object PostStatisticsJob {
     // reply can resolve at most one trigger behind the watermark), and the
     // reference accepts exactly the same drop through its own allowed
     // lateness (BuildReplyTreeProcessFunction's watermark eviction +
-    // side output). Scope the opt-out to this query's startup.
-    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    // side output). Scope the opt-out to this query's startup
+    // (StreamOps.startUnchecked).
     // Output cadence: the single-group chain upserts continuously (update
     // mode). A query holding MULTIPLE flatMapGroupsWithStates must itself
     // run in append mode (planner rule), so the scale-out chain emits each
     // window once, when the watermark closes it — which is the reference's
     // own firing semantics (Flink event-time windows fire on watermark
     // passage); windows still open at end-of-input stay unemitted.
-    try
+    StreamOps.startUnchecked(spark) {
       StreamOps.slidingStatsBy(resolved, "root_id")
         .writeStream.outputMode(if (scaleOut) "append" else "update")
         .option("checkpointLocation", checkpointDir)
@@ -127,9 +125,6 @@ object PostStatisticsJob {
             Seq("wstart", "root_id"), "n_events")
         }
         .start()
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 

@@ -118,7 +118,11 @@ object CurationPack {
     * leak from the features), integer features bias/1, token count,
     * stopword count, distinct-token count. Cached: every training epoch
     * and both consumers re-scan this tiny 4-column long relation (at
-    * cluster scale: a materialized table). */
+    * cluster scale: a materialized table). Cache lifetime is
+    * session-owned: repeat calls over the same (s, d) reuse one entry via
+    * CacheManager's canonical-plan match, so the footprint is one table
+    * per distinct input dir — sessions cycling many dirs should
+    * `spark.catalog.clearCache()` between them. */
   private def pctFeatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),

@@ -277,7 +277,16 @@ object GraphPack {
     * undirected distinct edge set (a, b) with a < b. Returns
     * (n, deg, n_tri, coef_ppm); coefficient = 2·tri/(deg·(deg−1)) in
     * exact ppm via floor division. See the q116 entry for the
-    * degree-ordering scale rationale. */
+    * degree-ordering scale rationale.
+    *
+    * Cache lifetime is CALLER-owned: `deg` and `o` are cache()'d because
+    * the plan scans them two and three times respectively, and the
+    * returned frame is lazy so this method cannot unpersist them itself.
+    * Re-invocation over the same input reuses the same entries
+    * (CacheManager canonical-plan match — no per-call growth); a
+    * long-lived session that feeds MANY DISTINCT edge sets through here
+    * should `spark.catalog.clearCache()` (or unpersist by plan) between
+    * inputs. */
   def triangleStats(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))

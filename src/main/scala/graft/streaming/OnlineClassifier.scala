@@ -32,22 +32,57 @@ object OnlineClassifier {
 
   /** Recover the newest weights from the durable store (None on a cold
     * start; a corrupt store logs and falls back to cold — the same
-    * visibility rule as the clustering bootstrap). */
+    * visibility rule as the clustering bootstrap). Only the max-version
+    * ROW reaches the driver: the store retains one row per trained batch
+    * over the job's lifetime, so collecting it whole would make driver
+    * memory/startup cost grow without bound. */
   def bootstrap(spark: SparkSession, outDir: String, nx: Int): Option[(Long, Vector[Long])] = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/weights")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
     else scala.util.Try {
-      spark.read.parquet(path.toString).collect()
-        .map(r => (r.getAs[Long]("version"),
-          Vector.tabulate(nx)(j => r.getAs[Long](s"w$j"))))
-        .maxByOption(_._1)
+      val df = spark.read.parquet(path.toString)
+      val vRow = df.agg(max(col("version"))).head()
+      if (vRow.isNullAt(0)) None
+      else {
+        val v = vRow.getLong(0)
+        val r = df.filter(col("version") === v).head()
+        Some((v, Vector.tabulate(nx)(j => r.getAs[Long](s"w$j"))))
+      }
     } match {
       case scala.util.Success(m) => m
       case scala.util.Failure(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"weight bootstrap from $path failed; starting from zero", e)
         None
+    }
+  }
+
+  /** Version base bound to the CHECKPOINT's lifetime via a marker file
+    * (LabelQualityJob.runBase pattern). A base re-read from the store on
+    * every start is NOT replay-safe: foreachBatch is at-least-once, and a
+    * same-checkpoint replay would mint a version past the stored max and
+    * retrain on weights that already include the batch (double-training).
+    * With the marker, a replay recomputes the SAME version — the run()
+    * guard then skips it — while a fresh checkpoint against a surviving
+    * store mints base = stored max, so training continues monotonically. */
+  private def runBase(spark: SparkSession, ckpt: String, store: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$ckpt/graft-classifier-base")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try in.readLong() finally in.close()
+    } else {
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      val base =
+        if (fs.exists(storeP)) {
+          val v = spark.read.parquet(store).agg(max(col("version"))).head()
+          if (v.isNullAt(0)) -1L else v.getLong(0)
+        } else -1L
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, false)
+      try out.writeLong(base) finally out.close()
+      base
     }
   }
 
@@ -58,15 +93,19 @@ object OnlineClassifier {
   def run(spark: SparkSession, feats: DataFrame, nx: Int, outDir: String,
           checkpointDir: String, latest: WRef,
           epochsPerBatch: Int = 1): StreamingQuery = {
-    // Version base captured at start-up: batchId alone restarts at 0 when a
-    // query gets a fresh checkpoint, which would upsert OVER run-1 rows.
     // base+1+batchId stays monotonic across restarts in every case (same
-    // checkpoint resumes batchId past the base; a fresh one starts past it).
-    val base = latest.get().map(_._1).getOrElse(-1L)
+    // checkpoint resumes batchId past the base; a fresh one starts past
+    // the surviving store's max).
+    val base = runBase(spark, checkpointDir, s"$outDir/weights")
     feats.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        val version = base + 1L + batchId
+        // Replay guard (exactly-once model CONTENT, not just monotonic
+        // versions): a same-checkpoint replay recomputes the same version,
+        // and the live/bootstrapped ref already holds it — retraining
+        // would fold the batch into weights that already include it.
+        if (!batch.isEmpty && latest.get().forall(_._1 < version)) {
           val s = batch.sparkSession
           val prev = latest.get().map(_._2).getOrElse(Vector.fill(nx)(0L))
           val start = s.range(1).select(

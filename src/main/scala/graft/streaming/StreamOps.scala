@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.KMeans
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -149,10 +149,15 @@ object StreamOps {
     * order (RetentionStreamSpec pins this, shift included). Downstream,
     * [[retentionCells]] folds the deltas with a plain streaming sum in
     * update mode; at scale the fold's sink is the keyed upsert store every
-    * job main uses. State is O(active weeks) longs per user; deployments
-    * with an offset horizon (retention charts rarely need offset > ~2 y)
-    * cap `weeks` at that horizon, which also bounds retraction fan-out. */
-  def retentionDeltas(events: Dataset[Ev]): Dataset[RetentionDelta] = {
+    * job main uses. State is O(active weeks) longs per user, so
+    * deployments pass `horizonWeeks` (retention charts rarely need
+    * offset > ~2 y ≈ 104): weeks beyond the offset horizon are neither
+    * stored nor emitted, bounding BOTH state size and a cohort rewind's
+    * retraction fan-out. The cap is monotone-safe: the cohort only ever
+    * rewinds, so offsets only grow and a dropped week can never later
+    * come back inside the horizon. */
+  def retentionDeltas(events: Dataset[Ev],
+                      horizonWeeks: Long = Long.MaxValue): Dataset[RetentionDelta] = {
     implicit val stateEnc = Encoders.product[RetentionState]
     implicit val outEnc = Encoders.product[RetentionDelta]
     implicit val keyEnc = Encoders.scalaLong
@@ -163,24 +168,31 @@ object StreamOps {
             .map(e => Math.floorDiv(e.ts.getTime, 604800000L)).toSet
           val oldWeeks = state.getOption.map(_.weeks.toSet)
             .getOrElse(Set.empty[Long])
-          val merged = oldWeeks ++ newWeeks
-          if (merged == oldWeeks) Iterator.empty
+          val all = oldWeeks ++ newWeeks
+          if (all.isEmpty) Iterator.empty
           else {
-            val c2 = merged.min
-            val out = scala.collection.mutable.ArrayBuffer.empty[RetentionDelta]
-            state.getOption match {
-              case Some(RetentionState(c1, ws)) if c2 < c1 =>
-                // late data rewound the first week: every old cell re-keys
-                ws.foreach(w => out += RetentionDelta(c1, w - c1, -1L))
-                merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
-              case Some(RetentionState(c1, _)) =>
-                (merged -- oldWeeks).foreach(w =>
-                  out += RetentionDelta(c1, w - c1, 1L))
-              case None =>
-                merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
+            val c2 = all.min
+            // stored state only ever holds within-horizon weeks, so every
+            // retraction below refers to a cell that was actually emitted
+            val merged = all.filter(w => w - c2 <= horizonWeeks)
+            if (merged == oldWeeks) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[RetentionDelta]
+              state.getOption match {
+                case Some(RetentionState(c1, ws)) if c2 < c1 =>
+                  // late data rewound the first week: every old cell re-keys
+                  // (cells pushed past the horizon retract without re-emit)
+                  ws.foreach(w => out += RetentionDelta(c1, w - c1, -1L))
+                  merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
+                case Some(RetentionState(c1, _)) =>
+                  (merged -- oldWeeks).foreach(w =>
+                    out += RetentionDelta(c1, w - c1, 1L))
+                case None =>
+                  merged.foreach(w => out += RetentionDelta(c2, w - c2, 1L))
+              }
+              state.update(RetentionState(c2, merged.toSeq.sorted))
+              out.iterator
             }
-            state.update(RetentionState(c2, merged.toSeq.sorted))
-            out.iterator
           }
         })
   }
@@ -253,17 +265,36 @@ object StreamOps {
   /** The live (from, to) count matrix: [[sessionTransitions]] folded by a
     * streaming sum (update/complete mode). Chaining an aggregation after
     * a flatMapGroupsWithState trips Spark's conservative global-watermark
-    * rule at query start — the caller scope-disables
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
-    * around start() (PostStatisticsJob.runResolved's pattern). Safe by
-    * construction here: [[TransitionPair]] carries NO event-time column
-    * and the fold keys only on the type pair, so no row can be dropped as
-    * late — the rule's failure mode cannot occur. (FunnelStreamSpec runs
-    * this exact chain end-to-end against batch q143.) */
+    * rule at query start — wrap the `.start()` call in
+    * [[startUnchecked]], which scope-disables the rule and restores the
+    * conf. Safe by construction here: [[TransitionPair]] carries NO
+    * event-time column and the fold keys only on the type pair, so no row
+    * can be dropped as late — the rule's failure mode cannot occur.
+    * (FunnelStreamSpec runs this exact chain end-to-end against batch
+    * q143.) */
   def transitionCounts(events: Dataset[Ev], gapSec: Long = 1800L): DataFrame =
     sessionTransitions(events, gapSec)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Scope-disable Spark's conservative stateful-after-stateful rule
+    * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled`)
+    * around a query's START — the PostStatisticsJob.runResolved pattern,
+    * shared so callers of [[transitionCounts]] (and any other
+    * agg-after-fMGWS chain argued safe by construction) don't hit an
+    * opaque AnalysisException or hand-roll the conf save/restore. The
+    * flag only gates ANALYSIS: it is restored immediately after `start`
+    * returns and does not affect the running query. */
+  def startUnchecked[T](spark: SparkSession)(start: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Shared watermark-gated session machinery behind [[sessionFunnel]]
     * and [[sessionTransitions]]: per-user event buffer, 30-min-gap split

@@ -145,19 +145,13 @@ class FunnelStreamSpec extends GraftSuite {
     val stream = MemoryStream[Ev]
     // agg-after-fMGWS trips the conservative static watermark rule; safe
     // here because the fold has no event-time column (see transitionCounts
-    // scaladoc) — scope the opt-out to query startup like runResolved
-    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(ckKey)
-    spark.conf.set(ckKey, "false")
-    val q =
-      try StreamOps.transitionCounts(
+    // scaladoc) — startUnchecked scopes the opt-out to query startup
+    val q = StreamOps.startUnchecked(spark) {
+      StreamOps.transitionCounts(
           stream.toDS().withWatermark("ts", "1 second"))
         .writeStream.format("memory").queryName("trans_counts")
         .outputMode("complete").start()
-      finally prev match {
-        case Some(v) => spark.conf.set(ckKey, v)
-        case None    => spark.conf.unset(ckKey)
-      }
+    }
     try {
       all.grouped(all.length / 3 + 1)
         .foreach { c => stream.addData(c); q.processAllAvailable() }

@@ -59,6 +59,33 @@ class RetentionStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("offset horizon bounds state and deltas; within-horizon cells still sum to batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    // horizon = half the observed max offset, so the cap is actually binding
+    val maxOff = expectedCells(all).keys.map(_._2).max
+    assume(maxOff >= 2, "need a multi-week span for a binding horizon")
+    val h = maxOff / 2
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.retentionDeltas(stream.toDS(), horizonWeeks = h)
+      .writeStream.format("memory").queryName("ret_deltas_h")
+      .outputMode("append").start()
+    try {
+      all.grouped(all.length / 3 + 1)
+        .foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val deltas = spark.table("ret_deltas_h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(deltas.forall(_._2 <= h),
+        s"no emitted cell may exceed the horizon: ${deltas.filter(_._2 > h).take(3).toSeq}")
+      val summed = deltas.groupBy(d => (d._1, d._2))
+        .view.mapValues(_.map(_._3).sum).filter(_._2 != 0L).toMap
+      val want = expectedCells(all).filter(_._1._2 <= h)
+      assert(summed == want,
+        "within-horizon cells must equal the horizon-filtered batch matrix")
+    } finally q.stop()
+  }
+
   test("retention chain restarts from checkpoint; the post-restart late week still re-keys") {
     // The held-back first week arrives only AFTER a stop/restart: the
     // retraction can be emitted correctly ONLY if the per-user weeks-seen

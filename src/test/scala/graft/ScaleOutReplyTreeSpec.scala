@@ -12,17 +12,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * state partitions instead of sitting in one group. */
 class ScaleOutReplyTreeSpec extends GraftSuite {
 
-  private val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-
-  private def withOptOut[A](body: => A): A = {
-    val prev = spark.conf.getOption(ckKey)
-    spark.conf.set(ckKey, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ckKey, v)
-      case None    => spark.conf.unset(ckKey)
-    }
-  }
+  private def withOptOut[A](body: => A): A =
+    graft.streaming.StreamOps.startUnchecked(spark)(body)
 
   private def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
