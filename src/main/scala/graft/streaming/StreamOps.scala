@@ -31,6 +31,12 @@ final case class FunnelBufState(buf: Seq[(Long, Long, String)])
 /** One session-final consecutive event pair — [[StreamOps.sessionTransitions]]. */
 final case class TransitionPair(user_id: Long, from_type: String, to_type: String)
 
+/** One funnel-stage latency observation of a CLOSED session (q145's unit
+  * of count): minutes from session start to first view, or first view to
+  * first qualifying click. */
+final case class StageLatency(user_id: Long, cohort: Long, stage: String,
+                              latency_min: Long)
+
 /** One signed update to a cohort-retention cell (q138's streaming form):
   * `delta` is +1 / -1 so late data that rewinds a user's first-active week
   * RETRACTS the previously emitted cells instead of double-counting. */
@@ -275,6 +281,39 @@ object StreamOps {
   def transitionCounts(events: Dataset[Ev], gapSec: Long = 1800L): DataFrame =
     sessionTransitions(events, gapSec)
       .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q145's streaming twin: per-closed-session stage-latency observations
+    * on the shared watermark-gated session core ([[sessionClosed]] — a
+    * session's latencies are final exactly when the session is). Stage
+    * times are the batch [[graft.operators.WindowPack.funnelSessions]]
+    * ordered-conditional-minima (first view; first click at-or-after it),
+    * latencies in floor-divided minutes over µs — engine-exact integers.
+    * Emitted once per closed session in append mode; [[latencyHistogram]]
+    * folds them into the live (cohort, stage, latency_min) → n histogram. */
+  def stageLatencies(events: Dataset[Ev], gapSec: Long = 1800L): Dataset[StageLatency] = {
+    implicit val outEnc = Encoders.product[StageLatency]
+    sessionClosed(events, gapSec) { (user, s) =>
+      val first = s.head._1
+      val tv = s.collectFirst { case (t, _, "view") => t }
+      val tc = tv.flatMap(v =>
+        s.collectFirst { case (t, _, "click") if t >= v => t })
+      (tv.map(v => StageLatency(user, user % 10, "start_view",
+          Math.floorDiv(v - first, 60000000L))) ++
+        tc.flatMap(c => tv.map(v => StageLatency(user, user % 10, "view_click",
+          Math.floorDiv(c - v, 60000000L))))).iterator
+    }
+  }
+
+  /** The live stage-latency histogram: [[stageLatencies]] folded by a
+    * streaming count (update/complete mode) — cardinality is
+    * cohorts × stages × distinct latency buckets, never the event stream.
+    * Agg-after-fMGWS: wrap `.start()` in [[startUnchecked]] (safe by
+    * construction — [[StageLatency]] carries no event-time column, so no
+    * row can be late-dropped). */
+  def latencyHistogram(events: Dataset[Ev], gapSec: Long = 1800L): DataFrame =
+    stageLatencies(events, gapSec)
+      .groupBy(col("cohort"), col("stage"), col("latency_min"))
       .agg(count(lit(1)).as("n"))
 
   /** Scope-disable Spark's conservative stateful-after-stateful rule

@@ -136,6 +136,40 @@ class FunnelStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("latencyHistogram folds closed-session stage latencies to exactly batch q145") {
+    // q145's streaming twin end-to-end: sessionClosed -> stage latencies ->
+    // live (cohort, stage, latency_min) histogram (agg-after-fMGWS via
+    // startUnchecked), compared cell-by-cell to the batch query
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = eventsTyped
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.startUnchecked(spark) {
+      StreamOps.latencyHistogram(
+          stream.toDS().withWatermark("ts", "1 second"))
+        .writeStream.format("memory").queryName("lat_hist")
+        .outputMode("complete").start()
+    }
+    try {
+      all.grouped(all.length / 3 + 1)
+        .foreach { c => stream.addData(c.reverse); q.processAllAvailable() }
+      val sentinelTs = new java.sql.Timestamp(all.last.ts.getTime + 30L * 86400 * 1000)
+      stream.addData(Ev(999999999L, sentinelTs, -1L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(999999998L,
+        new java.sql.Timestamp(sentinelTs.getTime + 86400000L), -1L, "signup", 0.0))
+      q.processAllAvailable()
+      // real cohorts are 0..9; the sentinel user (-1) lands in cohort -1
+      val got = spark.table("lat_hist").filter(col("cohort") >= 0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val want = WindowPack.queries("q145_stage_latency")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(want.nonEmpty && got == want,
+        s"streamed histogram != batch q145 (${got.size} vs ${want.size} cells)")
+    } finally q.stop()
+  }
+
   test("transitionCounts runs the fold as a streaming query and matches batch q143") {
     // the advertised live-matrix path itself: an unwindowed aggregation
     // DOWNSTREAM of flatMapGroupsWithState must plan and fold correctly
