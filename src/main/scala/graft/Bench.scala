@@ -82,8 +82,13 @@ object Bench {
     //  2. the machine line LAST, with per-query keys shortened to their
     //     unique "qNN" id prefix — ~13 bytes/query keeps the line well under
     //     the 2000-char tail even at 150 queries.
-    def line(keyOf: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + r3(v) }
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // full-name line keeps 3 decimals; the machine line uses 2 (at 149
+    // queries the 3-decimal short line crossed the 1900-char budget and
+    // dropped 40 entries via the fallback below — 2 decimals fits all)
+    def line(keyOf: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
@@ -91,8 +96,8 @@ object Bench {
     // chatter can land after (or interleave into) the final line.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(line(identity))
-    val short = line(_.takeWhile(_ != '_'))
+    println(line(identity, r3))
+    val short = line(_.takeWhile(_ != '_'), r2)
     if (short.length < 1900) println(short)
     else {
       // future-proofing (~140+ queries): keep the slowest entries that fit

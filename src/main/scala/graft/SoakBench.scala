@@ -24,10 +24,10 @@ import scala.collection.mutable
   *     reference's optional RocksDB checkpointing, application.conf:106-114).
   *
   * Usage: SPARK_GRAFT_SF_DIR=… [SPARK_GRAFT_STATE=rocksdb]
-  *        sbt "runMain graft.SoakBench [speedup] [scaleout]"
-  * (`scaleout` soaks Task 1 on the distributed frontier+archive resolver
-  * instead of the single-group one.) Prints one JSON line per job plus a
-  * summary line. */
+  *        sbt "runMain graft.SoakBench [speedup] [singlegroup]"
+  * (Task 1 soaks on the default distributed frontier+archive resolver;
+  * `singlegroup` selects the reference-faithful fallback.) Prints one
+  * JSON line per job plus a summary line. */
 object SoakBench {
 
   private final case class Sample(batchId: Long, inputRows: Long,
@@ -83,7 +83,9 @@ object SoakBench {
     def replayed = spark.readStream.format(classOf[graft.sources.ReplaySource].getName)
       .option("path", sfDir).option("speedup", speedup.toString).load()
 
-    val scaleOut = args.lift(1).contains("scaleout")
+    // scale-out is the runResolved default since r10; `singlegroup` soaks
+    // the reference-faithful fallback ("scaleout" stays as explicit alias)
+    val scaleOut = !args.lift(1).contains("singlegroup")
     val t0 = System.nanoTime()
     val q1 = PostStatisticsJob.runResolved(spark, replayed, o1, c1, scaleOut = scaleOut)
     val q2 = RecommendationsJob.run(spark, replayed, sfDir, o2, c2)

@@ -58,13 +58,18 @@ object PostStatisticsJob {
     * transform runs keyed by `root_id` — two chained stateful operators,
     * exactly the reference's process-function pipeline shape.
     *
-    * Scale: the resolver is the documented single-group frontier op (its
-    * 100 TB form is the per-micro-batch fixpoint against a persisted
-    * mapping store — PipelineSpec's job); the downstream window agg and
-    * upsert shuffle on (window, root) as in [[run]]. */
+    * Scale: the DEFAULT resolver is the scale-out frontier +
+    * distributed-archive chain (`ReplyTreeOp.resolveScaleOut` — resolved
+    * mapping state hash-partitioned across state partitions; promoted to
+    * default in r10 after both-backend soaks showed wall parity and
+    * identical final state, SCALE.md "scale-out resolver" rows).
+    * `scaleOut = false` selects the reference-faithful single-group
+    * resolver — the shape that mirrors the reference's one replicated
+    * mapping, useful as a differential-testing fallback; the downstream
+    * window agg and upsert shuffle on (window, root) as in [[run]]. */
   def runResolved(spark: SparkSession, events: DataFrame, outDir: String,
                   checkpointDir: String, watermark: String = "1 hour",
-                  scaleOut: Boolean = false): StreamingQuery = {
+                  scaleOut: Boolean = true): StreamingQuery = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val edges = events.withWatermark("ts", watermark)
@@ -137,9 +142,9 @@ object PostStatisticsJob {
   }
 
   /** CLI: PostStatisticsJob <sfDir> <outDir> <checkpointDir> [speedup] [runSeconds] [mode]
-    * — mode `resolved` runs the full reply-resolved chain with the
-    * single-group resolver; `resolved-scaleout` runs it with the
-    * distributed-archive resolver. */
+    * — mode `resolved` runs the full reply-resolved chain on the default
+    * scale-out resolver (`resolved-scaleout` is a back-compat alias);
+    * `resolved-singlegroup` selects the reference-faithful fallback. */
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, ckpt) = (args(0), args(1), args(2))
     val speedup = args.lift(3).getOrElse("10000")
@@ -147,9 +152,10 @@ object PostStatisticsJob {
     val spark = Jobs.session("post-statistics")
     val events = Jobs.replayEvents(spark, sfDir, speedup)
     val q = args.lift(5) match {
-      case Some("resolved") => runResolved(spark, events, outDir, ckpt)
-      case Some("resolved-scaleout") =>
-        runResolved(spark, events, outDir, ckpt, scaleOut = true)
+      case Some("resolved") | Some("resolved-scaleout") =>
+        runResolved(spark, events, outDir, ckpt)
+      case Some("resolved-singlegroup") =>
+        runResolved(spark, events, outDir, ckpt, scaleOut = false)
       case _ => run(spark, events, outDir, ckpt)
     }
     Jobs.await(q, runSec)

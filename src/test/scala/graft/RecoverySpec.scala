@@ -42,8 +42,13 @@ class RecoverySpec extends GraftSuite {
       // races; the chain converges under any batch split, but the test
       // should exercise the intended two-batch restart shape)
       c.toDF(cols: _*).write.mode("append").parquet(in)
+      // single-group explicitly: this test's 107-second event span never
+      // crosses the doubled watermark, so the default scale-out chain
+      // (append mode, fires on window close) would emit nothing — the
+      // update-mode upsert is what lets the twin compare ALL windows.
+      // Scale-out restart coverage lives in ScaleOutReplyTreeSpec.
       val q = PostStatisticsJob.runResolved(spark,
-        spark.readStream.schema(sch).parquet(in), out, ckpt)
+        spark.readStream.schema(sch).parquet(in), out, ckpt, scaleOut = false)
       try q.processAllAvailable() finally q.stop() // "crash" between chunks
     }
     runOnce(partA); runOnce(partB)
