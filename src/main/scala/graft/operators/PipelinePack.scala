@@ -49,6 +49,10 @@ object PipelinePack {
   private val BM25_K1    = 1.2
   private val BM25_B     = 0.75
   private val BM25_QMOD  = 100  // query set: doc_id % 100 == 0 (q89's)
+  // q89's absolute panel bound (see SimilarityPack.HYB_QCAP): queries are
+  // user-issued, so the panel stays fixed as the corpus grows; 5000 covers
+  // every shipped SF's native id range → gate results unchanged.
+  private val BM25_QCAP  = 5000
   private val BM25_TOP   = 10
 
   private def toks: Column = split(col("text"), " ")
@@ -355,7 +359,8 @@ object PipelinePack {
     "q90_bm25" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val contrib = bm25Index(s, d)
-      val qt = docs.filter(col("doc_id") % BM25_QMOD === 0)
+      val qt = docs.filter(col("doc_id") % BM25_QMOD === 0
+          && col("doc_id") < BM25_QCAP)
         .select(col("doc_id").as("qid"),
           explode(array_distinct(toks)).as("tok"))
       val w = Window.partitionBy(col("qid"))
@@ -873,7 +878,8 @@ object PipelinePack {
          |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st2 JOIN dfc USING (tok)
          |), qt AS (
          |  SELECT doc_id AS qid, unnest(list_distinct(str_split(text, ' '))) AS tok
-         |  FROM documents WHERE doc_id % $BM25_QMOD = 0
+         |  FROM documents
+         |  WHERE doc_id % $BM25_QMOD = 0 AND doc_id < $BM25_QCAP
          |), sc AS (
          |  SELECT qid, c.doc_id AS cid, sum(c_micro)::BIGINT AS score_micro
          |  FROM qt JOIN contrib c USING (tok) WHERE qid <> c.doc_id

@@ -41,6 +41,22 @@ object SimilarityPack {
   private val TABLES   = 4   // LSH tables (L)
   private val BITS     = 8   // sign-projection bits per table (k)
   private val HYB_QMOD = 100 // hybrid-search query set: doc_id % 100 == 0
+  // Absolute bound on the query panel: retrieval queries are user-issued,
+  // not corpus-sized, so the panel must NOT grow with the corpus (the
+  // r10 sfx1 sweep measured exponent 1.83 for the unbounded %-only panel
+  // vs ~1 with the cap). 5000 covers the full native doc_id range of
+  // every shipped SF, so gate results are bit-identical with or without
+  // the cap; it binds only on larger corpora.
+  private val HYB_QCAP = 5000
+  private val ANN_QMOD = 50 // ANN evaluation panel: vec_id % 50 == 0
+  // Absolute bound for every ANN/bitext/eval query panel (same rationale
+  // and same gate-identical range as HYB_QCAP above).
+  private val ANN_QCAP = 5000
+  /** The ANN evaluation panel as a predicate: a FIXED query set — modulus
+    * for spread, absolute cap so the panel does not grow with the corpus
+    * (panel × corpus work must stay linear in the corpus at 100 TB). */
+  private def annPanel(id: Column): Column =
+    id % ANN_QMOD === 0 && id < ANN_QCAP
   private val HYB_RRF  = 60  // RRF constant (standard k=60)
   private val HYB_TOP  = 5   // fused results per query
   private val BITEXT_QMOD = 25 // bitext query set: non-en docs, id % 25 == 0
@@ -131,12 +147,12 @@ object SimilarityPack {
     }.mkString("(", " + ", ")")
 
   /** Brute-force cosine top-k — the exact baseline every ANN variant is
-    * measured against. Query set = vec_id % 50 == 0, broadcast against the
+    * measured against. Query set = [[annPanel]] (bounded), broadcast against the
     * corpus; rank by round(cos, 6) with vec_id tiebreak for cross-engine
     * determinism. */
   private def bruteTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val q = e.filter(annPanel(col("vec_id")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosine("qv", "v", "qn", "norm"), 6))
@@ -158,7 +174,7 @@ object SimilarityPack {
       (0 until TABLES).map(t => sigCol(t).as(s"sig$t")): _*)
     val buckets = sigs.select(col("vec_id"), col("v"), col("norm"),
       posexplode(array((0 until TABLES).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
-    val qb = buckets.filter(col("vec_id") % 50 === 0)
+    val qb = buckets.filter(annPanel(col("vec_id")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
         col("t"), col("sig"))
     val cand = buckets.join(broadcast(qb), Seq("t", "sig"))
@@ -183,7 +199,7 @@ object SimilarityPack {
     val cents = ivfCentroids(s, d)
     val assigned = assignedCells(s, d)
     // queries probe their NPROBE nearest cells
-    val qscores = assigned.filter(col("vec_id") % 50 === 0)
+    val qscores = assigned.filter(annPanel(col("vec_id")))
       .select(col("vec_id").as("qid") +: col("v").as("qv") +: col("norm").as("qn")
         +: cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }: _*)
     val probes = qscores.select(col("qid"), col("qv"), col("qn"),
@@ -238,7 +254,8 @@ object SimilarityPack {
       val e = vecs(s, d)
         .join(langs, col("vec_id") === col("doc_id")).drop("doc_id")
       val q = e.filter(col("lang") =!= "en"
-          && col("vec_id") % BITEXT_QMOD === 0)
+          && col("vec_id") % BITEXT_QMOD === 0
+          && col("vec_id") < ANN_QCAP)
         .select(col("vec_id").as("qid"), col("lang").as("src_lang"),
           col("v").as("qv"), col("norm").as("qn"))
       val tgt = e.filter(col("lang") === "en")
@@ -325,7 +342,7 @@ object SimilarityPack {
       val nRel = lab.join(broadcast(
           lab.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))), "label")
         .select(col("vec_id").as("qid"), (col("n_lab") - 1).as("n_rel"))
-        .filter(col("qid") % 50 === 0)
+        .filter(annPanel(col("qid")))
       nRel.join(dcg, Seq("qid"), "left")
         .withColumn("hits", coalesce(col("hits"), lit(0L)))
         .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
@@ -404,7 +421,7 @@ object SimilarityPack {
             |  LEAST(CAST(127 AS DOUBLE), FLOOR(x / norm * 127.0D / gmax)))
             |  AS BIGINT))""".stripMargin))
         .select(col("vec_id"), col("qv"))
-      val probes = qz.filter(col("vec_id") % 50 === 0)
+      val probes = qz.filter(annPanel(col("vec_id")))
         .select(col("vec_id").as("qid"), col("qv").as("pq"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dotq").desc, col("nid"))
       qz.join(broadcast(probes), col("vec_id") =!= col("qid"))
@@ -460,7 +477,8 @@ object SimilarityPack {
       // the distinct-token posting relation is the lexical leg's index —
       // cached like TextPack.shingleRows (at scale: a table bucketed by tok)
       val dt = cappedTokenRows(s, d).cache()
-      val shared = dt.filter(col("doc_id") % HYB_QMOD === 0)
+      val shared = dt.filter(col("doc_id") % HYB_QMOD === 0
+          && col("doc_id") < HYB_QCAP)
         .select(col("doc_id").as("qid"), col("tok")).as("q")
         .join(dt.as("c"), col("q.tok") === col("c.tok")
           && col("qid") =!= col("c.doc_id"))
@@ -585,7 +603,7 @@ object SimilarityPack {
     val cellCase = (0 until IVF_CELLS - 1)
       .map(i => s"WHEN cs$i = m THEN $i").mkString("CASE ", " ", s" ELSE ${IVF_CELLS - 1} END")
     val qsc = (0 until IVF_CELLS)
-      .map(i => s"SELECT vec_id AS qid, v AS qv, norm AS qn, $i AS cell, cs$i AS score FROM scored WHERE vec_id % 50 = 0")
+      .map(i => s"SELECT vec_id AS qid, v AS qv, norm AS qn, $i AS cell, cs$i AS score FROM scored WHERE vec_id % $ANN_QMOD = 0 AND vec_id < $ANN_QCAP")
       .mkString("\n  UNION ALL\n  ")
     val cos6 = Hashes.sqlRound(sqlCosine("qv", "av", "qn", "anorm"), 6)
     val ivfSql =
@@ -704,7 +722,7 @@ object SimilarityPack {
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_dot_product(q.qv, c.qv) DESC, c.vec_id) AS rank
          |  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 50 = 0
+         |  WHERE q.vec_id % $ANN_QMOD = 0 AND q.vec_id < $ANN_QCAP
          |)
          |SELECT qid, rank, nid, dotq FROM ranked
          |WHERE rank <= $TOP_K ORDER BY qid, rank""".stripMargin,
@@ -719,7 +737,7 @@ object SimilarityPack {
          |), sh AS (
          |  SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS shared
          |  FROM dt q JOIN dt c ON q.tok = c.tok AND q.doc_id <> c.doc_id
-         |  WHERE q.doc_id % $HYB_QMOD = 0
+         |  WHERE q.doc_id % $HYB_QMOD = 0 AND q.doc_id < $HYB_QCAP
          |  GROUP BY 1, 2
          |), ev AS (
          |  $sqlVecs
@@ -747,7 +765,7 @@ object SimilarityPack {
       s"""WITH e AS (
          |  $sqlVecs
          |), q AS (
-         |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM e WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS qid, v AS qv, norm AS qn FROM e WHERE vec_id % $ANN_QMOD = 0 AND vec_id < $ANN_QCAP
          |), ranked AS (
          |  SELECT qid, e.vec_id AS nid,
          |    ${Hashes.sqlRound(sqlCosine("qv", "e.v", "qn", "e.norm"), 6)} AS cos,
@@ -766,7 +784,7 @@ object SimilarityPack {
          |  FROM e JOIN documents d ON d.doc_id = e.vec_id
          |), q AS (
          |  SELECT vec_id AS qid, lang AS src_lang, v AS qv, norm AS qn
-         |  FROM ev WHERE lang <> 'en' AND vec_id % $BITEXT_QMOD = 0
+         |  FROM ev WHERE lang <> 'en' AND vec_id % $BITEXT_QMOD = 0 AND vec_id < $ANN_QCAP
          |), ranked AS (
          |  SELECT qid, src_lang, t.vec_id AS nid,
          |    ${Hashes.sqlRound(sqlCosine("qv", "t.v", "qn", "t.norm"), 6)} AS cos6,
@@ -844,7 +862,7 @@ object SimilarityPack {
          |  FROM embeddings e JOIN (
          |    SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label
          |  ) c USING (label)
-         |  WHERE e.vec_id % 50 = 0
+         |  WHERE e.vec_id % $ANN_QMOD = 0 AND e.vec_id < $ANN_QCAP
          |), j AS (
          |  SELECT nr.qid, n_rel, coalesce(hits, 0)::BIGINT AS hits,
          |    coalesce(dcg_micro, 0)::BIGINT AS dcg_micro,
@@ -874,7 +892,7 @@ object SimilarityPack {
        |  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, q.norm AS qn,
        |    n.vec_id AS nid, n.v AS nv, n.norm AS nn
        |  FROM buckets q JOIN buckets n ON q.t = n.t AND q.sig = n.sig
-       |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $ANN_QMOD = 0 AND q.vec_id < $ANN_QCAP AND n.vec_id <> q.vec_id
        |), ranked AS (
        |  SELECT qid, nid,
        |    ${Hashes.sqlRound(sqlCosine("qv", "nv", "qn", "nn"), 6)} AS cos,
