@@ -60,6 +60,9 @@ object SamplingPack {
   private val ZIPF_Q    = 1000    // ln-space quantization, milli-nats (q107)
   private val BUDGET_MULT    = 2L    // q123 token budget = 2× corpus tokens
   private val EPOCH_CAP_MILLI = 2000L // q123 max repeats per source (milli-epochs)
+  private val DSIR_B      = 1024  // q150 hashed-feature buckets
+  private val DSIR_TARGET = "en"  // q150 target distribution: en docs
+  private val DSIR_K      = 50    // q150 selected docs reported
 
   private def toks: Column = split(col("text"), " ")
 
@@ -155,6 +158,52 @@ object SamplingPack {
             / (col("n_tokens") * LP_SCALE), 4))
         .withColumn("kept", col("avg_logprob") >= LM_KEEP_T)
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling"): rank every raw doc by how much
+    // its hashed-unigram profile resembles the TARGET distribution (en
+    // docs here, standing in for the curated reference corpus) relative
+    // to the raw corpus: w(doc) = Σ_tok ln(p̂_t[h(tok)] / p̂_r[h(tok)]).
+    // Hashing (base32 % B) bounds the feature model at B rows regardless
+    // of vocabulary — the paper's trick, and what makes the ratio table a
+    // broadcast at any corpus size; add-one smoothing keeps every bucket
+    // finite. The counts convert long→double BEFORE the ratio multiply
+    // (q98's overflow-safe contract: at 1e13 tokens the int64 cross
+    // products overflow) and each bucket's ln-ratio quantizes to integer
+    // micro-nats (q83's contract) so per-doc sums are exact under any
+    // combine tree. Scale: two linear passes over the exploded token
+    // stream (bucket stats, then scoring — at 100 TB recompute beats
+    // caching a corpus-sized relation), a B-row broadcast, and a top-K
+    // TakeOrdered heap; nothing grows with the vocabulary or corpus.
+    "q150_dsir_selection" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dtok = docs
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .withColumn("b", Hashes.base32(col("tok")) % DSIR_B)
+      val bt = dtok.groupBy(col("b")).agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("lang") === DSIR_TARGET, 1)).as("c_t"))
+      val tot = bt.agg(sum(col("c_raw")).cast("long").as("t_raw"),
+        sum(col("c_t")).cast("long").as("t_t"))
+      val lr = bt.crossJoin(broadcast(tot))
+        .select(col("b"), floor(log(
+          (col("c_t") + 1).cast("double") * (col("t_raw") + DSIR_B).cast("double")
+            / ((col("c_raw") + 1).cast("double")
+              * (col("t_t") + DSIR_B).cast("double"))) * LP_SCALE)
+          .cast("long").as("lr_micro"))
+      val sc = dtok.select(col("doc_id"), col("b"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr_micro")).cast("long").as("w_micro"))
+      sc.join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .orderBy(col("w_micro").desc, col("doc_id")).limit(DSIR_K)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("w_micro").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("w_micro"))
+        .orderBy(col("rank"))
     }),
 
     // Temperature-based mixture rebalancing (multilingual-LM sampling,
@@ -696,6 +745,31 @@ object SamplingPack {
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
          |ORDER BY source""".stripMargin,
+
+    "q150_dsir_selection" ->
+      s"""WITH dtok AS (
+         |  SELECT doc_id, lang,
+         |    ${Hashes.sqlBase32("unnest(str_split(text, ' '))")} % $DSIR_B AS b
+         |  FROM documents
+         |), bt AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    count(CASE WHEN lang = '$DSIR_TARGET' THEN 1 END) AS c_t
+         |  FROM dtok GROUP BY b
+         |), tot AS (
+         |  SELECT sum(c_raw)::BIGINT AS t_raw, sum(c_t)::BIGINT AS t_t FROM bt
+         |), lr AS (
+         |  SELECT b, floor(ln((c_t+1)::DOUBLE * (t_raw+$DSIR_B)::DOUBLE
+         |      / ((c_raw+1)::DOUBLE * (t_t+$DSIR_B)::DOUBLE))
+         |    * $LP_SCALE)::BIGINT AS lr_micro
+         |  FROM bt CROSS JOIN tot
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens, sum(lr_micro)::BIGINT AS w_micro
+         |  FROM dtok JOIN lr USING (b) GROUP BY doc_id
+         |)
+         |SELECT row_number() OVER (ORDER BY w_micro DESC, sc.doc_id) AS rank,
+         |  sc.doc_id, lang, source, n_tokens, w_micro
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |ORDER BY w_micro DESC, sc.doc_id LIMIT $DSIR_K""".stripMargin,
 
     "q123_epoch_plan" ->
       s"""WITH totals AS (

@@ -122,6 +122,15 @@ object TextPack {
   private val bpeChainMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[DataFrame], DataFrame)]()
 
+  /** Test probe: round 1's argmax WITHOUT the lineage truncation, so
+    * PlanQualitySpec can assert the per-round plan shape (TakeOrdered
+    * heap over the vocabulary-collapsed pair relation) that
+    * [[bpeChain]]'s eager localCheckpoint makes invisible in q113's own
+    * executed plan. Every round plans the same two operators over the
+    * previous state, so round 1 pins the shape for all of them. */
+  private[graft] def bpeProbeRound1(s: SparkSession, d: String): DataFrame =
+    bpeBest(bpeVocab(s, d), 1)
+
   private def toks: Column = split(col("text"), " ")
 
   /** q36's per-doc quality relation, unsorted — q36 adds the presentation

@@ -275,23 +275,34 @@ class PlanQualitySpec extends GraftSuite {
       s"word collapse must precede the pair explode:\n$plan")
   }
 
-  test("q113: every BPE round's pair explode consumes the vocabulary relation") {
+  test("q113: BPE rounds plan argmax heaps over the vocabulary; the chain is lineage-truncated") {
     import graft.operators.TextPack
+    // Round shape, via the untruncated probe (bpeChain eagerly
+    // localCheckpoints each round, so q113's own plan no longer contains
+    // the per-round operators — asserting there would pin nothing):
+    val probe = executedPlan(TextPack.bpeProbeRound1(spark, sf))
+    // the argmax is a 1-row TakeOrdered heap — never a global sort of
+    // the pair relation
+    assert(probe.contains("TakeOrderedAndProject"),
+      s"per-round argmax must be a TakeOrdered heap:\n$probe")
+    assert(!probe.contains("Sort [n"),
+      s"no global sort of pair counts may appear:\n$probe")
+    // pair generation reads the aggregated (wc, s) relation: the word
+    // rollup (partial_count) sits below the explode in the tree
+    val gen = probe.indexOf("Generate explode")
+    val wordAgg = probe.indexOf("partial_count(1)")
+    assert(gen >= 0 && wordAgg > gen,
+      s"word collapse must precede the pair explode:\n$probe")
+    // And the chain contract itself: q113's final plan reads the
+    // checkpointed round states (LogicalRDD scans), NOT a re-derivation —
+    // the 2^r analysis-cost fix the r9 verdict asked for
     val df = TextPack.queries("q113_bpe_merges")(spark, sf)
     df.collect()
     val plan = executedPlan(df).split("== Initial Plan ==").head
-    // each round's argmax is a 1-row TakeOrdered heap broadcast back —
-    // never a global sort of the pair relation
-    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 5,
-      s"per-round argmax must be TakeOrdered heaps:\n$plan")
-    assert(!plan.contains("Sort [n"),
-      s"no global sort of pair counts may appear:\n$plan")
-    // pair generation reads the aggregated (wc, s) relation: the word
-    // rollup (partial_count) sits below the first explode in the tree
-    val gen = plan.indexOf("Generate explode")
-    val wordAgg = plan.indexOf("partial_count(1)")
-    assert(gen >= 0 && wordAgg > gen,
-      s"word collapse must precede the pair explode:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q113 must read the truncated chain states:\n$plan")
+    assert(!plan.contains("Generate explode"),
+      s"q113 must not re-derive the chain in its own plan:\n$plan")
   }
 
   test("q65: count/rank shuffles are keyed by the 64-bit bigram hash, never the string") {
@@ -477,7 +488,9 @@ class PlanQualitySpec extends GraftSuite {
       "q84_mix_temperature",   // 1-row max-tokens total
       "q90_bm25",              // 1-row avgdl total + bounded query set
       "q98_pmi_phrases",       // 1-row corpus-size total
-      "q148_dormant_premium")  // 1-row (N, S) balance-threshold broadcast
+      "q148_dormant_premium",  // 1-row (N, S) balance-threshold broadcast
+      "q150_dsir_selection")   // 1-row (t_raw, t_t) token-total broadcast
+                               // into the B-row bucket table
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))

@@ -360,4 +360,37 @@ class SamplingPackSpec extends GraftSuite {
     assert(rows.exists(_.getAs[Boolean]("capped")) &&
       rows.exists(!_.getAs[Boolean]("capped")))
   }
+
+  test("q150 DSIR: weights match a driver-side recomputation; top-K order exact") {
+    val rows = q("q150_dsir_selection").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val B = 1024L
+    val bucketed = docs.map { case (id, lang, ts) =>
+      (id, lang, ts.map(t => base32(t) % B))
+    }
+    val cRaw = bucketed.flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cT = bucketed.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (tRaw, tT) = (cRaw.values.sum, cT.values.sum)
+    val lr = cRaw.keys.map { b =>
+      b -> math.floor(math.log(
+        (cT.getOrElse(b, 0L) + 1).toDouble * (tRaw + B).toDouble
+          / ((cRaw(b) + 1).toDouble * (tT + B).toDouble)) * 1e6).toLong
+    }.toMap
+    val w = bucketed.map { case (id, _, bs) => id -> bs.map(lr).sum }.toMap
+    val expTop = w.toSeq.sortBy { case (id, wm) => (-wm, id) }.take(50)
+    assert(rows.length === expTop.length)
+    rows.zip(expTop).foreach { case (r, (id, wm)) =>
+      assert(r.getLong(r.fieldIndex("doc_id")) === id)
+      assert(r.getLong(r.fieldIndex("w_micro")) === wm, s"doc $id")
+    }
+    // the selection must actually lean toward the target distribution:
+    // selected docs score above the corpus mean weight
+    val meanAll = w.values.sum.toDouble / w.size
+    val meanSel = expTop.map(_._2).sum.toDouble / expTop.size
+    assert(meanSel > meanAll)
+  }
 }
