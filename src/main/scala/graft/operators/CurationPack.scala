@@ -52,6 +52,9 @@ object CurationPack {
   private val QUALITY_T   = 0.62  // q119 keep threshold on q36's score
   private val N_TILE      = 4     // q124 curriculum stages (quality quartiles)
   private val SHARD_CAP   = 2000L // q127 greedy shard byte cap (chars)
+  private val KANON_K     = 5     // q152 k-anonymity threshold
+  private val BAL_BUCKET  = 1000.0 // q152 finest quasi-identifier: acctbal band
+  private val REL_BINS    = 10    // q153 reliability-diagram score bins
 
   private def toks: Column = split(col("text"), " ")
 
@@ -540,6 +543,68 @@ object CurationPack {
             .cast("long").as("auc_ppm"))
     }),
 
+    // k-anonymity release audit (Sweeney 2002) — the privacy gate a
+    // dataset passes before publication: every quasi-identifier
+    // equivalence class (nation × market segment × account-balance band)
+    // is counted, and classes smaller than k are re-identification
+    // risks. The row also carries the class size one generalization step
+    // up (the finest identifier dropped), showing whether generalizing
+    // repairs the class — the audit that drives a k-anonymization
+    // ladder. Scale: two partial aggregations over the same scan; the
+    // generalized relation is bounded by the coarse-identifier cross
+    // space (|nations| × |segments|) and broadcast back. Output is
+    // bounded by the QI cross space, never the table.
+    "q152_kanon_audit" -> ((s, d) => {
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / BAL_BUCKET).cast("long").as("bal_bucket"))
+      val full = qi.groupBy(col("nation"), col("segment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+      val gen = qi.groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n_gen"))
+      full.join(broadcast(gen), Seq("nation", "segment"))
+        .select(col("nation"), col("segment"), col("bal_bucket"),
+          col("n"), (col("n") < KANON_K).as("at_risk"),
+          col("n_gen"), (col("n_gen") < KANON_K).as("at_risk_gen"))
+        .orderBy(col("nation"), col("segment"), col("bal_bucket"))
+    }),
+
+    // Classifier reliability diagram — the calibration half of the
+    // eval suite (train q114 → AUC q117 → calibration here): the score
+    // axis is cut into equal-width bins and each bin reports volume,
+    // positive rate, and the exact score mass, the table a reliability
+    // curve / ECE computation reads off. Integer-exact end-to-end via
+    // q117's histogram trick: scores are integers, so binning runs over
+    // the |distinct scores| histogram (never re-sorting the corpus), the
+    // bin index is one integer floor-division against the broadcast
+    // 1-row (min, max) range, and the per-bin mean ships as the exact
+    // (sum_score, n) pair — no division whose truncation could differ
+    // across engines on negative sums. Scale: one corpus scan
+    // (map-side partial agg to the score histogram); everything after is
+    // histogram-sized.
+    "q153_reliability" -> ((s, d) => {
+      val feat = pctFeatures(s, d)
+      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      val hist = feat.crossJoin(broadcast(wT))
+        .select(col("y"), perceptronScore(4).cast("long").as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
+      val rng = hist.agg(min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      hist.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          expr(s"((s - s_min) * $REL_BINS) div (s_max - s_min + 1)")
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("np")).cast("long").as("n_pos"),
+          sum(col("s") * col("n")).cast("long").as("sum_score"),
+          min(col("s")).as("s_lo"), max(col("s")).as("s_hi"))
+        .withColumn("pos_rate_ppm",
+          expr("(1000000 * n_pos) div n").cast("long"))
+        .orderBy(col("bin"))
+    }),
+
     // Per-document curation VERDICT — the capstone table every pipeline
     // materializes before shard writing: one keep/drop decision per doc
     // with the first-failing reason under C4's filter precedence
@@ -706,6 +771,43 @@ object CurationPack {
       |  WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q152_kanon_audit" ->
+      s"""WITH qi AS (
+         |  SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+         |    floor(c_acctbal / $BAL_BUCKET)::BIGINT AS bal_bucket
+         |  FROM customer
+         |), f AS (
+         |  SELECT nation, segment, bal_bucket, count(*)::BIGINT AS n
+         |  FROM qi GROUP BY nation, segment, bal_bucket
+         |), g AS (
+         |  SELECT nation, segment, count(*)::BIGINT AS n_gen
+         |  FROM qi GROUP BY nation, segment
+         |)
+         |SELECT nation, segment, bal_bucket, n, n < $KANON_K AS at_risk,
+         |  n_gen, n_gen < $KANON_K AS at_risk_gen
+         |FROM f JOIN g USING (nation, segment)
+         |ORDER BY nation, segment, bal_bucket""".stripMargin,
+
+    "q153_reliability" ->
+      s"""WITH $pctSqlChain,
+         |hist AS (
+         |  SELECT s, count(*)::BIGINT AS n,
+         |    count(*) FILTER (y = 1)::BIGINT AS np
+         |  FROM (SELECT y, ($pctSqlScore)::BIGINT AS s FROM feat)
+         |  GROUP BY s
+         |), rng AS (
+         |  SELECT min(s) AS s_min, max(s) AS s_max FROM hist
+         |), b AS (
+         |  SELECT ((s - s_min) * $REL_BINS // (s_max - s_min + 1))::BIGINT
+         |      AS bin, n, np, s
+         |  FROM hist CROSS JOIN rng
+         |)
+         |SELECT bin, sum(n)::BIGINT AS n, sum(np)::BIGINT AS n_pos,
+         |  sum(s * n)::BIGINT AS sum_score,
+         |  min(s)::BIGINT AS s_lo, max(s)::BIGINT AS s_hi,
+         |  (1000000 * sum(np) // sum(n))::BIGINT AS pos_rate_ppm
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q55_decontaminate" ->
       s"""WITH shx AS (
          |  ${TextPack.sqlShingleRows}

@@ -61,6 +61,10 @@ object SimilarityPack {
   private val HYB_TOP  = 5   // fused results per query
   private val BITEXT_QMOD = 25 // bitext query set: non-en docs, id % 25 == 0
   private val MARGIN_K    = 4  // margin denominator: avg of top-K cosines
+  private val NEG_K       = 5  // q151 mined negatives per anchor
+  // q151 semi-hard band: a negative within 0.05 cosine BELOW the anchor's
+  // nearest positive is semi-hard (FaceNet's margin, in micro-units)
+  private val SEMI_MARGIN_MICRO = 50000L
 
   /** Seeded ±1 projection planes: TABLES*BITS planes × DIM entries. */
   private val planes: IndexedSeq[IndexedSeq[Int]] = {
@@ -232,6 +236,50 @@ object SimilarityPack {
     // deterministic ranking) is what the oracle pins down; q111 MEASURES
     // the recall.
     "q42_ann_lsh" -> (lshTopK _),
+
+    // Hard-negative mining for embedding-model training (the FaceNet /
+    // contrastive-learning recipe, Schroff et al. CVPR'15; standard in
+    // dense-retriever training à la DPR): for each anchor in the bounded
+    // eval panel, the top-K most-similar OTHER-label vectors are the
+    // mined negatives, each tagged against the anchor's nearest
+    // SAME-label cosine — 'hard' (outranks the best positive),
+    // 'semi_hard' (within the margin band below it), else 'easy'.
+    // Engine-exact: ranking and the band compare both use round-6
+    // cosines lifted to integer micro-units (q139's trick), so the
+    // category boundary has no FP hazard. Scale: the anchor panel is
+    // bounded and broadcast; the corpus is scanned twice (best-positive
+    // agg, then negative top-K — both partial-aggregate/heap map-side;
+    // at 100 TB two linear scans beat caching a corpus×panel relation),
+    // and the best-positive relation rejoins panel-sized. The
+    // sub-quadratic path swaps the brute scans for q42's LSH buckets /
+    // q43's IVF cells, mining within candidate buckets only — identical
+    // tagging arithmetic.
+    "q151_hard_negatives" -> ((s, d) => {
+      val e = vecs(s, d)
+      val q = e.filter(annPanel(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("v").as("qv"), col("norm").as("qn"))
+      def pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("c_micro",
+          round(round(cosine("qv", "v", "qn", "norm"), 6) * 1e6)
+            .cast("long"))
+      val posBest = pairs.filter(col("label") === col("qlab"))
+        .groupBy(col("qid")).agg(max(col("c_micro")).as("pos_micro"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("c_micro").desc, col("vec_id"))
+      pairs.filter(col("label") =!= col("qlab"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= NEG_K)
+        .join(broadcast(posBest), Seq("qid"))
+        .withColumn("category",
+          when(col("c_micro") >= col("pos_micro"), "hard")
+            .when(col("c_micro") >= col("pos_micro") - SEMI_MARGIN_MICRO,
+              "semi_hard")
+            .otherwise("easy"))
+        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+          col("c_micro"), col("pos_micro"), col("category"))
+        .orderBy(col("qid"), col("rank"))
+    }),
 
     // Bitext-mining candidates — margin-based cross-lingual pairing
     // (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining", ACL'19
@@ -700,6 +748,35 @@ object SimilarityPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q151_hard_negatives" ->
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), q AS (
+         |  SELECT vec_id AS qid, label AS qlab, v AS qv, norm AS qn
+         |  FROM e WHERE vec_id % $ANN_QMOD = 0 AND vec_id < $ANN_QCAP
+         |), pairs AS (
+         |  SELECT q.qid, q.qlab, e.vec_id, e.label,
+         |    round(round(${sqlCosine("qv", "v", "qn", "norm")}, 6)
+         |      * 1000000)::BIGINT AS c_micro
+         |  FROM e JOIN q ON e.vec_id <> q.qid
+         |), pos AS (
+         |  SELECT qid, max(c_micro) AS pos_micro
+         |  FROM pairs WHERE label = qlab GROUP BY qid
+         |), negs AS (
+         |  SELECT qid, vec_id AS nid, c_micro,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY c_micro DESC, vec_id) AS rank
+         |  FROM pairs WHERE label <> qlab
+         |)
+         |SELECT n.qid, rank, nid, c_micro, pos_micro,
+         |  CASE WHEN c_micro >= pos_micro THEN 'hard'
+         |       WHEN c_micro >= pos_micro - $SEMI_MARGIN_MICRO
+         |         THEN 'semi_hard'
+         |       ELSE 'easy' END AS category
+         |FROM negs n JOIN pos USING (qid)
+         |WHERE rank <= $NEG_K
+         |ORDER BY qid, rank""".stripMargin,
+
     // Same construction end-to-end: normalize, global symmetric scale,
     // clamped floor codes, integer dots (list_dot_product over BIGINT
     // codes is exact well below 2^53, cast back to BIGINT).

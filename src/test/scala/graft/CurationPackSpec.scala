@@ -403,4 +403,58 @@ class CurationPackSpec extends GraftSuite {
     // exactly once, and total agreement is the sum of winner counts
     assert(got.values.map(_._1).sum == winners.values.map(_._2).sum)
   }
+
+  test("q152 k-anonymity audit equals a driver-side recomputation") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val full = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gen = cust.groupBy(c => (c._1, c._2)).view.mapValues(_.length.toLong).toMap
+    val rows = CurationPack.queries("q152_kanon_audit")(spark, sf).collect()
+    assert(rows.length == full.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(r.getLong(3) == full(key), s"class $key")
+      assert(r.getBoolean(4) == (full(key) < 5L))
+      assert(r.getLong(5) == gen((key._1, key._2)))
+      assert(r.getBoolean(6) == (gen((key._1, key._2)) < 5L))
+    }
+    // the audit discriminates: generalization strictly reduces the
+    // number of at-risk classes on this data
+    val atRiskFull = rows.count(_.getBoolean(4))
+    val atRiskGen = rows.count(_.getBoolean(6))
+    assert(atRiskFull > 0 && atRiskGen < atRiskFull)
+  }
+
+  test("q153 reliability bins partition the scored corpus exactly") {
+    val scored = CurationPack.queries("q114_perceptron")(spark, sf)
+      .select(col("y"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sMin = scored.map(_._2).min
+    val sMax = scored.map(_._2).max
+    def bin(s: Long): Long = ((s - sMin) * 10L) / (sMax - sMin + 1L)
+    val byBin = scored.groupBy(c => bin(c._2))
+    val rows = CurationPack.queries("q153_reliability")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == byBin.size)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      val g = byBin(b)
+      assert(r.getLong(1) == g.length.toLong, s"bin $b n")
+      assert(r.getLong(2) == g.count(_._1 == 1L).toLong, s"bin $b n_pos")
+      assert(r.getLong(3) == g.map(_._2).sum, s"bin $b sum_score")
+      assert(r.getLong(4) == g.map(_._2).min && r.getLong(5) == g.map(_._2).max)
+      assert(r.getLong(6) == 1000000L * g.count(_._1 == 1L) / g.length)
+    }
+    // bins are ordered and disjoint on the score axis
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+      case _ =>
+    }
+    // totals reconcile with the corpus
+    assert(rows.map(_.getLong(1)).sum == scored.length.toLong)
+    assert(rows.map(_.getLong(2)).sum == scored.count(_._1 == 1L).toLong)
+  }
 }

@@ -489,8 +489,11 @@ class PlanQualitySpec extends GraftSuite {
       "q90_bm25",              // 1-row avgdl total + bounded query set
       "q98_pmi_phrases",       // 1-row corpus-size total
       "q148_dormant_premium",  // 1-row (N, S) balance-threshold broadcast
-      "q150_dsir_selection")   // 1-row (t_raw, t_t) token-total broadcast
+      "q150_dsir_selection",   // 1-row (t_raw, t_t) token-total broadcast
                                // into the B-row bucket table
+      "q151_hard_negatives",   // bounded ANN anchor panel broadcast
+      "q153_reliability")      // 1-row weight + 1-row (min,max) range
+                               // broadcasts into the score histogram
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))

@@ -300,4 +300,48 @@ class SimilarityPackSpec extends GraftSuite {
       assert(dcg <= idcg && ppm >= 0 && ppm <= 1000000L)
     }
   }
+
+  test("q151 hard negatives equal a driver-side mining recomputation") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecsLocal = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector)
+      .toMap
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def cMicro(x: Double): Long = {
+      val r6 = BigDecimal.valueOf(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal.valueOf(r6 * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val anchors = vecsLocal.keys.filter(id => id % 50 == 0 && id < 5000).toSeq
+    val got = SimilarityPack.queries("q151_hard_negatives")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(got.keySet == anchors.toSet, "one group per bounded anchor")
+    anchors.foreach { qid =>
+      val others = vecsLocal.keys.filter(_ != qid).toSeq
+      val cm = others.map(o => o -> cMicro(cos(vecsLocal(qid), vecsLocal(o)))).toMap
+      val posBest = others.filter(o => labels(o) == labels(qid)).map(cm).max
+      val negs = others.filter(o => labels(o) != labels(qid))
+        .sortBy(o => (-cm(o), o)).take(5)
+      val rs = got(qid).sortBy(_.getInt(1))
+      assert(rs.length == negs.size)
+      rs.zip(negs).zipWithIndex.foreach { case ((r, nid), i) =>
+        assert(r.getInt(1) == i + 1)
+        assert(r.getLong(2) == nid, s"anchor $qid rank ${i + 1}")
+        assert(r.getLong(3) == cm(nid))
+        assert(r.getLong(4) == posBest)
+        val expCat =
+          if (cm(nid) >= posBest) "hard"
+          else if (cm(nid) >= posBest - 50000L) "semi_hard"
+          else "easy"
+        assert(r.getString(5) == expCat)
+      }
+    }
+  }
 }
