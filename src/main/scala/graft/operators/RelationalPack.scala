@@ -567,6 +567,52 @@ object RelationalPack {
         .orderBy(col("code"))
     }),
 
+    // TPC-H Q13 shape: customer distribution by order count INCLUDING the
+    // zero bucket. Q13's trap is filter placement: the order filter must
+    // bind BEFORE the outer join (here: on the orders side, pre-
+    // aggregation) — a WHERE on the joined result would delete the very
+    // customers whose every order fails it, losing the c_count=0 bucket.
+    // Plan: one shuffle join on custkey (orders pre-collapsed to
+    // per-customer counts, so the join carries |customers| rows, not
+    // |orders|), then a count-of-counts rollup whose output is bounded by
+    // the max order count, not the table.
+    "q154_order_count_dist" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue —
+    // a correlated max over an aggregate view, decorrelated the way the
+    // optimizer should: materialize the per-supplier revenue relation
+    // once, reduce it to a 1-row max, broadcast that back as a filter.
+    // Revenue in integer cents so "equals the max" is an exact integer
+    // compare — the float-revenue form of this query is nondeterministic
+    // under parallel summation, which is why the reference predicate
+    // must be integral. One lineitem shuffle on suppkey; everything
+    // after is |suppliers|-sized; the supplier dim broadcasts.
+    "q155_top_supplier" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).cast("long").as("revenue_cents"))
+      val top = rev.agg(max(col("revenue_cents")).as("max_cents"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("revenue_cents") === col("max_cents"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
     // revenue sold to ASIA customers, per order year. Every dimension
     // (part filter, supplier→nation, customer→nation→region) broadcasts;
@@ -909,6 +955,32 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q154_order_count_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT coalesce(n, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q155_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |      ::BIGINT AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q149_small_qty_revenue" ->
       """WITH t AS (

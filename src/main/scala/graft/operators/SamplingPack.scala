@@ -63,6 +63,7 @@ object SamplingPack {
   private val DSIR_B      = 1024  // q150 hashed-feature buckets
   private val DSIR_TARGET = "en"  // q150 target distribution: en docs
   private val DSIR_K      = 50    // q150 selected docs reported
+  private val EG_ETA      = 0.1   // q157 exponentiated-gradient step size
 
   private def toks: Column = split(col("text"), " ")
 
@@ -204,6 +205,59 @@ object SamplingPack {
         .select(col("rank"), col("doc_id"), col("lang"), col("source"),
           col("n_tokens"), col("w_micro"))
         .orderBy(col("rank"))
+    }),
+
+    // One DoReMi-style mixture-reweighting step (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // domain weights move by exponentiated gradient on per-domain EXCESS
+    // LOSS — here each source's mean per-token surprisal under q83's
+    // corpus unigram LM, relative to the corpus mean (a source the LM
+    // finds harder than average gets upweighted, the paper's worst-case
+    // emphasis). Determinism: per-token log-probs are q83's integer
+    // micro-nats, each mean is ONE IEEE division of two exact longs, the
+    // excess floors to integer micro-nats, and the EG factor
+    // w0·exp(η·excess) floors to integer micro-units BEFORE the
+    // normalization sum — so Σv and the final ppm weights are exact
+    // integer arithmetic under any combine order. Scale: the corpus cost
+    // is exactly q83's two passes over the exploded token stream; all the
+    // mixture math runs on the |sources|-row rollup with two 1-row
+    // broadcasts.
+    "q157_mixture_reweight" -> ((s, d) => {
+      val dtok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+      val tc = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = tc.agg(sum(col("c")).cast("long").as("t_tokens"),
+        count(lit(1)).as("v_size"))
+      val lp = tc.crossJoin(broadcast(stats))
+        .select(col("tok"),
+          floor(log((col("c") + 1).cast("double")
+            / (col("t_tokens") + col("v_size")).cast("double")) * LP_SCALE)
+            .cast("long").as("lp_micro"))
+      val perSrc = dtok.join(broadcast(lp), "tok")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("t_s"),
+          sum(col("lp_micro")).cast("long").as("lp_s"))
+      val corpus = perSrc.agg(sum(col("t_s")).cast("long").as("t_all"),
+        sum(col("lp_s")).cast("long").as("lp_all"))
+      val stepped = perSrc.crossJoin(broadcast(corpus))
+        // surprisal = −logprob: excess = source mean surprisal − corpus
+        // mean surprisal, each mean one exact-long IEEE division
+        .withColumn("excess_micro",
+          floor(col("lp_all").cast("double") / col("t_all").cast("double")
+            - col("lp_s").cast("double") / col("t_s").cast("double"))
+            .cast("long"))
+        .withColumn("w0_ppm",
+          expr("(1000000 * t_s) div t_all").cast("long"))
+        .withColumn("v_micro",
+          floor(col("w0_ppm").cast("double")
+            * exp(lit(EG_ETA) * col("excess_micro").cast("double") / 1e6))
+            .cast("long"))
+      val norm = stepped.agg(sum(col("v_micro")).cast("long").as("v_sum"))
+      stepped.crossJoin(broadcast(norm))
+        .select(col("source"), col("t_s").cast("long").as("tokens"),
+          col("w0_ppm"), col("excess_micro"), col("v_micro"),
+          expr("(1000000 * v_micro) div v_sum").cast("long").as("w1_ppm"))
+        .orderBy(col("source"))
     }),
 
     // Temperature-based mixture rebalancing (multilingual-LM sampling,
@@ -744,6 +798,39 @@ object SamplingPack {
          |    / sqrt(max_tokens::DOUBLE)) THEN ntok ELSE 0 END)::BIGINT AS kept_tokens
          |FROM perdoc JOIN totals USING (source) CROSS JOIN mx
          |GROUP BY source, n_docs, tot_tokens, max_tokens
+         |ORDER BY source""".stripMargin,
+
+    "q157_mixture_reweight" ->
+      s"""WITH dtok AS (
+         |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok
+         |  FROM documents
+         |), tc AS (SELECT tok, count(*) AS c FROM dtok GROUP BY tok),
+         |st AS (SELECT sum(c)::BIGINT AS t_tokens, count(*)::BIGINT AS v_size FROM tc),
+         |lp AS (
+         |  SELECT tok, floor(ln((c+1)::DOUBLE / (t_tokens+v_size)::DOUBLE)
+         |    * $LP_SCALE)::BIGINT AS lp_micro
+         |  FROM tc CROSS JOIN st
+         |), ps AS (
+         |  SELECT source, count(*)::BIGINT AS t_s,
+         |    sum(lp_micro)::BIGINT AS lp_s
+         |  FROM dtok JOIN lp USING (tok) GROUP BY source
+         |), corpus AS (
+         |  SELECT sum(t_s)::BIGINT AS t_all, sum(lp_s)::BIGINT AS lp_all FROM ps
+         |), stepped AS (
+         |  SELECT source, t_s,
+         |    floor(lp_all::DOUBLE / t_all::DOUBLE
+         |        - lp_s::DOUBLE / t_s::DOUBLE)::BIGINT AS excess_micro,
+         |    ((1000000 * t_s) // t_all)::BIGINT AS w0_ppm
+         |  FROM ps CROSS JOIN corpus
+         |), v AS (
+         |  SELECT source, t_s, excess_micro, w0_ppm,
+         |    floor(w0_ppm::DOUBLE
+         |      * exp($EG_ETA * excess_micro::DOUBLE / 1000000.0))::BIGINT AS v_micro
+         |  FROM stepped
+         |), nz AS (SELECT sum(v_micro)::BIGINT AS v_sum FROM v)
+         |SELECT source, t_s AS tokens, w0_ppm, excess_micro, v_micro,
+         |  ((1000000 * v_micro) // v_sum)::BIGINT AS w1_ppm
+         |FROM v CROSS JOIN nz
          |ORDER BY source""".stripMargin,
 
     "q150_dsir_selection" ->

@@ -281,6 +281,42 @@ object SimilarityPack {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding-distribution drift (PSI) between two corpus snapshots —
+    // the monitoring table a production embedding pipeline watches after
+    // every model/data refresh: both snapshots (deterministic vec_id
+    // parity split here, standing in for old/new) are histogrammed over
+    // table-0's 256 sign-projection buckets (q42's seeded planes — a
+    // FIXED coarse quantization, so drift is attributable to the data,
+    // not the binning) and each bucket contributes the standard
+    // population-stability term (p_a−p_b)·ln(p_a/p_b), add-one smoothed.
+    // The term is ≥ 0 by construction (both factors share sign), so the
+    // micro-nat floor has no negative-zero hazard; per-bucket math runs
+    // on doubles derived from exact longs in the same operation order on
+    // both engines. Scale: one linear pass histograms the corpus into
+    // 256×2 counts (map-side partial agg); everything downstream —
+    // totals, smoothing, the PSI terms — is bucket-table-sized, and the
+    // 1-row totals broadcast.
+    "q156_embedding_drift" -> ((s, d) => {
+      val nb = 1 << BITS
+      val sigs = vecs(s, d).withColumn("sig", sigCol(0))
+      val cnt = sigs.groupBy(col("sig")).agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c_b"))
+      val tot = cnt.agg(sum(col("c_a")).cast("long").as("t_a"),
+        sum(col("c_b")).cast("long").as("t_b"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("pa", (col("c_a") + 1).cast("double")
+          / (col("t_a") + nb).cast("double"))
+        .withColumn("pb", (col("c_b") + 1).cast("double")
+          / (col("t_b") + nb).cast("double"))
+        .withColumn("psi_micro",
+          floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) * 1e6)
+            .cast("long"))
+        .select(col("sig").cast("long").as("sig"), col("c_a").cast("long").as("c_a"),
+          col("c_b").cast("long").as("c_b"), col("psi_micro"))
+        .orderBy(col("sig"))
+    }),
+
     // Bitext-mining candidates — margin-based cross-lingual pairing
     // (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining", ACL'19
     // — the public CCMatrix/LASER recipe): each non-English query doc is
@@ -748,6 +784,28 @@ object SimilarityPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q156_embedding_drift" ->
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), sg AS (
+         |  SELECT vec_id, ${sqlSig(0)} AS sig FROM e
+         |), cnt AS (
+         |  SELECT sig,
+         |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END)::BIGINT AS c_a,
+         |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END)::BIGINT AS c_b
+         |  FROM sg GROUP BY sig
+         |), tot AS (
+         |  SELECT sum(c_a)::BIGINT AS t_a, sum(c_b)::BIGINT AS t_b FROM cnt
+         |)
+         |SELECT sig::BIGINT AS sig, c_a, c_b,
+         |  floor(((c_a + 1)::DOUBLE / (t_a + ${1 << BITS})::DOUBLE
+         |       - (c_b + 1)::DOUBLE / (t_b + ${1 << BITS})::DOUBLE)
+         |    * ln(((c_a + 1)::DOUBLE / (t_a + ${1 << BITS})::DOUBLE)
+         |       / ((c_b + 1)::DOUBLE / (t_b + ${1 << BITS})::DOUBLE))
+         |    * 1000000)::BIGINT AS psi_micro
+         |FROM cnt CROSS JOIN tot
+         |ORDER BY sig""".stripMargin,
+
     "q151_hard_negatives" ->
       s"""WITH e AS (
          |  $sqlVecs

@@ -507,8 +507,18 @@ object WindowPack {
       .agg(max(when(col("event_type") === "purchase"
         && col("tus") > col("fv")
         && col("tus") <= col("fv") + windowUs, 1L).otherwise(0L)).as("conv"))
-    flags.groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+    abScore(flags.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c")))
+  }
+
+  /** q146's verdict tail over an arbitrary (variant, n, c) per-variant
+    * count relation — factored so the live monitor
+    * ([[graft.streaming.StreamOps.abCounts]]: signed per-user deltas
+    * folded by a streaming sum; counts are the sufficient statistic,
+    * the anomaly-monitor pattern) scores its folded table with the
+    * EXACT batch arithmetic. */
+  def abScore(perVariant: DataFrame): DataFrame =
+    perVariant
       .agg(
         max(when(col("variant") === 0, col("n"))).cast("long").as("n_a"),
         max(when(col("variant") === 0, col("c"))).cast("long").as("c_a"),
@@ -522,7 +532,6 @@ object WindowPack {
           |     * (n_a + n_b)
           | > 9604 * CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
           |     * (n_a + n_b - c_a - c_b)""".stripMargin))
-  }
 
   /** The q91 session-staging CTE chain (sessionize → ordered stage
     * minima → one row per session), shared by the q91 and q145 oracles. */

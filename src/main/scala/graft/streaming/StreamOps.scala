@@ -48,6 +48,17 @@ final case class RetentionDelta(cohort: Long, offset: Long, delta: Long)
   * event volume). */
 final case class RetentionState(cohort: Long, weeks: Seq[Long])
 
+/** One signed update to q146's per-variant (users, conversions) counts:
+  * `dn` counts the user into n when their first view appears; `dc` flips
+  * their conversion on/off as late data moves the first view. */
+final case class AbDelta(variant: Long, dn: Long, dc: Long)
+
+/** Per-user A/B state: current first-view ts (µs; Long.MaxValue = no
+  * view yet), the purchase timestamps that could still convert under a
+  * (only ever rewinding) first view, and the currently-emitted
+  * conversion flag. */
+final case class AbState(fv: Long, purchases: Seq[Long], conv: Boolean)
+
 /** Emitted cluster model row (reference: (ts, count, ClusterModel) emission,
   * KMeansClusterFunction.scala:230-281; labels come from the control
   * stream's `label:<i>=` parameters, empty when unset — reference
@@ -209,6 +220,65 @@ object StreamOps {
     retentionDeltas(events)
       .groupBy(col("cohort"), col("offset"))
       .agg(sum(col("delta")).as("n_users"))
+
+  /** Signed per-user deltas of q146's A/B counts — the live experiment
+    * monitor. Per-user fMGWS state carries (first-view ts, candidate
+    * purchases, emitted conversion flag); a user enters n (+1) when
+    * their first view appears, and `dc` moves ±1 whenever late data
+    * changes their conversion verdict. The hard case mirrors retention's
+    * cohort rewind: a LATE view that predates the known first view moves
+    * the conversion window — a purchase that converted can fall OUT
+    * (p > fv+w under the earlier window) and one that didn't can fall IN
+    * (p now > fv) — so the delta stream sums to exactly the batch
+    * [[graft.operators.WindowPack.abEval]] counts under any arrival
+    * order (AbStreamSpec pins both flips). State stays bounded: the
+    * first view only rewinds, so a purchase past fv + window can never
+    * convert and is pruned; what remains is the purchases inside one
+    * conversion window (pre-view users hold their purchases until the
+    * view arrives — at deployment the watermark bounds that wait).
+    * Downstream, [[abCounts]] folds the deltas with a plain streaming
+    * sum and [[graft.operators.WindowPack.abScore]] turns the folded
+    * table into the identical batch verdict row. */
+  def abDeltas(events: Dataset[Ev], windowUs: Long): Dataset[AbDelta] = {
+    implicit val stateEnc = Encoders.product[AbState]
+    implicit val outEnc = Encoders.product[AbDelta]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Ev], state: GroupState[AbState]) => {
+          val evs = it.toSeq
+          val old = state.getOption.getOrElse(AbState(Long.MaxValue, Nil, false))
+          // exact µs (getTime alone truncates to ms — the batch twin
+          // compares unix_micros, so the window boundary must be µs-exact)
+          def us(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val newViews = evs.filter(_.event_type == "view").map(e => us(e.ts))
+          val fv = (old.fv +: newViews).min
+          val newPurch = evs.filter(_.event_type == "purchase")
+            .map(e => us(e.ts))
+          // fv only ever rewinds, so p > fv + w can never convert — prune;
+          // p <= fv may yet qualify under a further rewind — keep
+          val purch = (old.purchases ++ newPurch).distinct
+            .filter(p => fv == Long.MaxValue || p <= fv + windowUs)
+          val conv = fv != Long.MaxValue &&
+            purch.exists(p => p > fv && p <= fv + windowUs)
+          val dn = (if (fv != Long.MaxValue) 1L else 0L) -
+            (if (old.fv != Long.MaxValue) 1L else 0L)
+          val dc = (if (conv) 1L else 0L) - (if (old.conv) 1L else 0L)
+          state.update(AbState(fv, purch, conv))
+          if (dn == 0L && dc == 0L) Iterator.empty
+          else Iterator.single(AbDelta(uid % 2, dn, dc))
+        })
+  }
+
+  /** The live per-variant (n, c) counts: [[abDeltas]] folded by a
+    * streaming sum (update mode); score the fold with
+    * [[graft.operators.WindowPack.abScore]] for the live verdict. */
+  def abCounts(events: Dataset[Ev], windowUs: Long): DataFrame =
+    abDeltas(events, windowUs)
+      .groupBy(col("variant"))
+      .agg(sum(col("dn")).cast("long").as("n"),
+        sum(col("dc")).cast("long").as("c"))
 
   /** q91's streaming twin: per-user 30-min-gap sessions close when the
     * event-time watermark passes last-event + gap (event-time timers —

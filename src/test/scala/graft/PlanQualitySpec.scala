@@ -492,8 +492,14 @@ class PlanQualitySpec extends GraftSuite {
       "q150_dsir_selection",   // 1-row (t_raw, t_t) token-total broadcast
                                // into the B-row bucket table
       "q151_hard_negatives",   // bounded ANN anchor panel broadcast
-      "q153_reliability")      // 1-row weight + 1-row (min,max) range
+      "q153_reliability",      // 1-row weight + 1-row (min,max) range
                                // broadcasts into the score histogram
+      "q155_top_supplier",     // 1-row max-revenue broadcast into the
+                               // |suppliers|-sized revenue relation
+      "q156_embedding_drift",  // 1-row snapshot-totals broadcast into the
+                               // 256-bucket histogram
+      "q157_mixture_reweight") // 1-row corpus totals + 1-row normalizer
+                               // into the |sources|-row mixture table
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.RelationalPack
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 class RelationalPackSpec extends GraftSuite {
 
@@ -241,5 +241,38 @@ class RelationalPackSpec extends GraftSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"$got vs $want")
     assert(got.nonEmpty, "the 60-day threshold must fire at sf0.001")
+  }
+
+  test("q154 order-count distribution equals a driver recompute; zero bucket present") {
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val perCust = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey").cast("long")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = RelationalPack.queries("q154_order_count_dist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    // the Q13 trap: customers whose every order fails the filter (or who
+    // have no orders) must land in the zero bucket, not vanish
+    assert(got.getOrElse(0L, 0L) ==
+      custs.count(c => !perCust.contains(c)).toLong)
+  }
+
+  test("q155 top supplier equals a driver recompute over exact cents") {
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .select(col("l_suppkey").cast("long"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = rev.values.max
+    val want = rev.filter(_._2 == mx).keys.toSeq.sorted
+    val got = RelationalPack.queries("q155_top_supplier")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == want)
+    got.foreach(r => assert(r.getLong(2) == mx))
   }
 }

@@ -361,6 +361,45 @@ class SamplingPackSpec extends GraftSuite {
       rows.exists(!_.getAs[Boolean]("capped")))
   }
 
+  test("q157 mixture reweight equals a driver-side EG-step recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+    val allToks = docs.flatMap(_._2)
+    val tc = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tTok, vSize) = (allToks.length.toLong, tc.size.toLong)
+    val lp = tc.map { case (t, c) =>
+      t -> math.floor(math.log((c + 1).toDouble / (tTok + vSize).toDouble) * 1e6).toLong
+    }
+    val perSrc = docs.groupBy(_._1).view.mapValues { ds =>
+      val ts = ds.flatMap(_._2)
+      (ts.length.toLong, ts.map(lp).sum)
+    }.toMap
+    val tAll = perSrc.values.map(_._1).sum
+    val lpAll = perSrc.values.map(_._2).sum
+    val stepped = perSrc.map { case (src, (tS, lpS)) =>
+      val excess = math.floor(lpAll.toDouble / tAll.toDouble
+        - lpS.toDouble / tS.toDouble).toLong
+      val w0 = 1000000L * tS / tAll
+      val v = math.floor(w0.toDouble * math.exp(0.1 * excess.toDouble / 1e6)).toLong
+      src -> (tS, w0, excess, v)
+    }
+    val vSum = stepped.values.map(_._4).sum
+    val rows = SamplingPack.queries("q157_mixture_reweight")(spark, sf).collect()
+    assert(rows.length == stepped.size)
+    rows.foreach { r =>
+      val (tS, w0, excess, v) = stepped(r.getString(0))
+      assert(r.getLong(1) == tS)
+      assert(r.getLong(2) == w0)
+      assert(r.getLong(3) == excess)
+      assert(r.getLong(4) == v)
+      assert(r.getLong(5) == 1000000L * v / vSum)
+    }
+    // the step must actually move mass: unless all sources score equally,
+    // some w1 differs from its w0
+    assert(rows.exists(r => r.getLong(5) != r.getLong(2)))
+  }
+
   test("q150 DSIR: weights match a driver-side recomputation; top-K order exact") {
     val rows = q("q150_dsir_selection").collect()
     val docs = Tables.documents(spark, sf)

@@ -301,6 +301,35 @@ class SimilarityPackSpec extends GraftSuite {
     }
   }
 
+  test("q156 embedding drift equals a driver-side PSI recomputation; PSI >= 0") {
+    val vecsLocal = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector)
+    // same seeded construction as the pack's projection planes
+    val rnd = new scala.util.Random(7)
+    val planes = IndexedSeq.fill(4 * 8, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    def sig0(v: Vector[Double]): Int =
+      (0 until 8).map { b =>
+        if (v.zip(planes(b)).map { case (x, p) => x * p }.sum > 0) 1 << b else 0
+      }.sum
+    val bySig = vecsLocal.groupBy { case (_, v) => sig0(v) }
+    val tA = vecsLocal.count(_._1 % 2 == 0).toLong
+    val tB = vecsLocal.size - tA
+    val want = bySig.map { case (sig, vs) =>
+      val cA = vs.count(_._1 % 2 == 0).toLong
+      val cB = vs.size - cA
+      val pa = (cA + 1).toDouble / (tA + 256).toDouble
+      val pb = (cB + 1).toDouble / (tB + 256).toDouble
+      sig.toLong -> (cA, cB, math.floor((pa - pb) * math.log(pa / pb) * 1e6).toLong)
+    }
+    val got = SimilarityPack.queries("q156_embedding_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"$got vs $want")
+    got.values.foreach { case (_, _, psi) => assert(psi >= 0L) }
+    assert(got.size > 1, "the 256-bucket histogram must spread")
+  }
+
   test("q151 hard negatives equal a driver-side mining recomputation") {
     val labels = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label")).collect()
