@@ -86,4 +86,39 @@ class AbStreamSpec extends GraftSuite {
       assert(deltas.count(_._3 == 1L) >= 2, "initial conv + the flip-in")
     } finally q.stop()
   }
+
+  test("A/B chain restarts from checkpoint; the post-restart rewind still retracts") {
+    // The purchase that the late view must invalidate arrives BEFORE the
+    // stop/restart: the -1 can only be emitted if the per-user purchase
+    // buffer recovered from the checkpoint. Sink = the keyed upsert store
+    // on the chained abCounts fold (fMGWS -> streaming sum, update mode).
+    import graft.sources.KeyedUpsertSink
+    import spark.implicits._
+    val W = 60000000L
+    def ev(id: Long, sec: Long, uid: Long, tpe: String) =
+      Ev(id, new java.sql.Timestamp(sec * 1000L), uid, tpe, 0.0)
+    val base = java.nio.file.Files.createTempDirectory("graft_ab_rec").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    def runOnce(chunk: Seq[Ev]): Unit = {
+      chunk.toDS().write.mode("append").parquet(in)
+      val sch = spark.read.parquet(in).schema
+      val q = StreamOps.abCounts(
+          spark.readStream.schema(sch).parquet(in).as[Ev], W)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          KeyedUpsertSink.upsert(spark, out, b.withColumn("version", lit(id)),
+            Seq("variant"), "version")
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // before the "crash": user 2 converts (view@50, purchase@100 in (50,110])
+    runOnce(Seq(ev(1, 100, 2, "purchase"), ev(2, 50, 2, "view")))
+    // restart: view@0 shrinks the window to (0, 60] — conversion retracts
+    runOnce(Seq(ev(3, 0, 2, "view")))
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("variant") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(got == Map(0L -> (1L, 0L)), s"$got")
+  }
 }
