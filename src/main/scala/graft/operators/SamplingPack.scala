@@ -177,14 +177,22 @@ object SamplingPack {
     // stream (bucket stats, then scoring — at 100 TB recompute beats
     // caching a corpus-sized relation), a B-row broadcast, and a top-K
     // TakeOrdered heap; nothing grows with the vocabulary or corpus.
+    // The scoring pass carries (lang, source) as grouping keys — they're
+    // functionally dependent on doc_id, cost nothing after the map-side
+    // partial agg, and save a third corpus scan + a corpus-sized rejoin
+    // shuffle (plan-guarded: two scans, no post-scoring join).
     "q150_dsir_selection" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dtok = docs
-        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .select(col("doc_id"), col("lang"), col("source"), explode(toks).as("tok"))
         .withColumn("b", Hashes.base32(col("tok")) % DSIR_B)
+      // the B-row bucket table is referenced twice (totals + ratios):
+      // localCheckpoint pins it to ONE derivation so the corpus-sized
+      // explode underneath runs once, not once per consumer
       val bt = dtok.groupBy(col("b")).agg(
         count(lit(1)).as("c_raw"),
         count(when(col("lang") === DSIR_TARGET, 1)).as("c_t"))
+        .localCheckpoint()
       val tot = bt.agg(sum(col("c_raw")).cast("long").as("t_raw"),
         sum(col("c_t")).cast("long").as("t_t"))
       val lr = bt.crossJoin(broadcast(tot))
@@ -193,12 +201,11 @@ object SamplingPack {
             / ((col("c_raw") + 1).cast("double")
               * (col("t_t") + DSIR_B).cast("double"))) * LP_SCALE)
           .cast("long").as("lr_micro"))
-      val sc = dtok.select(col("doc_id"), col("b"))
+      dtok.select(col("doc_id"), col("lang"), col("source"), col("b"))
         .join(broadcast(lr), "b")
-        .groupBy(col("doc_id"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lr_micro")).cast("long").as("w_micro"))
-      sc.join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .orderBy(col("w_micro").desc, col("doc_id")).limit(DSIR_K)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("w_micro").desc, col("doc_id"))))

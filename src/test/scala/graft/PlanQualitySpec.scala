@@ -590,6 +590,24 @@ class PlanQualitySpec extends GraftSuite {
       s"base relation re-derived (got $scans file scans):\n$plan")
   }
 
+  test("q150: the corpus is scanned exactly twice; no post-scoring rejoin") {
+    import graft.operators.SamplingPack
+    val plan = executedPlan(
+      SamplingPack.queries("q150_dsir_selection")(spark, sf))
+    // two corpus passes total: the bucket-stats pass ran EAGERLY at the
+    // bucket table's localCheckpoint (it appears here as ExistingRDD
+    // scans, not a re-derivation), leaving exactly the scoring pass as
+    // this plan's one FileScan; (lang, source) ride the scoring groupBy
+    // as functionally-dependent keys, so no third scan / corpus-sized
+    // rejoin shuffle may appear
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 in-plan corpus scan, got $scans:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the bucket table must read its checkpointed derivation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized rejoin may appear:\n$plan")
+  }
+
   test("q143: the corpus is scanned and user_id-shuffled exactly once") {
     val plan = executedPlan(
       WindowPack.queries("q143_event_transitions")(spark, sf))
