@@ -142,7 +142,11 @@ object SamplingPack {
     "q83_lm_quality" -> ((s, d) => {
       val dtok = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("tok"))
+      // the vocabulary rollup feeds both the 1-row totals and the
+      // log-prob table: localCheckpoint pins it to one derivation so the
+      // corpus explode underneath runs once, not once per consumer
       val tc = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val stats = tc.agg(sum(col("c")).cast("long").as("t_tokens"),
         count(lit(1)).as("v_size"))
       val lp = tc.crossJoin(broadcast(stats))
@@ -232,7 +236,9 @@ object SamplingPack {
     "q157_mixture_reweight" -> ((s, d) => {
       val dtok = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+      // one derivation of the vocabulary rollup (q83's contract)
       val tc = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val stats = tc.agg(sum(col("c")).cast("long").as("t_tokens"),
         count(lit(1)).as("v_size"))
       val lp = tc.crossJoin(broadcast(stats))
