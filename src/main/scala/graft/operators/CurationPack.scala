@@ -76,12 +76,15 @@ object CurationPack {
     val wLoc = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
     val wOff = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the total derives from the offsets relation (not a third scan of
+    // `df`); no eager truncation — callers invoke this up to three times
+    // per query (q140), and a synchronous checkpoint job per call
+    // measured 50% slower than letting exchange reuse dedupe the subtree
     val offs = df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select(col(valueCol), col("off"))
-    val tot = df.agg(count(lit(1)).as("total"))
+    val tot = offs.agg(sum(col("c")).cast("long").as("total"))
     df.withColumn("lrn", row_number().over(wLoc).cast("long"))
-      .join(broadcast(offs), valueCol)
+      .join(broadcast(offs.select(col(valueCol), col("off"))), valueCol)
       .crossJoin(broadcast(tot))
       .withColumn("rn", col("off") + col("lrn"))
       .withColumn("bucket", expr(

@@ -387,6 +387,10 @@ object PipelinePack {
     // join of the unigram table; top-k via TakeOrdered heaps.
     "q98_pmi_phrases" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the unigram table feeds the totals and both join sides (x, y);
+      // Spark's exchange reuse already dedupes the identical broadcast
+      // subtrees here (measured: an eager localCheckpoint was SLOWER —
+      // it trades pipelined reuse for a synchronous materialization job)
       val uni = docs.select(explode(toks).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val tot = uni.agg(sum(col("c")).cast("long").as("n_tokens"))

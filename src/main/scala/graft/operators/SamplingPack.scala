@@ -99,9 +99,12 @@ object SamplingPack {
     // as TakeOrderedAndProject (distributed top-k heaps, no global sort).
     // The re-rank window runs over k rows, not the corpus.
     "q81_heavy_hitters" -> ((s, d) => {
+      // one derivation of the token rollup for both the total and the
+      // top-K heap (the q83 single-derivation contract)
       val tc = Tables.documents(s, d)
         .select(explode(toks).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val tot = tc.agg(sum(col("n")).cast("long").as("tot"))
       tc.orderBy(col("n").desc, col("tok")).limit(HH_K)
         .crossJoin(broadcast(tot))
@@ -250,6 +253,10 @@ object SamplingPack {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("t_s"),
           sum(col("lp_micro")).cast("long").as("lp_s"))
+        // |sources|-row rollup consumed by the corpus totals, the EG
+        // step, and (via stepped) the normalizer — truncate so the
+        // corpus-sized scoring join underneath runs exactly once
+        .localCheckpoint()
       val corpus = perSrc.agg(sum(col("t_s")).cast("long").as("t_all"),
         sum(col("lp_s")).cast("long").as("lp_all"))
       val stepped = perSrc.crossJoin(broadcast(corpus))
@@ -265,6 +272,8 @@ object SamplingPack {
           floor(col("w0_ppm").cast("double")
             * exp(lit(EG_ETA) * col("excess_micro").cast("double") / 1e6))
             .cast("long"))
+      // stepped re-derives only from the checkpointed |sources|-row
+      // perSrc, so its two consumers (normalizer, final select) are cheap
       val norm = stepped.agg(sum(col("v_micro")).cast("long").as("v_sum"))
       stepped.crossJoin(broadcast(norm))
         .select(col("source"), col("t_s").cast("long").as("tokens"),
@@ -284,9 +293,12 @@ object SamplingPack {
         .select(col("source"), col("doc_id"),
           size(toks).cast("long").as("ntok"),
           (Hashes.base32(col("doc_id").cast("string")) % RATE_DENOM).as("bucket"))
+      // |sources|-row totals feed both the max and the rejoin: truncate
+      // so the corpus scan underneath runs once, not once per consumer
       val totals = perDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).cast("long").as("tot_tokens"))
+        .localCheckpoint()
       val mx = totals.agg(max(col("tot_tokens")).as("max_tokens"))
       perDoc.join(broadcast(totals), "source")
         .crossJoin(broadcast(mx))
