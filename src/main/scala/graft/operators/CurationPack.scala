@@ -55,6 +55,7 @@ object CurationPack {
   private val KANON_K     = 5     // q152 k-anonymity threshold
   private val BAL_BUCKET  = 1000.0 // q152 finest quasi-identifier: acctbal band
   private val REL_BINS    = 10    // q153 reliability-diagram score bins
+  private val LDIV_L      = 3     // q159 l-diversity threshold
 
   private def toks: Column = split(col("text"), " ")
 
@@ -573,6 +574,38 @@ object CurationPack {
         .orderBy(col("nation"), col("segment"), col("bal_bucket"))
     }),
 
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // companion gate: a QI class where every member shares the SAME
+    // sensitive value discloses that value even at k ≥ threshold
+    // (homogeneity attack). Sensitive attribute here = each customer's
+    // dominant order priority (count-desc, priority-asc deterministic
+    // argmax — the q134 winner-pick shape); classes with fewer than L
+    // distinct dominant priorities are flagged. Scale: the per-customer
+    // argmax partial-aggregates on (custkey, priority) then custkey —
+    // both orders-table-keyed shuffles; the class rollup is bounded by
+    // the QI cross space; customers without orders carry the explicit
+    // 'none' value so the class census matches q152's.
+    "q159_ldiversity_audit" -> ((s, d) => {
+      val pr = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val wPick = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      val dom = pr.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("dominant"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .join(dom, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("sens", coalesce(col("dominant"), lit("none")))
+        .groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("sens")).as("l_distinct"))
+        .withColumn("at_risk", col("l_distinct") < LDIV_L)
+        .orderBy(col("nation"), col("segment"))
+    }),
+
     // Classifier reliability diagram — the calibration half of the
     // eval suite (train q114 → AUC q117 → calibration here): the score
     // axis is cut into equal-width bins and each bin reports volume,
@@ -790,6 +823,24 @@ object CurationPack {
          |  n_gen, n_gen < $KANON_K AS at_risk_gen
          |FROM f JOIN g USING (nation, segment)
          |ORDER BY nation, segment, bal_bucket""".stripMargin,
+
+    "q159_ldiversity_audit" ->
+      s"""WITH pr AS (
+         |  SELECT o_custkey, o_orderpriority, count(*) AS n
+         |  FROM orders GROUP BY 1, 2
+         |), dom AS (
+         |  SELECT o_custkey, o_orderpriority AS dominant
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY n DESC, o_orderpriority) AS rk FROM pr)
+         |  WHERE rk = 1
+         |)
+         |SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+         |  count(*)::BIGINT AS n,
+         |  count(DISTINCT coalesce(dominant, 'none'))::BIGINT AS l_distinct,
+         |  count(DISTINCT coalesce(dominant, 'none')) < $LDIV_L AS at_risk
+         |FROM customer LEFT JOIN dom ON c_custkey = o_custkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, segment""".stripMargin,
 
     "q153_reliability" ->
       s"""WITH $pctSqlChain,

@@ -613,6 +613,32 @@ object RelationalPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q10 shape: top customers by lost revenue from RETURNED items
+    // in a quarter — the classic "who to call about returns" report. The
+    // returnflag + date filters push to the scans, customer and nation
+    // broadcast (dim-sized), and the single big shuffle is
+    // lineitem ⋈ orders on orderkey followed by the custkey rollup.
+    // Revenue in integer cents (q75's parity contract); top-20 is a
+    // TakeOrdered heap, never a global sort.
+    "q158_returned_items" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
     // revenue sold to ASIA customers, per order year. Every dimension
     // (part filter, supplier→nation, customer→nation→region) broadcasts;
@@ -955,6 +981,22 @@ object RelationalPack {
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q158_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q154_order_count_dist" ->
       """WITH pc AS (

@@ -428,6 +428,35 @@ class CurationPackSpec extends GraftSuite {
     assert(atRiskFull > 0 && atRiskGen < atRiskFull)
   }
 
+  test("q159 l-diversity equals a driver-side recomputation; both branches live") {
+    val pr = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("long"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val dom = pr.keys.map(_._1).toSeq.distinct.map { ck =>
+      ck -> pr.filter(_._1._1 == ck).toSeq
+        .map { case ((_, p), n) => (p, n) }
+        .minBy { case (p, n) => (-n, p) }._1
+    }.toMap
+    val want = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        dom.getOrElse(r.getLong(0), "none")))
+      .groupBy(c => (c._1, c._2)).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).distinct.length.toLong))
+      .toMap
+    val rows = CurationPack.queries("q159_ldiversity_audit")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, l) = want((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == l)
+      assert(r.getBoolean(4) == (l < 3L))
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
   test("q153 reliability bins partition the scored corpus exactly") {
     val scored = CurationPack.queries("q114_perceptron")(spark, sf)
       .select(col("y"), col("score")).collect()

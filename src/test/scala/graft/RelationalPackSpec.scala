@@ -261,6 +261,39 @@ class RelationalPackSpec extends GraftSuite {
       custs.count(c => !perCust.contains(c)).toLong)
   }
 
+  test("q158 returned-item revenue equals a driver recompute; top-20 exact") {
+    val orders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val nations = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").cast("long"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perCust = li.flatMap { case (ok, c) => orders.get(ok).map(_ -> c) }
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.length.toLong)).toMap
+    val want = perCust.toSeq
+      .sortBy { case (ck, (rev, _)) => (-rev, ck) }.take(20)
+    val got = RelationalPack.queries("q158_returned_items")(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (ck, (rev, n))) =>
+      assert(r.getLong(0) == ck)
+      assert(r.getString(1) == cust(ck)._1)
+      assert(r.getString(2) == nations(cust(ck)._2))
+      assert(r.getLong(3) == rev)
+      assert(r.getLong(4) == n)
+    }
+  }
+
   test("q155 top supplier equals a driver recompute over exact cents") {
     val rev = Tables.lineitem(spark, sf)
       .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
