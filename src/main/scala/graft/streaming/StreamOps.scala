@@ -239,6 +239,32 @@ object StreamOps {
     * Downstream, [[abCounts]] folds the deltas with a plain streaming
     * sum and [[graft.operators.WindowPack.abScore]] turns the folded
     * table into the identical batch verdict row. */
+  /** The per-user A/B state fold shared by the fMGWS op and the
+    * transformWithState processor — one arithmetic, two state APIs (the
+    * J11 as-of parity pattern). Returns the new state and the delta to
+    * emit, if any. */
+  private def abFold(uid: Long, old: AbState, evs: Seq[Ev],
+                     windowUs: Long): (AbState, Option[AbDelta]) = {
+    // exact µs (getTime alone truncates to ms — the batch twin compares
+    // unix_micros, so the window boundary must be µs-exact)
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val newViews = evs.filter(_.event_type == "view").map(e => us(e.ts))
+    val fv = (old.fv +: newViews).min
+    val newPurch = evs.filter(_.event_type == "purchase").map(e => us(e.ts))
+    // fv only ever rewinds, so p > fv + w can never convert — prune;
+    // p <= fv may yet qualify under a further rewind — keep
+    val purch = (old.purchases ++ newPurch).distinct
+      .filter(p => fv == Long.MaxValue || p <= fv + windowUs)
+    val conv = fv != Long.MaxValue &&
+      purch.exists(p => p > fv && p <= fv + windowUs)
+    val dn = (if (fv != Long.MaxValue) 1L else 0L) -
+      (if (old.fv != Long.MaxValue) 1L else 0L)
+    val dc = (if (conv) 1L else 0L) - (if (old.conv) 1L else 0L)
+    (AbState(fv, purch, conv),
+      if (dn == 0L && dc == 0L) None else Some(AbDelta(uid % 2, dn, dc)))
+  }
+
   def abDeltas(events: Dataset[Ev], windowUs: Long): Dataset[AbDelta] = {
     implicit val stateEnc = Encoders.product[AbState]
     implicit val outEnc = Encoders.product[AbDelta]
@@ -246,29 +272,40 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[Ev], state: GroupState[AbState]) => {
-          val evs = it.toSeq
           val old = state.getOption.getOrElse(AbState(Long.MaxValue, Nil, false))
-          // exact µs (getTime alone truncates to ms — the batch twin
-          // compares unix_micros, so the window boundary must be µs-exact)
-          def us(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          val newViews = evs.filter(_.event_type == "view").map(e => us(e.ts))
-          val fv = (old.fv +: newViews).min
-          val newPurch = evs.filter(_.event_type == "purchase")
-            .map(e => us(e.ts))
-          // fv only ever rewinds, so p > fv + w can never convert — prune;
-          // p <= fv may yet qualify under a further rewind — keep
-          val purch = (old.purchases ++ newPurch).distinct
-            .filter(p => fv == Long.MaxValue || p <= fv + windowUs)
-          val conv = fv != Long.MaxValue &&
-            purch.exists(p => p > fv && p <= fv + windowUs)
-          val dn = (if (fv != Long.MaxValue) 1L else 0L) -
-            (if (old.fv != Long.MaxValue) 1L else 0L)
-          val dc = (if (conv) 1L else 0L) - (if (old.conv) 1L else 0L)
-          state.update(AbState(fv, purch, conv))
-          if (dn == 0L && dc == 0L) Iterator.empty
-          else Iterator.single(AbDelta(uid % 2, dn, dc))
+          val (next, delta) = abFold(uid, old, it.toSeq, windowUs)
+          state.update(next)
+          delta.iterator
         })
+  }
+
+  /** [[abDeltas]] on Spark 4's stateful-processor API — same [[abFold]],
+    * RocksDB-backed `ValueState` instead of `GroupState` (the as-of
+    * parity trio's pattern; AbStreamSpec pins tws == fMGWS). */
+  class AbProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, Ev, AbDelta] {
+    @transient private var st: ValueState[AbState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbState]("abState",
+        Encoders.product[AbState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[AbDelta] = {
+      val old = if (st.exists()) st.get() else AbState(Long.MaxValue, Nil, false)
+      val (next, delta) = abFold(uid, old, rows.toSeq, windowUs)
+      st.update(next)
+      delta.iterator
+    }
+  }
+
+  /** [[abDeltas]] via [[AbProcessor]]/`transformWithState`. */
+  def abDeltasTws(events: Dataset[Ev], windowUs: Long): Dataset[AbDelta] = {
+    implicit val outEnc = Encoders.product[AbDelta]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new AbProcessor(windowUs),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** The live per-variant (n, c) counts: [[abDeltas]] folded by a
