@@ -391,6 +391,30 @@ object TextPack {
     "q32_dedup_minhash_lsh" -> ((s, d) =>
       minhashNearDupPairs(s, d).orderBy(col("i"), col("j"))),
 
+    // Dedup-threshold operating curve — the table a pipeline owner reads
+    // before PICKING the near-dup threshold: for each candidate cutoff,
+    // how many verified pairs fire and how many docs would drop under the
+    // keep-smallest-id convention (distinct higher ids in qualifying
+    // pairs — the quick curve; the exact transitive count for one chosen
+    // cutoff is q44's job). Rides the SAME cached LSH-candidate + verify
+    // relation as q32/q112 (no extra corpus work); the sweep itself is an
+    // explode over 5 literals on the pair table. Jaccard lifts to exact
+    // e4 integers (round() clears FP dust on the 4-dp doubles) so the
+    // threshold compare is integral. Floor of the sweep = the LSH design
+    // point (banding guarantees recall only above it).
+    "q160_dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d)
+      pairs.select(col("j"),
+          round(col("jac") * 10000).cast("long").as("jac_e4"),
+          explode(array(Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+            .map(lit): _*)).as("t_e4"))
+        .filter(col("jac_e4") >= col("t_e4"))
+        .groupBy(col("t_e4"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("j")).as("n_docs_dropped"))
+        .orderBy(col("t_e4"))
+    }),
+
     "q33_simhash" -> ((s, d) => simhashSketch(s, d).orderBy(col("doc_id"))),
 
     // SimHash near-dup pairs: hamming distance <= 8 of the 48-bit sketches.
@@ -792,6 +816,15 @@ object TextPack {
          |ORDER BY i, j""".stripMargin,
 
     "q32_dedup_minhash_lsh" -> sqlQ32,
+
+    "q160_dedup_threshold_sweep" ->
+      s"""WITH pairs AS (
+         |  $sqlQ32
+         |), th(t_e4) AS (VALUES (5000), (6000), (7000), (8000), (9000))
+         |SELECT t_e4::BIGINT AS t_e4, count(*)::BIGINT AS n_pairs,
+         |  count(DISTINCT j)::BIGINT AS n_docs_dropped
+         |FROM pairs JOIN th ON round(jac * 10000)::BIGINT >= t_e4
+         |GROUP BY t_e4 ORDER BY t_e4""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH tok AS (

@@ -242,4 +242,24 @@ class TextPackSpec extends GraftSuite {
     val s3 = survivors("q34_simhash_neardup", s2)
     assert(docs(3) == s3.size && toks(3) == s3.toSeq.map(raw).sum)
   }
+
+  test("q160 threshold sweep reconciles with q32's verified pairs; monotone in t") {
+    val pairs = TextPack.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(1),
+        math.round(r.getDouble(3) * 10000).toLong))
+    val want = Seq(5000L, 6000L, 7000L, 8000L, 9000L).flatMap { t =>
+      val qual = pairs.filter(_._2 >= t)
+      if (qual.isEmpty) None
+      else Some(t -> (qual.length.toLong, qual.map(_._1).distinct.length.toLong))
+    }.toMap
+    val got = TextPack.queries("q160_dedup_threshold_sweep")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"$got vs $want")
+    // tightening the threshold can only shrink the drop set
+    val byT = got.toSeq.sortBy(_._1)
+    byT.sliding(2).foreach {
+      case Seq((_, (p1, d1)), (_, (p2, d2))) => assert(p2 <= p1 && d2 <= d1)
+      case _ =>
+    }
+  }
 }
