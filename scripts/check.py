@@ -5,11 +5,40 @@ Runs DuckDB oracle SQL against the same parquet tables and compares with the
 parquet dumps produced by `graft.Verify`. Columns are sorted by name before
 comparison (mirroring the driver); rows are compared as sorted multisets.
 
+Each oracle runs under a wall-clock cap (ORACLE_CAP_S, default 30 s) with
+per-query timing printed, so an exponentially slow oracle (the q113/q118/q125
+CTE-inlining bug that emptied CORRECTNESS_r09/r10) fails loudly here instead
+of silently hanging the driver's gate.
+
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, os, json, math
+import sys, os, json, math, time, threading
 import duckdb
 import pyarrow.parquet as pq
+
+ORACLE_CAP_S = float(os.environ.get("ORACLE_CAP_S", "30"))
+
+
+def run_oracle(con, sql, cap):
+    """Run one oracle under a wall cap; interrupt DuckDB on overrun."""
+    result = {}
+
+    def work():
+        try:
+            result["table"] = con.execute(sql).fetch_arrow_table()
+        except Exception as e:  # noqa: BLE001 - reported per-query
+            result["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t0 = time.monotonic()
+    t.start()
+    t.join(cap)
+    if t.is_alive():
+        con.interrupt()
+        t.join(10)
+        result.pop("table", None)
+        result["err"] = RuntimeError(f"oracle exceeded {cap:.0f}s wall cap")
+    return result, time.monotonic() - t0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,6 +76,7 @@ def main():
         oracle = json.load(f)
 
     n_pass = n_fail = n_skip = 0
+    timings = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
@@ -57,12 +87,13 @@ def main():
             print(f"  SKIP {name}: rows-only ({got_t.num_rows} rows)")
             n_skip += 1
             continue
-        try:
-            exp = con.execute(oracle[name]).fetch_arrow_table()
-        except Exception as e:
-            print(f"  FAIL {name}: oracle SQL error: {e}")
+        res, dt = run_oracle(con, oracle[name], ORACLE_CAP_S)
+        timings[name] = dt
+        if "err" in res:
+            print(f"  FAIL {name}: oracle SQL error ({dt:.2f}s): {res['err']}")
             n_fail += 1
             continue
+        exp = res["table"]
         got_rows, got_cols = rows_of(got_t.column_names,
                                      [c.to_pylist() for c in got_t.columns])
         exp_rows, exp_cols = rows_of(exp.column_names,
@@ -114,8 +145,11 @@ def main():
             print(f"    exp:  {e}")
             n_fail += 1
         else:
-            print(f"  PASS {name} ({len(got_rows)} rows)")
+            print(f"  PASS {name} ({len(got_rows)} rows, oracle {dt:.2f}s)")
             n_pass += 1
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    print("== slowest oracles: " +
+          ", ".join(f"{k}={v:.2f}s" for k, v in slow) + " ==")
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     sys.exit(1 if n_fail else 0)
 

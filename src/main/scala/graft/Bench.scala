@@ -92,6 +92,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
+    // Full per-query coverage goes to a FILE regardless of query count —
+    // the stdout tail is a fixed ~2000-char window, so at any N the file is
+    // the complete record and the final stdout line only has to stay
+    // parseable (total + as many per-query entries as fit).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"),
+      line(identity, r3))
     // Silence the loggers and stop Spark BEFORE printing so no shutdown
     // chatter can land after (or interleave into) the final line.
     spark.sparkContext.setLogLevel("OFF")

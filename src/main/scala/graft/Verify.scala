@@ -32,18 +32,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Jsons.quote(s)
     // the sf dir is known here: enable the data-dependent oracles
     // (centroid literals) so q43/q62 get full hash checks
     SparkEntry.oracleContext = Some((spark, sfDir))
@@ -63,6 +52,18 @@ object Verify {
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // A non-ok query must not leave a readable dump: the driver compares
+    // every directory in outDir, and a partial (or post-timeout-completed)
+    // parquet next to a "timeout"/"err" status row would be compared as if
+    // it were a real result.
+    def dropDump(name: String): Unit = {
+      val d = Paths.get(s"$outDir/$name")
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.isEmpty || only(n))
     names.zipWithIndex.foreach { case (name, i) =>
@@ -78,10 +79,23 @@ object Verify {
         try { Await.result(fut, capSec.seconds); f"""{"status":"ok","secs":$secs%.2f}""" }
         catch {
           case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
+            // cancelJobGroup only kills currently-ACTIVE jobs; the orphaned
+            // future thread keeps running and can submit follow-up jobs for
+            // multi-job queries (e.g. localCheckpoint chains), competing
+            // with the next query's cap. Keep cancelling until the future
+            // actually exits (bounded), then drop any partial dump.
+            var rounds = 0
+            while (!fut.isCompleted && rounds < 30) {
+              spark.sparkContext.cancelJobGroup(name)
+              try Await.ready(fut, 1.second)
+              catch { case _: TimeoutException => () }
+              rounds += 1
+            }
+            dropDump(name)
             System.err.println(s"[verify] $name TIMED OUT after $capSec s — cancelled")
             f"""{"status":"timeout","secs":$secs%.2f}"""
           case e: Throwable =>
+            dropDump(name) // a failed write can leave a partial parquet dir
             val m = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
             System.err.println(s"[verify] $name failed: $m")
             s"""{"status":"err","secs":${f"$secs%.2f"},"msg":${q(m)}}"""

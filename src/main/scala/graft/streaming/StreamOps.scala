@@ -234,8 +234,11 @@ object StreamOps {
     * order (AbStreamSpec pins both flips). State stays bounded: the
     * first view only rewinds, so a purchase past fv + window can never
     * convert and is pruned; what remains is the purchases inside one
-    * conversion window (pre-view users hold their purchases until the
-    * view arrives — at deployment the watermark bounds that wait).
+    * conversion window. Pre-view users hold their purchases only until
+    * the event-time watermark passes them: once wm > p no admissible
+    * view can precede p, so p can never convert and is evicted — with a
+    * watermark the never-viewed buffer is bounded by the lateness
+    * horizon, and without one (test replays) nothing is dropped.
     * Downstream, [[abCounts]] folds the deltas with a plain streaming
     * sum and [[graft.operators.WindowPack.abScore]] turns the folded
     * table into the identical batch verdict row. */
@@ -244,7 +247,8 @@ object StreamOps {
     * J11 as-of parity pattern). Returns the new state and the delta to
     * emit, if any. */
   private def abFold(uid: Long, old: AbState, evs: Seq[Ev],
-                     windowUs: Long): (AbState, Option[AbDelta]) = {
+                     windowUs: Long,
+                     wmUs: Long = Long.MinValue): (AbState, Option[AbDelta]) = {
     // exact µs (getTime alone truncates to ms — the batch twin compares
     // unix_micros, so the window boundary must be µs-exact)
     def us(t: java.sql.Timestamp): Long =
@@ -253,9 +257,16 @@ object StreamOps {
     val fv = (old.fv +: newViews).min
     val newPurch = evs.filter(_.event_type == "purchase").map(e => us(e.ts))
     // fv only ever rewinds, so p > fv + w can never convert — prune;
-    // p <= fv may yet qualify under a further rewind — keep
+    // p <= fv may yet qualify under a further rewind — keep.
+    // Never-viewed users (fv == MaxValue) would otherwise buffer every
+    // purchase forever: once the event-time watermark passes a purchase p,
+    // any still-admissible view has ts >= wm > p, so conversion (p > fv)
+    // is impossible — evict p. With no watermark (wmUs = MinValue) the
+    // filter keeps everything, preserving the exact replay semantics the
+    // parity specs pin.
     val purch = (old.purchases ++ newPurch).distinct
-      .filter(p => fv == Long.MaxValue || p <= fv + windowUs)
+      .filter(p => (fv == Long.MaxValue && p >= wmUs) ||
+        (fv != Long.MaxValue && p <= fv + windowUs))
     val conv = fv != Long.MaxValue &&
       purch.exists(p => p > fv && p <= fv + windowUs)
     val dn = (if (fv != Long.MaxValue) 1L else 0L) -
@@ -273,7 +284,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[Ev], state: GroupState[AbState]) => {
           val old = state.getOption.getOrElse(AbState(Long.MaxValue, Nil, false))
-          val (next, delta) = abFold(uid, old, it.toSeq, windowUs)
+          // watermark-driven eviction of never-viewed purchases; the call
+          // throws when the input has no watermark — fall back to keep-all
+          val wmUs =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: Throwable => Long.MinValue }
+          val (next, delta) = abFold(uid, old, it.toSeq, windowUs, wmUs)
           state.update(next)
           delta.iterator
         })
@@ -293,7 +309,11 @@ object StreamOps {
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
                                  timerValues: TimerValues): Iterator[AbDelta] = {
       val old = if (st.exists()) st.get() else AbState(Long.MaxValue, Nil, false)
-      val (next, delta) = abFold(uid, old, rows.toSeq, windowUs)
+      // getCurrentWatermarkInMs is <= 0 when no watermark is tracked
+      // (TimeMode.None) — keep-all in that case
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val wmUs = if (wm > 0) wm * 1000L else Long.MinValue
+      val (next, delta) = abFold(uid, old, rows.toSeq, windowUs, wmUs)
       st.update(next)
       delta.iterator
     }
