@@ -51,7 +51,7 @@ object CurationPack {
   private val PCT_EPOCHS  = 5     // q114 batch-perceptron training epochs
   private val QUALITY_T   = 0.62  // q119 keep threshold on q36's score
   private val N_TILE      = 4     // q124 curriculum stages (quality quartiles)
-  private val SHARD_CAP   = 2000L // q127 greedy shard byte cap (chars)
+  private[graft] val SHARD_CAP = 2000L // q127 greedy shard byte cap (chars)
   private val KANON_K     = 5     // q152 k-anonymity threshold
   private val BAL_BUCKET  = 1000.0 // q152 finest quasi-identifier: acctbal band
   private val REL_BINS    = 10    // q153 reliability-diagram score bins

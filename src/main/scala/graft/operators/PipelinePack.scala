@@ -685,8 +685,133 @@ object PipelinePack {
             .as("rep_doc"),
           max(col("quality")).as("rep_quality"))
         .orderBy(col("cluster"))
-    })
+    }),
+
+    // The curation capstone, oracle-checked end-to-end (q161-q164 —
+    // jobs.CurateJob is the runnable main over the same relations): the
+    // per-doc DECISIONS table composing q119's verdict with q142's
+    // representative policy, then the release datacard, the shard
+    // layout, and the conservation audit all derived from it. The oracle
+    // re-derives the whole chain from the composed passes' own oracle
+    // SQL, so every stage is checked through the same composition.
+    "q161_curation_decisions" -> ((s, d) =>
+      curationDecisions(s, d).orderBy(col("doc_id"))),
+
+    // Per-source release datacard over the CURATED output (q129 is the
+    // raw-corpus form): volume, token spread, language share, mean
+    // quality (exact-integer e4), keep rate vs raw. |sources| rows from
+    // one map-side partial agg over the memoized decisions.
+    "q162_curated_datacard" -> ((s, d) =>
+      curatedDatacard(curationDecisions(s, d))),
+
+    // q127's greedy byte-capped shard recurrence over the SURVIVORS —
+    // the layout table the curated release actually writes. Same
+    // flatMapSortedGroups single-pass-per-source recurrence (and the
+    // same q109 block-reduction escape for giant sources at 100 TB).
+    "q163_curated_shards" -> ((s, d) =>
+      curatedShardSummary(curationDecisions(s, d))),
+
+    // Conservation audit: every raw doc in exactly one reason bucket
+    // with its char/token mass — the table that proves the pipeline
+    // neither dropped nor double-counted anything (CurateJobSpec asserts
+    // the sums equal the raw corpus). |reasons| rows, one partial agg.
+    "q164_curation_audit" -> ((s, d) =>
+      curationAudit(curationDecisions(s, d)))
   )
+
+  /** Memoized per-(session, dir) curation DECISIONS relation — the
+    * per-doc single source of truth q161-q164 and jobs.CurateJob all
+    * consume: (doc_id, source, lang, n_chars, n_tokens, quality, reason,
+    * keep), where `reason` refines q119's verdict with `near_dup_nonrep`
+    * for docs that pass it but lose their near-dup cluster to a better
+    * copy (q142's policy). Lineage-truncated and memoized like
+    * TextPack.bpeChain (four consumers with disjoint agg shapes — no
+    * exchange for Spark to reuse across separate actions); same
+    * immutable-testdata staleness contract, [[invalidateDecisions]]
+    * clears. Scale: q119's doc_id-keyed joins (co-locating on a
+    * doc_id-bucketed corpus), the adaptive CC labeling, and a
+    * cluster-side join far smaller than the corpus; the stored relation
+    * is 8 narrow columns per doc. */
+  def curationDecisions(s: SparkSession, d: String): DataFrame =
+    decMemo.get(s, d) {
+      val verdict = CurationPack.queries("q119_curation_verdict")(s, d)
+        .select(col("doc_id"), col("reason").as("v_reason"),
+          col("keep").as("v_keep"))
+      val lab = dupClusterLabels(s, d) // (id, lbl)
+      val reps = queries("q142_cluster_reps")(s, d)
+        .select(col("cluster"), col("rep_doc"))
+      // non-representative members of near-dup clusters (pair-graph-sized)
+      val nonRep = lab.join(reps, col("lbl") === col("cluster"))
+        .filter(col("id") =!= col("rep_doc"))
+        .select(col("id").as("doc_id"), lit(true).as("non_rep"))
+      val qual = TextPack.queries("q36_quality_score")(s, d)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .join(verdict, "doc_id")
+        .join(qual, "doc_id")
+        .join(nonRep, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(!col("v_keep"), col("v_reason"))
+            .when(coalesce(col("non_rep"), lit(false)), "near_dup_nonrep")
+            .otherwise("keep"))
+        .withColumn("keep", col("reason") === "keep")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("n_tokens"), col("quality"), col("reason"), col("keep"))
+        .localCheckpoint()
+    }
+
+  private val decMemo = new SessionMemo[DataFrame]
+
+  /** Drop memoized decisions (data changed mid-session); stopped
+    * sessions are cleaned automatically. */
+  def invalidateDecisions(s: SparkSession, dir: Option[String] = None): Unit =
+    decMemo.invalidate(s, dir)
+
+  /** q162: per-source release datacard over a decisions frame. Quality
+    * means stay integer (q129's e4 contract); a source with zero kept
+    * docs yields NULL spread/mean (both engines). */
+  private[graft] def curatedDatacard(dec: DataFrame): DataFrame =
+    dec.withColumn("q_e4", expr("CAST(round(quality * 10000) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("keep"), 1)).as("n_docs"),
+        sum(when(col("keep"), col("n_tokens"))).cast("long").as("tot_tokens"),
+        min(when(col("keep"), col("n_tokens"))).as("min_tokens"),
+        max(when(col("keep"), col("n_tokens"))).as("max_tokens"),
+        count(when(col("keep") && col("lang") === "en", 1)).as("n_en"),
+        sum(when(col("keep"), col("q_e4"))).cast("long").as("sum_q_e4"))
+      .withColumn("keep_rate_bp", expr("(n_docs * 10000) div n_raw"))
+      .withColumn("mean_quality_e4",
+        when(col("n_docs") > 0, expr("sum_q_e4 div n_docs")))
+      .select(col("source"), col("n_raw"), col("n_docs"), col("tot_tokens"),
+        col("min_tokens"), col("max_tokens"), col("n_en"),
+        col("keep_rate_bp"), col("mean_quality_e4"))
+      .orderBy(col("source"))
+
+  /** q163: q127-shaped per-file shard summary over the survivors. */
+  private[graft] def curatedShardSummary(dec: DataFrame): DataFrame = {
+    import dec.sparkSession.implicits._
+    val cap = CurationPack.SHARD_CAP
+    CurationPack.greedyFill(
+      dec.filter(col("keep"))
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .as[(String, Long, Long)], cap)
+      .groupBy(col("source"), col("file_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).cast("long").as("bytes"))
+      .withColumn("fill_ppm", expr(s"(bytes * 1000000) div $cap"))
+      .orderBy(col("source"), col("file_idx"))
+  }
+
+  /** q164: per-reason conservation audit over a decisions frame. */
+  private[graft] def curationAudit(dec: DataFrame): DataFrame =
+    dec.groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy(col("reason"))
 
   /** Recursive transitive-closure chain over TextPack's verified
     * near-dup pair relation, ending in `lab(id, cluster)` (cluster = min
@@ -707,7 +832,99 @@ object PipelinePack {
        |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
        |)""".stripMargin
 
+  /** Shared decisions CTE chain for the q161-q164 capstone: q119's
+    * verdict and q36's quality ride along as their OWN oracle SQL, the
+    * near-dup representative policy re-derives over the recursive CC
+    * labeling, and the chain ends in `dec(doc_id, source, lang, n_chars,
+    * n_tokens, quality, reason)`. Multi-consumer CTEs are
+    * `AS MATERIALIZED` — DuckDB inlines plain CTEs, the q113/q118/q125
+    * compounding-recompute lesson (OracleBudgetSpec enforces the 5 s
+    * budget). */
+  private def sqlDecCtes: String =
+    s"""$sqlCcCtes, v119 AS MATERIALIZED (
+       |  ${CurationPack.oracle("q119_curation_verdict")}
+       |), qual AS MATERIALIZED (
+       |  ${TextPack.oracle("q36_quality_score")}
+       |), jq AS MATERIALIZED (
+       |  SELECT lab.cluster, lab.id, qual.quality
+       |  FROM lab JOIN qual ON qual.doc_id = lab.id
+       |), nonrep AS (
+       |  SELECT jq.id AS doc_id FROM jq JOIN (
+       |    SELECT cluster, id AS rep_doc FROM (
+       |      SELECT cluster, id, row_number() OVER (
+       |        PARTITION BY cluster ORDER BY quality DESC, id) AS rn
+       |      FROM jq)
+       |    WHERE rn = 1) reps2 USING (cluster)
+       |  WHERE jq.id <> reps2.rep_doc
+       |), dec AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_chars::BIGINT AS n_chars,
+       |    qual.n_tokens::BIGINT AS n_tokens, qual.quality,
+       |    CASE WHEN v119.reason <> 'keep' THEN v119.reason
+       |         WHEN nonrep.doc_id IS NOT NULL THEN 'near_dup_nonrep'
+       |         ELSE 'keep' END AS reason
+       |  FROM documents d
+       |  JOIN v119 ON v119.doc_id = d.doc_id
+       |  JOIN qual ON qual.doc_id = d.doc_id
+       |  LEFT JOIN nonrep ON nonrep.doc_id = d.doc_id
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q161_curation_decisions" ->
+      s"""WITH RECURSIVE $sqlDecCtes
+         |SELECT doc_id, source, lang, n_chars, n_tokens, quality, reason,
+         |  reason = 'keep' AS keep
+         |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "q162_curated_datacard" ->
+      s"""WITH RECURSIVE $sqlDecCtes
+         |SELECT source, count(*)::BIGINT AS n_raw,
+         |  count(CASE WHEN reason = 'keep' THEN 1 END)::BIGINT AS n_docs,
+         |  sum(CASE WHEN reason = 'keep' THEN n_tokens END)::BIGINT
+         |    AS tot_tokens,
+         |  min(CASE WHEN reason = 'keep' THEN n_tokens END) AS min_tokens,
+         |  max(CASE WHEN reason = 'keep' THEN n_tokens END) AS max_tokens,
+         |  count(CASE WHEN reason = 'keep' AND lang = 'en' THEN 1 END)::BIGINT
+         |    AS n_en,
+         |  ((count(CASE WHEN reason = 'keep' THEN 1 END) * 10000)
+         |     // count(*))::BIGINT AS keep_rate_bp,
+         |  CASE WHEN count(CASE WHEN reason = 'keep' THEN 1 END) > 0 THEN
+         |    (sum(CASE WHEN reason = 'keep'
+         |              THEN CAST(round(quality * 10000) AS BIGINT) END)
+         |       // count(CASE WHEN reason = 'keep' THEN 1 END))::BIGINT
+         |  END AS mean_quality_e4
+         |FROM dec GROUP BY source ORDER BY source""".stripMargin,
+
+    "q163_curated_shards" -> {
+      val cap = CurationPack.SHARD_CAP
+      s"""WITH RECURSIVE $sqlDecCtes, sdocs AS MATERIALIZED (
+         |  SELECT source, doc_id, n_chars AS nb,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM dec WHERE reason = 'keep'
+         |), r AS (
+         |  SELECT source, rn, nb, 0::BIGINT AS file_idx, nb AS fill
+         |  FROM sdocs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.source, s.rn, s.nb,
+         |    CASE WHEN r.fill + s.nb > $cap
+         |         THEN r.file_idx + 1 ELSE r.file_idx END,
+         |    CASE WHEN r.fill + s.nb > $cap
+         |         THEN s.nb ELSE r.fill + s.nb END
+         |  FROM r JOIN sdocs s ON s.source = r.source AND s.rn = r.rn + 1
+         |)
+         |SELECT source, file_idx, count(*)::BIGINT AS n_docs,
+         |  sum(nb)::BIGINT AS bytes,
+         |  (sum(nb) * 1000000 // $cap)::BIGINT AS fill_ppm
+         |FROM r GROUP BY source, file_idx
+         |ORDER BY source, file_idx""".stripMargin
+    },
+
+    "q164_curation_audit" ->
+      s"""WITH RECURSIVE $sqlDecCtes
+         |SELECT reason, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  sum(n_tokens)::BIGINT AS n_tokens
+         |FROM dec GROUP BY reason ORDER BY reason""".stripMargin,
+
     // Same hash split + fingerprint compare; FULL OUTER JOIN mirrors the
     // Spark plan exactly.
     "q121_snapshot_diff" ->

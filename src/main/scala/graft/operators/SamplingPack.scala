@@ -67,6 +67,51 @@ object SamplingPack {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** q150's hashed-unigram token view of a documents frame: one row per
+    * token with its DSIR feature bucket (base32 % B — bounds the feature
+    * model at B rows regardless of vocabulary, the paper's trick). */
+  private def dsirTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(toks).as("tok"))
+      .withColumn("b", Hashes.base32(col("tok")) % DSIR_B)
+
+  /** q150's B-row log-likelihood-ratio table ln(p̂_t[b]/p̂_r[b]) in integer
+    * micro-nats — the DSIR "model", trained once from the static corpus
+    * and broadcast to every scorer (batch pass or streaming micro-batch).
+    * Counts convert long→double BEFORE the ratio multiply (q98's
+    * overflow-safe contract). */
+  private[graft] def dsirRatios(s: SparkSession, d: String): DataFrame = {
+    val dtok = dsirTokens(Tables.documents(s, d))
+    // the B-row bucket table is referenced twice (totals + ratios):
+    // localCheckpoint pins it to ONE derivation so the corpus-sized
+    // explode underneath runs once, not once per consumer
+    val bt = dtok.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("lang") === DSIR_TARGET, 1)).as("c_t"))
+      .localCheckpoint()
+    val tot = bt.agg(sum(col("c_raw")).cast("long").as("t_raw"),
+      sum(col("c_t")).cast("long").as("t_t"))
+    bt.crossJoin(broadcast(tot))
+      .select(col("b"), floor(log(
+        (col("c_t") + 1).cast("double") * (col("t_raw") + DSIR_B).cast("double")
+          / ((col("c_raw") + 1).cast("double")
+            * (col("t_t") + DSIR_B).cast("double"))) * LP_SCALE)
+        .cast("long").as("lr_micro"))
+  }
+
+  /** Per-doc DSIR importance scores of `docs` under a FIXED ratio table —
+    * a stateless map + per-doc sum once `lr` is broadcast, which is what
+    * makes the streaming twin exactly-once-cheap: a doc's score depends
+    * only on its own text, so any micro-batching (or replay) of the same
+    * docs yields byte-identical rows. Per-bucket ln-ratios are integer
+    * micro-nats, so the per-doc sum is exact under any combine tree. */
+  private[graft] def dsirScore(docs: DataFrame, lr: DataFrame): DataFrame =
+    dsirTokens(docs).select(col("doc_id"), col("lang"), col("source"), col("b"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).cast("long").as("w_micro"))
+
   /** q55's deterministic eval-split membership (same constant, so q85's
     * decontamination is consistent with q55's). */
   private def isTest: Column =
@@ -188,31 +233,12 @@ object SamplingPack {
     // functionally dependent on doc_id, cost nothing after the map-side
     // partial agg, and save a third corpus scan + a corpus-sized rejoin
     // shuffle (plan-guarded: two scans, no post-scoring join).
+    // Split as [[dsirRatios]] (the bootstrap) + [[dsirScore]] (the
+    // stateless per-doc map) so the streaming twin
+    // ([[graft.streaming.DsirStream]]) scores arriving docs with the
+    // SAME code under the same broadcast ratio table.
     "q150_dsir_selection" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dtok = docs
-        .select(col("doc_id"), col("lang"), col("source"), explode(toks).as("tok"))
-        .withColumn("b", Hashes.base32(col("tok")) % DSIR_B)
-      // the B-row bucket table is referenced twice (totals + ratios):
-      // localCheckpoint pins it to ONE derivation so the corpus-sized
-      // explode underneath runs once, not once per consumer
-      val bt = dtok.groupBy(col("b")).agg(
-        count(lit(1)).as("c_raw"),
-        count(when(col("lang") === DSIR_TARGET, 1)).as("c_t"))
-        .localCheckpoint()
-      val tot = bt.agg(sum(col("c_raw")).cast("long").as("t_raw"),
-        sum(col("c_t")).cast("long").as("t_t"))
-      val lr = bt.crossJoin(broadcast(tot))
-        .select(col("b"), floor(log(
-          (col("c_t") + 1).cast("double") * (col("t_raw") + DSIR_B).cast("double")
-            / ((col("c_raw") + 1).cast("double")
-              * (col("t_t") + DSIR_B).cast("double"))) * LP_SCALE)
-          .cast("long").as("lr_micro"))
-      dtok.select(col("doc_id"), col("lang"), col("source"), col("b"))
-        .join(broadcast(lr), "b")
-        .groupBy(col("doc_id"), col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("lr_micro")).cast("long").as("w_micro"))
+      dsirScore(Tables.documents(s, d), dsirRatios(s, d))
         .orderBy(col("w_micro").desc, col("doc_id")).limit(DSIR_K)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("w_micro").desc, col("doc_id"))))

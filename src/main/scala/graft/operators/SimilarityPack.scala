@@ -150,6 +150,46 @@ object SimilarityPack {
       s"CASE WHEN list_dot_product(v, $plane) > 0 THEN ${1 << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** q156's fixed coarse quantization: each vector's table-0
+    * sign-projection bucket (2^BITS cells) — the same seeded planes as
+    * the LSH tables, so drift is attributable to the data, not the
+    * binning. Stateless per row (no norm needed), so it applies to a
+    * batch or streaming embeddings frame alike. */
+  private[graft] def driftSigs(emb: DataFrame): DataFrame =
+    emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), sigCol(0).as("sig"))
+
+  /** q156's static old-snapshot histogram (sig, c_a) — the baseline a
+    * live drift monitor compares arriving new-snapshot counts against. */
+  private[graft] def driftBaseline(s: SparkSession, d: String): DataFrame =
+    driftSigs(Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0))
+      .groupBy(col("sig")).agg(count(lit(1)).cast("long").as("c_a"))
+
+  /** PSI table from a (sig, c_a, c_b) bucket-count relation — the shared
+    * tail of batch q156 and [[graft.jobs.DriftMonitorJob]]'s per-batch
+    * re-derive, so the monitor's output is the batch table by
+    * construction. Each bucket's term (p_a−p_b)·ln(p_a/p_b) is ≥ 0 (both
+    * factors share sign), so the micro-nat floor has no negative-zero
+    * hazard; per-bucket math runs on doubles derived from exact longs in
+    * the same operation order on both engines. */
+  private[graft] def psiOf(cnt: DataFrame): DataFrame = {
+    val nb = 1 << BITS
+    val tot = cnt.agg(sum(col("c_a")).cast("long").as("t_a"),
+      sum(col("c_b")).cast("long").as("t_b"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("c_a") + 1).cast("double")
+        / (col("t_a") + nb).cast("double"))
+      .withColumn("pb", (col("c_b") + 1).cast("double")
+        / (col("t_b") + nb).cast("double"))
+      .withColumn("psi_micro",
+        floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) * 1e6)
+          .cast("long"))
+      .select(col("sig").cast("long").as("sig"),
+        col("c_a").cast("long").as("c_a"),
+        col("c_b").cast("long").as("c_b"), col("psi_micro"))
+      .orderBy(col("sig"))
+  }
+
   /** Brute-force cosine top-k — the exact baseline every ANN variant is
     * measured against. Query set = [[annPanel]] (bounded), broadcast against the
     * corpus; rank by round(cos, 6) with vec_id tiebreak for cross-engine
@@ -296,25 +336,16 @@ object SimilarityPack {
     // 256×2 counts (map-side partial agg); everything downstream —
     // totals, smoothing, the PSI terms — is bucket-table-sized, and the
     // 1-row totals broadcast.
+    // Split as [[driftSigs]] (the fixed quantization) + [[psiOf]] (the
+    // bucket-table→PSI math) so the streaming monitor
+    // ([[graft.jobs.DriftMonitorJob]]) derives the identical table from
+    // its incrementally-folded counts.
     "q156_embedding_drift" -> ((s, d) => {
-      val nb = 1 << BITS
-      val sigs = vecs(s, d).withColumn("sig", sigCol(0))
+      val sigs = driftSigs(Tables.embeddings(s, d))
       val cnt = sigs.groupBy(col("sig")).agg(
         sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_a"),
         sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c_b"))
-      val tot = cnt.agg(sum(col("c_a")).cast("long").as("t_a"),
-        sum(col("c_b")).cast("long").as("t_b"))
-      cnt.crossJoin(broadcast(tot))
-        .withColumn("pa", (col("c_a") + 1).cast("double")
-          / (col("t_a") + nb).cast("double"))
-        .withColumn("pb", (col("c_b") + 1).cast("double")
-          / (col("t_b") + nb).cast("double"))
-        .withColumn("psi_micro",
-          floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) * 1e6)
-            .cast("long"))
-        .select(col("sig").cast("long").as("sig"), col("c_a").cast("long").as("c_a"),
-          col("c_b").cast("long").as("c_b"), col("psi_micro"))
-        .orderBy(col("sig"))
+      psiOf(cnt)
     }),
 
     // Bitext-mining candidates — margin-based cross-lingual pairing
