@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *   sbt "runMain graft.BenchOne q21_sliding_stats q69_containment_dedup"
+  *
+  * SPARK_GRAFT_CONF (optional, comma-separated k=v pairs) sets session
+  * confs before the queries build — the way to measure the documented
+  * scale knobs, e.g. the hot-shingle / hot-token DF caps:
+  *   SPARK_GRAFT_CONF=graft.shingle.maxDocFreq=64
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -21,6 +26,11 @@ object BenchOne {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = Seq.fill(3) {
