@@ -56,6 +56,7 @@ object CurationPack {
   private val BAL_BUCKET  = 1000.0 // q152 finest quasi-identifier: acctbal band
   private val REL_BINS    = 10    // q153 reliability-diagram score bins
   private val LDIV_L      = 3     // q159 l-diversity threshold
+  private val TCLOSE_PPM  = 300000L // q165 t-closeness threshold (t = 0.3)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -238,37 +239,8 @@ object CurationPack {
     // Pure per-document aggregation — no cross-doc state. (A per-row
     // sorted-array run-length fold avoids the explode but was measured 2×
     // slower: HOF folds with struct state allocate a row per element.)
-    "q57_repetition_filter" -> ((s, d) => {
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
-      // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
-      // into the lambda body would re-split the doc per element (O(n²))
-      val bigrams = when(size(col("t")) >= 2,
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", slice(col("t"), i, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      val bc = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .select(col("doc_id"), bigrams.as("bg"))
-        .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bg"))).cast("long").as("d_bigrams"))
-      tc.join(bc, "doc_id")
-        .withColumn("top_tok_ratio",
-          round(col("max_tok").cast("double") / col("n_tokens"), 4))
-        // a single-token doc has no bigrams: its duplicated-bigram mass is
-        // 0 by definition (not NULL/÷0) — keeps the operator total
-        .withColumn("dup_bigram_ratio",
-          when(col("n_bigrams") === 0, 0.0).otherwise(
-            round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4)))
-        .withColumn("kept",
-          col("top_tok_ratio") <= TOP_TOK_T && col("dup_bigram_ratio") <= DUP_BG_T)
-        .select(col("doc_id"), col("n_tokens"), col("max_tok"),
-          col("top_tok_ratio"), col("dup_bigram_ratio"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
+    "q57_repetition_filter" -> ((s, d) =>
+      repetitionOf(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // Sequence packing ("concatenate then chunk"): per-source token-stream
     // prefix sums assign every doc its token interval
@@ -585,24 +557,52 @@ object CurationPack {
     // both orders-table-keyed shuffles; the class rollup is bounded by
     // the QI cross space; customers without orders carry the explicit
     // 'none' value so the class census matches q152's.
-    "q159_ldiversity_audit" -> ((s, d) => {
-      val pr = Tables.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-      val wPick = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("n").desc, col("o_orderpriority"))
-      val dom = pr.withColumn("rk", row_number().over(wPick))
-        .filter(col("rk") === 1)
-        .select(col("o_custkey"), col("o_orderpriority").as("dominant"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("segment"))
-        .join(dom, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("sens", coalesce(col("dominant"), lit("none")))
+    "q159_ldiversity_audit" -> ((s, d) =>
+      sensitiveRelation(s, d)
         .groupBy(col("nation"), col("segment"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("sens")).as("l_distinct"))
         .withColumn("at_risk", col("l_distinct") < LDIV_L)
+        .orderBy(col("nation"), col("segment"))),
+
+    // t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    // release gate (k-anonymity q152 → l-diversity q159 → this): a class
+    // can be k-anonymous AND l-diverse yet still disclose — when its
+    // sensitive-value DISTRIBUTION skews far from the corpus-wide one
+    // (skewness attack). Distance = total variation (the categorical EMD
+    // under unit ground distance), exact: TVD·ppm =
+    // ⌊10⁶·Σ_v|n_cv·N − N_v·n_c| / (2·n_c·N)⌋ with the cross products in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the audit is
+    // byte-identical at any corpus size — no float crosses an
+    // aggregation (q146's cleared-denominator discipline). A value
+    // ABSENT from a class still contributes its global mass, so the
+    // distance runs over the full class × value grid. Scale: margins and
+    // the grid are bounded by the attribute domains (|classes|·|values|
+    // rows); the only corpus-sized work is q159's per-customer argmax.
+    "q165_tcloseness_audit" -> ((s, d) => {
+      val sr = sensitiveRelation(s, d)
+      val cv = sr.groupBy(col("nation"), col("segment"), col("sens"))
+        .agg(count(lit(1)).as("n_cv"))
+      val cls = cv.groupBy(col("nation"), col("segment"))
+        .agg(sum(col("n_cv")).cast("long").as("n_c"))
+      val gv = cv.groupBy(col("sens"))
+        .agg(sum(col("n_cv")).cast("long").as("n_v"))
+      val tot = gv.agg(sum(col("n_v")).cast("long").as("n_t"))
+      val grid = cls.crossJoin(broadcast(gv))
+        .join(cv, Seq("nation", "segment", "sens"), "left")
+        .withColumn("n_cv", coalesce(col("n_cv"), lit(0L)))
+      grid.crossJoin(broadcast(tot))
+        .withColumn("term", abs(
+          col("n_cv").cast("decimal(38,0)") * col("n_t").cast("decimal(38,0)")
+            - col("n_v").cast("decimal(38,0)") * col("n_c").cast("decimal(38,0)")))
+        .groupBy(col("nation"), col("segment"), col("n_c"), col("n_t"))
+        .agg(sum(col("term")).as("tvd_num"))
+        .withColumn("tvd_ppm", expr(
+          "CAST((1000000 * tvd_num) div (2 * CAST(n_c AS DECIMAL(38,0))" +
+            " * CAST(n_t AS DECIMAL(38,0))) AS BIGINT)"))
+        .withColumn("at_risk", col("tvd_ppm") > TCLOSE_PPM)
+        .select(col("nation"), col("segment"), col("n_c").as("n"),
+          col("tvd_ppm"), col("at_risk"))
         .orderBy(col("nation"), col("segment"))
     }),
 
@@ -660,12 +660,8 @@ object CurationPack {
         .select(col("doc_id"), col("quality"))
       Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(dup, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
-        .withColumn("reason",
-          when(col("lang") =!= "en", "non_en")
-            .when(col("is_dup"), "exact_dup")
-            .when(!col("rep_kept"), "repetitive")
-            .when(col("quality") < QUALITY_T, "low_quality")
-            .otherwise("keep"))
+        .withColumn("reason", c4Reason(col("lang"), col("is_dup"),
+          col("rep_kept"), col("quality")))
         .withColumn("keep", col("reason") === "keep")
         .select(col("doc_id"), col("reason"), col("keep"))
         .orderBy(col("doc_id"))
@@ -743,6 +739,76 @@ object CurationPack {
 
   /** (item_id, label, c) rating counts shared by q134/q136: one event =
     * one rating of item `k` (from props) with label = event_type. */
+  /** q57's body over an arbitrary documents frame — a pure per-document
+    * aggregation (no cross-doc state), shared verbatim by the streaming
+    * curation verdict ([[graft.streaming.CurateStream]]): an arriving
+    * doc's repetition stats are byte-identical to its batch ones. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
+    // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
+    // into the lambda body would re-split the doc per element (O(n²))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bc = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), bigrams.as("bg"))
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("d_bigrams"))
+    tc.join(bc, "doc_id")
+      .withColumn("top_tok_ratio",
+        round(col("max_tok").cast("double") / col("n_tokens"), 4))
+      // a single-token doc has no bigrams: its duplicated-bigram mass is
+      // 0 by definition (not NULL/÷0) — keeps the operator total
+      .withColumn("dup_bigram_ratio",
+        when(col("n_bigrams") === 0, 0.0).otherwise(
+          round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4)))
+      .withColumn("kept",
+        col("top_tok_ratio") <= TOP_TOK_T && col("dup_bigram_ratio") <= DUP_BG_T)
+      .select(col("doc_id"), col("n_tokens"), col("max_tok"),
+        col("top_tok_ratio"), col("dup_bigram_ratio"), col("kept"))
+  }
+
+  /** q119's C4 filter precedence as a column expression (language →
+    * exact dedup → repetition → quality, first-failing reason) — the ONE
+    * place the precedence lives, shared by the batch verdict and the
+    * streaming [[graft.streaming.CurateStream]]. */
+  private[graft] def c4Reason(lang: Column, isDup: Column, repKept: Column,
+                              quality: Column): Column =
+    when(lang =!= "en", "non_en")
+      .when(isDup, "exact_dup")
+      .when(!repKept, "repetitive")
+      .when(quality < QUALITY_T, "low_quality")
+      .otherwise("keep")
+
+  /** Per-customer QI class + sensitive value (dominant order priority by
+    * the q134 deterministic argmax; 'none' when the customer has no
+    * orders) — the shared base of the q159/q165 release gates. Scale:
+    * the argmax partial-aggregates on (custkey, priority) then a
+    * WindowGroupLimit'd pick; everything downstream of this relation is
+    * bounded by the QI/value attribute domains. */
+  private def sensitiveRelation(s: SparkSession, d: String): DataFrame = {
+    val pr = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val wPick = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    val dom = pr.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("dominant"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .join(dom, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("sens", coalesce(col("dominant"), lit("none")))
+      .select(col("nation"), col("segment"), col("sens"))
+  }
+
   private def ratingCounts(s: SparkSession, d: String): DataFrame =
     ratingCountsOf(Tables.events(s, d))
 
@@ -841,6 +907,54 @@ object CurationPack {
          |FROM customer LEFT JOIN dom ON c_custkey = o_custkey
          |GROUP BY 1, 2
          |ORDER BY nation, segment""".stripMargin,
+
+    // Cross products in HUGEINT (Spark side: DECIMAL(38,0)) so the exact
+    // TVD numerator can never overflow at scale; integer // floors the
+    // non-negative ppm identically on both engines.
+    "q165_tcloseness_audit" ->
+      s"""WITH pr AS (
+         |  SELECT o_custkey, o_orderpriority, count(*) AS n
+         |  FROM orders GROUP BY 1, 2
+         |), dom AS (
+         |  SELECT o_custkey, o_orderpriority AS dominant
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY n DESC, o_orderpriority) AS rk FROM pr)
+         |  WHERE rk = 1
+         |), sr AS (
+         |  SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+         |    coalesce(dominant, 'none') AS sens
+         |  FROM customer LEFT JOIN dom ON c_custkey = o_custkey
+         |), cv AS (
+         |  SELECT nation, segment, sens, count(*)::BIGINT AS n_cv
+         |  FROM sr GROUP BY 1, 2, 3
+         |), cls AS (
+         |  SELECT nation, segment, sum(n_cv)::BIGINT AS n_c
+         |  FROM cv GROUP BY 1, 2
+         |), gv AS (
+         |  SELECT sens, sum(n_cv)::BIGINT AS n_v FROM cv GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(n_v)::BIGINT AS n_t FROM gv
+         |), grid AS (
+         |  SELECT cls.nation, cls.segment, gv.sens, cls.n_c, gv.n_v,
+         |    coalesce(cv.n_cv, 0)::BIGINT AS n_cv
+         |  FROM cls CROSS JOIN gv
+         |  LEFT JOIN cv ON cv.nation = cls.nation
+         |    AND cv.segment = cls.segment AND cv.sens = gv.sens
+         |), num AS (
+         |  SELECT nation, segment, n_c,
+         |    sum(abs(n_cv::HUGEINT * (SELECT n_t FROM tot)::HUGEINT
+         |            - n_v::HUGEINT * n_c::HUGEINT)) AS tvd_num
+         |  FROM grid GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT nation, segment, n_c,
+         |    ((1000000::HUGEINT * tvd_num)
+         |       // (2::HUGEINT * n_c::HUGEINT
+         |          * (SELECT n_t FROM tot)::HUGEINT))::BIGINT AS tvd_ppm
+         |  FROM num
+         |)
+         |SELECT nation, segment, n_c AS n, tvd_ppm,
+         |  tvd_ppm > $TCLOSE_PPM AS at_risk
+         |FROM scored ORDER BY nation, segment""".stripMargin,
 
     "q153_reliability" ->
       s"""WITH $pctSqlChain,

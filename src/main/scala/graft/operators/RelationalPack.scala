@@ -639,6 +639,78 @@ object RelationalPack {
         .limit(20)
     }),
 
+    // TPC-H Q4-shaped priority census: orders in a half-year window with
+    // at least one returned line, counted per priority. The point is the
+    // EXISTS decorrelation: the oracle states a correlated subquery, the
+    // Spark plan is a left-semi join — each order tests membership once,
+    // never a per-row subquery and never a row-multiplying inner join
+    // (an order with 5 returned lines still counts once). Scale: the
+    // date filter pushes to the orders scan, the returnflag filter to
+    // the lineitem scan; one orderkey-keyed semi shuffle; the census is
+    // |priorities| rows.
+    "q167_priority_census" -> ((s, d) => {
+      val ret = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+        .join(ret, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12-shaped two-way conditional census over ship-delay
+    // buckets: per 30-day bucket of (shipdate − orderdate), how many
+    // lines belong to critical-priority orders (1-URGENT/2-HIGH) vs
+    // not — Q12's "was the cheap ship mode late on critical orders"
+    // table re-expressed over the shipped schema. Bucket index =
+    // floor(delay/30.0): the synthetic delays go NEGATIVE, where
+    // Spark's integer `div` truncates toward zero but DuckDB's `//`
+    // floors — the double floor is exact here (30k/30.0 is an exact
+    // double) and floors identically on both engines. Scale: one
+    // orderkey join (the only shuffle) + a bucket-sized rollup.
+    "q168_ship_delay_census" -> ((s, d) => {
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("bucket",
+          floor(datediff(col("l_shipdate"), col("o_orderdate")) / 30.0)
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(when(crit, 1)).as("n_high"),
+          count(when(!crit, 1)).as("n_low"))
+        .orderBy(col("bucket"))
+    }),
+
+    // TPC-H Q19-shaped disjunctive-predicate revenue: three (brand,
+    // size-range, quantity-range) clauses OR'ed together over
+    // lineitem ⋈ part. The point is predicate-pushdown hygiene under
+    // disjunction: Catalyst pushes the UNION of the brand/size
+    // constraints to the part scan (a part matching NO clause never
+    // reaches the join) and the quantity envelope to the lineitem scan;
+    // the residual OR evaluates post-join on the surviving rows. Revenue
+    // in integer cents (q75's contract). Scale: part side broadcasts;
+    // one scan of each table; output is one row.
+    "q169_disjunctive_revenue" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val clause = (col("p_brand") === "Brand#1"
+          && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2"
+          && col("p_size").between(10, 30) && col("l_quantity").between(15, 35)) ||
+        (col("p_brand") === "Brand#3"
+          && col("p_size").between(20, 50) && col("l_quantity").between(30, 50))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .filter(clause)
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q8-shaped market share: NATION_1 suppliers' share of PROMO-part
     // revenue sold to ASIA customers, per order year. Every dimension
     // (part filter, supplier→nation, customer→nation→region) broadcasts;
@@ -997,6 +1069,39 @@ object RelationalPack {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_cents DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    // The oracle states Q4's correlated EXISTS; the Spark side is the
+    // decorrelated left-semi join — same rows by construction.
+    "q167_priority_census" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q168_ship_delay_census" ->
+      """SELECT floor(date_diff('day', o_orderdate, l_shipdate) / 30.0)::BIGINT
+        |    AS bucket,
+        |  count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT
+        |    AS n_high,
+        |  count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT
+        |    AS n_low
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q169_disjunctive_revenue" ->
+      """SELECT sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 15 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 30 AND 50)""".stripMargin,
 
     "q154_order_count_dist" ->
       """WITH pc AS (

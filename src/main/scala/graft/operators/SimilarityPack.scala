@@ -348,6 +348,35 @@ object SimilarityPack {
       psiOf(cnt)
     }),
 
+    // IVF cell-balance audit — the index-health table read before
+    // committing a 100 TB IVF build: per-cell occupancy and corpus
+    // share, a HOT flag (occupancy > 2× the mean cell: probing that
+    // cell dominates query cost — re-train or split), and DEAD cells
+    // reported explicitly (quantizer capacity wasted; they never appear
+    // in an occupancy groupBy, so the audit left-joins the full cell
+    // range). Hot test in cleared-denominator integers
+    // (n_vecs·|cells| > 2·N — q146's discipline); share in ppm by
+    // integer division. Scale: one narrow assignment pass (the same
+    // codegen'd argmin as q43) partial-aggs to |cells| rows; everything
+    // downstream is cell-table-sized with a 1-row totals broadcast.
+    "q166_ivf_balance" -> ((s, d) => {
+      val hist = assignedCells(s, d).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = hist.agg(sum(col("n_vecs")).cast("long").as("n_total"))
+      s.range(IVF_CELLS).select(col("id").cast("int").as("cell"))
+        .join(hist, Seq("cell"), "left")
+        .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(n_vecs * 1000000) div n_total"))
+        .withColumn("hot",
+          col("n_vecs") * lit(IVF_CELLS.toLong) > lit(2L) * col("n_total"))
+        .withColumn("dead", col("n_vecs") === 0L)
+        .select(col("cell").cast("long").as("cell"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          col("share_ppm"), col("hot"), col("dead"))
+        .orderBy(col("cell"))
+    }),
+
     // Bitext-mining candidates — margin-based cross-lingual pairing
     // (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining", ACL'19
     // — the public CCMatrix/LASER recipe): each non-English query doc is
@@ -783,7 +812,35 @@ object SimilarityPack {
          |  ((hits * 10000) // truth_k)::BIGINT AS recall_bp
          |FROM unioned ORDER BY index_type, qid""".stripMargin
 
+    // q166 re-derives the same scored/assigned chain, then histograms;
+    // range() supplies the dead cells the occupancy groupBy can't see.
+    val balanceSql =
+      s"""WITH e AS (
+         |  $sqlVecs
+         |), scored AS (
+         |  SELECT vec_id, v, norm,
+         |    $csCols
+         |  FROM e
+         |), assigned AS (
+         |  SELECT vec_id, $cellCase AS cell
+         |  FROM (SELECT *, $minCs AS m FROM scored)
+         |), hist AS (
+         |  SELECT cell, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY cell
+         |), occ AS (
+         |  SELECT c.range::BIGINT AS cell, coalesce(h.n_vecs, 0)::BIGINT AS n_vecs
+         |  FROM range(0, $IVF_CELLS) c LEFT JOIN hist h ON h.cell = c.range
+         |), t AS (
+         |  SELECT sum(n_vecs)::BIGINT AS n_total FROM occ
+         |)
+         |SELECT cell, n_vecs,
+         |  ((n_vecs * 1000000) // n_total)::BIGINT AS share_ppm,
+         |  n_vecs * $IVF_CELLS > 2 * n_total AS hot,
+         |  n_vecs = 0 AS dead
+         |FROM occ CROSS JOIN t ORDER BY cell""".stripMargin
+
     Map("q43_ann_ivf" -> ivfSql,
+
+    "q166_ivf_balance" -> balanceSql,
 
     "q111_ann_recall" -> recallSql,
 

@@ -176,7 +176,14 @@ object TextPack {
     * all three measures — the inline form re-split the text per derived
     * column (3 splits/row). */
   private[operators] def qualityCore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    qualityCoreOf(Tables.documents(s, d))
+
+  /** [[qualityCore]] over an arbitrary documents frame — a pure per-doc
+    * map (no cross-doc state), which is what lets the streaming curation
+    * verdict ([[graft.streaming.CurateStream]]) score arriving docs with
+    * the SAME code and get byte-identical quality values. */
+  private[graft] def qualityCoreOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n_tokens", size(col("t")))
       .withColumn("n_distinct", size(array_distinct(col("t"))))

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.CurationPack
+import graft.streaming.{CurDoc, CurateStream}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** q119's streaming twin: verdicts assembled from the live fingerprint
+  * index + per-batch repetition/quality scoring must equal the batch
+  * curation verdict under id-ordered ingest — including across a
+  * mid-ingest restart (the index state is checkpoint-consistent, so a
+  * replayed batch re-derives identical verdicts and the version upsert
+  * absorbs them). */
+class CurateStreamSpec extends GraftSuite {
+
+  test("streamed verdicts equal batch q119 under id-ordered ingest, across a restart") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_curstream").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val out = s"$base/verdicts"
+    // id-ordered ingest: q30's global-min canonical == first-seen
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).as[CurDoc].collect()
+    val chunks = all.grouped(all.length / 3 + 1).toSeq
+
+    def runOnce(cs: Seq[Array[CurDoc]]): Unit = {
+      cs.foreach(c => spark.createDataset(c.toSeq).write.mode("append").parquet(in))
+      val sch = spark.read.parquet(in).schema
+      val q = CurateStream.run(spark,
+        spark.readStream.schema(sch).parquet(in).as[CurDoc], out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(chunks.take(2)) // "crash" mid-ingest
+    runOnce(chunks.drop(2)) // restart from the checkpoint
+
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("reason"), col("keep"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val want = CurationPack.queries("q119_curation_verdict")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.length == want.length,
+      s"${got.length} streamed verdicts vs ${want.length} batch verdicts")
+    assert(got.sameElements(want))
+    // the stream exercised every verdict branch the batch data has
+    assert(got.map(_._2).distinct.sorted.sameElements(
+      want.map(_._2).distinct.sorted))
+    // sf0.001 carries no exact duplicates — exercise the live index with
+    // a synthetic copy of an already-ingested doc (new id, same text)
+    runOnce(Seq(Array(CurDoc(999999999L, "en", all.head.text))))
+    val dup = spark.read.parquet(out)
+      .filter(col("doc_id") === 999999999L).head()
+    assert(dup.getString(1) == "exact_dup" && !dup.getBoolean(2),
+      "a re-ingested text must fail the standing fingerprint index")
+  }
+
+  test("within-batch duplicates: smallest doc_id wins the empty slot") {
+    val (st, out) = CurateStream.foldFp(None, Seq(
+      CurDoc(7L, "en", "same text"), CurDoc(3L, "en", "same text")))
+    assert(st.contains(3L))
+    assert(out.map(t => t.doc_id -> t.is_dup).toMap == Map(3L -> false, 7L -> true))
+    // and a standing canonical survives any later batch
+    val (st2, out2) = CurateStream.foldFp(Some(3L), Seq(CurDoc(1L, "en", "same text")))
+    assert(st2.contains(3L))
+    assert(out2.head.is_dup, "first-seen verdicts never retract")
+  }
+}

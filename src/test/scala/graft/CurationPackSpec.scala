@@ -457,6 +457,46 @@ class CurationPackSpec extends GraftSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
 
+  test("q165 t-closeness equals an exact BigInt driver recomputation") {
+    // per-customer dominant priority (q159's relation)
+    val pr = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("long"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val dom = pr.keys.map(_._1).toSeq.distinct.map { ck =>
+      ck -> pr.filter(_._1._1 == ck).toSeq
+        .map { case ((_, p), n) => (p, n) }
+        .minBy { case (p, n) => (-n, p) }._1
+    }.toMap
+    val rows0 = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        dom.getOrElse(r.getLong(0), "none")))
+    val nT = BigInt(rows0.length)
+    val nV = rows0.groupBy(_._3).view.mapValues(c => BigInt(c.length)).toMap
+    val want = rows0.groupBy(c => (c._1, c._2)).view.mapValues { cs =>
+      val nC = BigInt(cs.length)
+      val nCv = cs.groupBy(_._3).view.mapValues(c => BigInt(c.length)).toMap
+      // Σ over ALL global values: absent ones contribute |0 - n_v·n_c|
+      val num = nV.map { case (v, nv) =>
+        (nCv.getOrElse(v, BigInt(0)) * nT - nv * nC).abs
+      }.sum
+      (nC, BigInt(1000000) * num / (BigInt(2) * nC * nT))
+    }.toMap
+    val rows = CurationPack.queries("q165_tcloseness_audit")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, ppm) = want((r.getLong(0), r.getString(1)))
+      assert(BigInt(r.getLong(2)) == n)
+      assert(BigInt(r.getLong(3)) == ppm,
+        s"class (${r.getLong(0)}, ${r.getString(1)}): ${r.getLong(3)} vs $ppm")
+      assert(r.getBoolean(4) == (ppm > BigInt(300000)))
+    }
+    // the audit is informative only if TVD actually varies across classes
+    assert(rows.map(_.getLong(3)).distinct.length > 1)
+  }
+
   test("q153 reliability bins partition the scored corpus exactly") {
     val scored = CurationPack.queries("q114_perceptron")(spark, sf)
       .select(col("y"), col("score")).collect()

@@ -130,7 +130,7 @@ class EdgeCaseSpec extends GraftSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
     assert(qs -- os == sketchy ++ Set("q43_ann_ivf", "q62_classified_docs",
-      "q78_semantic_dedup", "q111_ann_recall"),
+      "q78_semantic_dedup", "q111_ann_recall", "q166_ivf_balance"),
       s"unexpected rows-only set: ${qs -- os}")
     // with the Verify context set, the data-dependent oracles join in
     SparkEntry.oracleContext = Some((spark, sf))

@@ -498,8 +498,13 @@ class PlanQualitySpec extends GraftSuite {
                                // |suppliers|-sized revenue relation
       "q156_embedding_drift",  // 1-row snapshot-totals broadcast into the
                                // 256-bucket histogram
-      "q157_mixture_reweight") // 1-row corpus totals + 1-row normalizer
+      "q157_mixture_reweight", // 1-row corpus totals + 1-row normalizer
                                // into the |sources|-row mixture table
+      "q165_tcloseness_audit", // |values|-row global-margin seed into the
+                               // |classes|-row rollup (both bounded by
+                               // attribute domains) + 1-row grand total
+      "q166_ivf_balance")      // 1-row corpus total into the |cells|-row
+                               // occupancy histogram
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))

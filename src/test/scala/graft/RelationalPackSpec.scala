@@ -308,4 +308,71 @@ class RelationalPackSpec extends GraftSuite {
     assert(got.map(_.getLong(0)).toSeq == want)
     got.foreach(r => assert(r.getLong(2) == mx))
   }
+
+  test("q167 priority census equals a driver recompute; counts once per order") {
+    val returned = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(o => returned.contains(o._1))          // membership, not join:
+      .groupBy(_._2).view.mapValues(_.length.toLong) // 5 lines still = 1 order
+      .toMap
+    val got = RelationalPack.queries("q167_priority_census")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.size > 1, "census spans priorities")
+  }
+
+  test("q168 ship-delay census equals a driver recompute incl. negative buckets") {
+    val od = Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS LONG)"),
+        col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"),
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (ok, sd) => od.get(ok).map { case (odn, pr) =>
+        (math.floor((sd - odn) / 30.0).toLong,
+          pr == "1-URGENT" || pr == "2-HIGH")
+      } }
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.count(_._2).toLong, rs.count(!_._2).toLong)).toMap
+    val got = RelationalPack.queries("q168_ship_delay_census")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.keys.min < 0L, "negative delays exercise the floor-vs-div trap")
+  }
+
+  test("q169 disjunctive revenue equals a driver recompute; every clause fires") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long"), col("p_brand"),
+        col("p_size").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").cast("long"), col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def clause(brand: String, sz: (Long, Long), qt: (Double, Double))(
+        pk: Long, q: Double): Boolean =
+      parts.get(pk).exists { case (b, s) =>
+        b == brand && s >= sz._1 && s <= sz._2 && q >= qt._1 && q <= qt._2 }
+    val c1 = clause("Brand#1", (1L, 15L), (1.0, 20.0)) _
+    val c2 = clause("Brand#2", (10L, 30L), (15.0, 35.0)) _
+    val c3 = clause("Brand#3", (20L, 50L), (30.0, 50.0)) _
+    val hits = rows.filter { case (pk, q, _) =>
+      c1(pk, q) || c2(pk, q) || c3(pk, q) }
+    val got = RelationalPack.queries("q169_disjunctive_revenue")(spark, sf).head()
+    assert(got.getLong(0) == hits.map(_._3).sum)
+    assert(got.getLong(1) == hits.length.toLong)
+    Seq(c1, c2, c3).foreach { c =>
+      assert(rows.exists { case (pk, q, _) => c(pk, q) }, "a clause never fired")
+    }
+  }
 }

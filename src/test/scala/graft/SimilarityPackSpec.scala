@@ -8,7 +8,8 @@ class SimilarityPackSpec extends GraftSuite {
   test("every similarity query returns rows at sf0.001 with matching oracle key") {
     // data-dependent centroids: upgraded to hash checks by
     // SimilarityPack.dynamicOracle at Verify time, pinned below here
-    val rowsOnly = Set("q43_ann_ivf", "q78_semantic_dedup", "q111_ann_recall")
+    val rowsOnly = Set("q43_ann_ivf", "q78_semantic_dedup", "q111_ann_recall",
+      "q166_ivf_balance")
     SimilarityPack.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
@@ -372,5 +373,28 @@ class SimilarityPackSpec extends GraftSuite {
         assert(r.getString(5) == expCat)
       }
     }
+  }
+
+  test("q166 IVF balance equals a driver recompute; dead cells reported") {
+    import graft.functions.KMeans
+    import graft.operators.SimilarityPack.ivfCentroids
+    val cents = ivfCentroids(spark, sf)
+    val vecsLocal = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toVector)
+    val hist = vecsLocal
+      .map { case (_, v) => cents.indices.minBy(i => (KMeans.sqDist(cents(i), v), i)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = vecsLocal.length.toLong
+    val rows = SimilarityPack.queries("q166_ivf_balance")(spark, sf).collect()
+    assert(rows.length == cents.length, "one row per cell, dead cells included")
+    rows.foreach { r =>
+      val n = hist.getOrElse(r.getLong(0).toInt, 0L)
+      assert(r.getLong(1) == n, s"cell ${r.getLong(0)}")
+      assert(r.getLong(2) == n * 1000000L / total)
+      assert(r.getBoolean(3) == (n * cents.length > 2 * total))
+      assert(r.getBoolean(4) == (n == 0L))
+    }
+    assert(rows.map(_.getLong(1)).sum == total, "occupancy partitions the corpus")
   }
 }
