@@ -44,6 +44,7 @@ object CurationPack {
   private val TOP_TOK_T   = 0.12  // Gopher-style: max single-token mass
   private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
   private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
+  private val SEQ_LENS    = Seq(64, 128, 256, 512) // q170 candidate lengths
   private val BATCH_DOCS  = 8     // docs per pad-to-longest batch (q122)
   private val PREFIX_BLOCK = 64L  // doc_id-range width of a prefix-sum block (q109)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
@@ -270,6 +271,34 @@ object CurationPack {
     // waste. The table that justifies (or rejects) a sort stage before
     // batch writing. All-integer (ppm by integer division) → hash-exact.
     // Scale: both policies are per-SOURCE windows (per-shard, parallel —
+    // Sequence-length operating curve (the q160 pattern for PACKING): per
+    // candidate context length L, what the one-doc-per-sequence policy
+    // costs — docs over L (truncated), token mass kept vs padded, and
+    // utilization — the table read before committing a context length
+    // (against which q58's concat-then-chunk utilization ≈ 1 is the
+    // comparison point). All-integer: kept = Σ min(n_tok, L), padded =
+    // Σ(L − min(n_tok, L)), util_ppm by integer division. Scale: ONE
+    // corpus pass to per-doc token counts, then the |L|-row candidate
+    // table broadcasts onto the per-doc relation — a 4× fan-out of a
+    // 2-column long relation, partial-aggregated map-side; never one
+    // pass per L.
+    "q170_packing_curve" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(size(toks).cast("long").as("n_tok"))
+      val lens = s.createDataFrame(SEQ_LENS.map(Tuple1(_)))
+        .toDF("seq_len").select(col("seq_len").cast("long"))
+      perDoc.crossJoin(broadcast(lens))
+        .withColumn("kept", least(col("n_tok"), col("seq_len")))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_tok") > col("seq_len"), 1)).as("n_over"),
+          sum(col("kept")).cast("long").as("tokens_kept"),
+          sum(col("seq_len") - col("kept")).cast("long").as("tokens_padded"))
+        .withColumn("util_ppm",
+          expr("(tokens_kept * 1000000) div (n_docs * seq_len)"))
+        .orderBy(col("seq_len"))
+    }),
+
     // never a global sort) followed by two tiny re-aggs; the doc relation
     // is scanned once per policy with only (source, n_toks, doc_id)
     // projected.
@@ -1106,6 +1135,23 @@ object CurationPack {
          |  sum(n_tokens)::BIGINT AS tot_tokens,
          |  min(quality) AS q_min, max(quality) AS q_max
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q170_packing_curve" -> {
+      val lens = SEQ_LENS.mkString("[", ",", "]")
+      s"""WITH lens AS (
+         |  SELECT unnest($lens)::BIGINT AS seq_len
+         |), pd AS (
+         |  SELECT len(str_split(text, ' '))::BIGINT AS n_tok FROM documents
+         |)
+         |SELECT seq_len, count(*)::BIGINT AS n_docs,
+         |  count(CASE WHEN n_tok > seq_len THEN 1 END)::BIGINT AS n_over,
+         |  sum(least(n_tok, seq_len))::BIGINT AS tokens_kept,
+         |  sum(seq_len - least(n_tok, seq_len))::BIGINT AS tokens_padded,
+         |  ((sum(least(n_tok, seq_len)) * 1000000)
+         |     // (count(*) * seq_len))::BIGINT AS util_ppm
+         |FROM pd CROSS JOIN lens
+         |GROUP BY seq_len ORDER BY seq_len""".stripMargin
+    },
 
     "q122_batch_padding" -> {
       def policySql(name: String, ord: String) =

@@ -5,7 +5,7 @@ import graft.sources.KeyedUpsertSink
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StreamingQuery}
+  StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A document arriving on the curation ingest stream. */
 final case class CurDoc(doc_id: Long, lang: String, text: String)
@@ -89,6 +89,50 @@ object CurateStream {
           st.foreach(state.update)
           out.iterator
         })
+  }
+
+  /** [[dupTags]] on the transformWithState API — the J11/DedupStream
+    * three-API-parity pattern: the same [[foldFp]] core on RocksDB
+    * ValueState, plus a declarative `TTLConfig` that makes this form the
+    * DEDUP-WITHIN-HORIZON deployment (an untouched fingerprint drops out
+    * of the index after the horizon; the NoTimeout fMGWS form keeps the
+    * index forever — the persisted-corpus-index deployment). */
+  def dupTagsTws(docs: Dataset[CurDoc],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[DupTagged] = {
+    implicit val outEnc = Encoders.product[DupTagged]
+    implicit val keyEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(Encoders.STRING,
+      Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    docs.toDF()
+      .withColumn("fp", md5(col("text")))
+      .select(col("fp"), col("doc_id"), col("lang"), col("text"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FpIndexProcessor(ttl), timeMode,
+        OutputMode.Append())
+  }
+
+  /** The fingerprint-index [[StatefulProcessor]] — same [[foldFp]] core
+    * as the fMGWS form. */
+  class FpIndexProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[String, (String, Long, String, String), DupTagged] {
+    @transient private var canonical: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canonical = getHandle.getValueState[Long]("canonical",
+        Encoders.scalaLong, ttl)
+
+    override def handleInputRows(fp: String,
+                                 rows: Iterator[(String, Long, String, String)],
+                                 timerValues: TimerValues): Iterator[DupTagged] = {
+      val st0 = if (canonical.exists()) Some(canonical.get()) else None
+      val (st, out) = foldFp(st0,
+        rows.map(r => CurDoc(r._2, r._3, r._4)).toSeq)
+      st.foreach(canonical.update)
+      out.iterator
+    }
   }
 
   /** Per-batch verdict derivation — the batch q119 composition over one

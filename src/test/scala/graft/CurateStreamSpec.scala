@@ -55,6 +55,41 @@ class CurateStreamSpec extends GraftSuite {
       "a re-ingested text must fail the standing fingerprint index")
   }
 
+  test("transformWithState fingerprint index equals the fMGWS index across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).as[CurDoc].collect().toSeq
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+              f: org.apache.spark.sql.Dataset[CurDoc] =>
+                org.apache.spark.sql.Dataset[graft.streaming.DupTagged]) = {
+        val stream = MemoryStream[CurDoc]
+        val q = f(stream.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          docs.grouped(docs.length / 4 + 1).foreach { c =>
+            stream.addData(c); q.processAllAvailable()
+          }
+          spark.table(name).select(col("doc_id"), col("is_dup")).collect()
+            .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+        } finally q.stop()
+      }
+      val tws = run("cur_tws", ds => CurateStream.dupTagsTws(ds))
+      val classic = run("cur_classic", ds => CurateStream.dupTags(ds))
+      assert(tws.nonEmpty && tws == classic,
+        s"tws=${tws.size} classic=${classic.size} diverge")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("within-batch duplicates: smallest doc_id wins the empty slot") {
     val (st, out) = CurateStream.foldFp(None, Seq(
       CurDoc(7L, "en", "same text"), CurDoc(3L, "en", "same text")))

@@ -497,6 +497,27 @@ class CurationPackSpec extends GraftSuite {
     assert(rows.map(_.getLong(3)).distinct.length > 1)
   }
 
+  test("q170 packing curve equals a driver recompute; utilization rises with L until truncation") {
+    val ntoks = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    val rows = CurationPack.queries("q170_packing_curve")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      val kept = ntoks.map(n => math.min(n, l)).sum
+      assert(r.getLong(1) == ntoks.length.toLong)
+      assert(r.getLong(2) == ntoks.count(_ > l).toLong)
+      assert(r.getLong(3) == kept)
+      assert(r.getLong(4) == ntoks.length * l - kept)
+      assert(r.getLong(5) == kept * 1000000L / (ntoks.length * l))
+    }
+    // the curve is informative: both regimes live (some truncation at the
+    // smallest L, some padding waste at the largest)
+    assert(rows.head.getLong(2) > 0L, "no doc exceeds the smallest L")
+    assert(rows.last.getLong(5) < 1000000L, "no padding at the largest L")
+  }
+
   test("q153 reliability bins partition the scored corpus exactly") {
     val scored = CurationPack.queries("q114_perceptron")(spark, sf)
       .select(col("y"), col("score")).collect()

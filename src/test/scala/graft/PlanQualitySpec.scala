@@ -503,8 +503,10 @@ class PlanQualitySpec extends GraftSuite {
       "q165_tcloseness_audit", // |values|-row global-margin seed into the
                                // |classes|-row rollup (both bounded by
                                // attribute domains) + 1-row grand total
-      "q166_ivf_balance")      // 1-row corpus total into the |cells|-row
+      "q166_ivf_balance",      // 1-row corpus total into the |cells|-row
                                // occupancy histogram
+      "q170_packing_curve")    // |candidate-lengths|-row (4) constant
+                               // table fanned onto the per-doc counts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))
