@@ -45,6 +45,9 @@ object CurationPack {
   private val DUP_BG_T    = 0.05  // Gopher-style: duplicated-bigram mass
   private val SEQ_LEN     = 128   // packed training-sequence length (tokens)
   private val SEQ_LENS    = Seq(64, 128, 256, 512) // q170 candidate lengths
+  // q171 candidate quality thresholds, e4 units (QUALITY_T = 0.62 sits
+  // inside the sweep so the production point is on the curve)
+  private val QT_E4S      = Seq(5000L, 5500L, 6000L, 6200L, 6500L, 7000L)
   private val BATCH_DOCS  = 8     // docs per pad-to-longest batch (q122)
   private val PREFIX_BLOCK = 64L  // doc_id-range width of a prefix-sum block (q109)
   private val RATE_DENOM  = 10000 // rebalance keep-rate granularity (bp)
@@ -297,6 +300,38 @@ object CurationPack {
         .withColumn("util_ppm",
           expr("(tokens_kept * 1000000) div (n_docs * seq_len)"))
         .orderBy(col("seq_len"))
+    }),
+
+    // Quality-threshold operating curve (the q160/q170 pattern for the
+    // QUALITY gate): per candidate cutoff t, the docs and token mass a
+    // `quality >= t` filter keeps, and their corpus shares — the
+    // quantity-vs-quality table read before committing QUALITY_T (the
+    // production 0.62 sits inside the sweep). Quality rides q36's 4-dp
+    // contract lifted to exact e4 integers (q129's trick) so the
+    // boundary compares are byte-identical cross-engine; shares are
+    // integer-div ppm. Scale: ONE pass to the per-doc (q_e4, n_tokens)
+    // relation, a broadcast |t|-row candidate table fanned onto it
+    // (map-side partial agg), and a 1-row totals broadcast.
+    "q171_quality_curve" -> ((s, d) => {
+      val perDoc = TextPack.qualityCore(s, d)
+        .select(col("n_tokens").cast("long").as("n_tok"),
+          expr("CAST(round(quality * 10000) AS BIGINT)").as("q_e4"))
+        .localCheckpoint()
+      val tot = perDoc.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      val ts = s.createDataFrame(QT_E4S.map(Tuple1(_))).toDF("t_e4")
+      perDoc.crossJoin(broadcast(ts))
+        .groupBy(col("t_e4"))
+        .agg(count(when(col("q_e4") >= col("t_e4"), 1)).as("n_kept"),
+          sum(when(col("q_e4") >= col("t_e4"), col("n_tok")).otherwise(0L))
+            .cast("long").as("tokens_kept"))
+        .crossJoin(broadcast(tot))
+        .withColumn("doc_share_ppm", expr("(n_kept * 1000000) div n_docs"))
+        .withColumn("token_share_ppm",
+          expr("(tokens_kept * 1000000) div n_tokens"))
+        .select(col("t_e4"), col("n_kept"), col("tokens_kept"),
+          col("doc_share_ppm"), col("token_share_ppm"))
+        .orderBy(col("t_e4"))
     }),
 
     // never a global sort) followed by two tiny re-aggs; the doc relation
@@ -1151,6 +1186,32 @@ object CurationPack {
          |     // (count(*) * seq_len))::BIGINT AS util_ppm
          |FROM pd CROSS JOIN lens
          |GROUP BY seq_len ORDER BY seq_len""".stripMargin
+    },
+
+    "q171_quality_curve" -> {
+      val ts = QT_E4S.mkString("[", ",", "]")
+      s"""WITH q AS (
+         |  ${TextPack.oracle("q36_quality_score")}
+         |), pd AS (
+         |  SELECT n_tokens::BIGINT AS n_tok,
+         |    round(quality * 10000)::BIGINT AS q_e4
+         |  FROM q
+         |), ts AS (
+         |  SELECT unnest($ts)::BIGINT AS t_e4
+         |), tot AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |  FROM pd
+         |)
+         |SELECT t_e4,
+         |  count(CASE WHEN q_e4 >= t_e4 THEN 1 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN q_e4 >= t_e4 THEN n_tok ELSE 0 END)::BIGINT
+         |    AS tokens_kept,
+         |  ((count(CASE WHEN q_e4 >= t_e4 THEN 1 END) * 1000000)
+         |     // (SELECT n_docs FROM tot))::BIGINT AS doc_share_ppm,
+         |  ((sum(CASE WHEN q_e4 >= t_e4 THEN n_tok ELSE 0 END) * 1000000)
+         |     // (SELECT n_tokens FROM tot))::BIGINT AS token_share_ppm
+         |FROM pd CROSS JOIN ts
+         |GROUP BY t_e4 ORDER BY t_e4""".stripMargin
     },
 
     "q122_batch_padding" -> {

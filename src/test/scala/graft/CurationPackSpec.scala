@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CurationPack
+import graft.operators.{CurationPack, TextPack}
 import org.apache.spark.sql.functions._
 
 class CurationPackSpec extends GraftSuite {
@@ -516,6 +516,30 @@ class CurationPackSpec extends GraftSuite {
     // smallest L, some padding waste at the largest)
     assert(rows.head.getLong(2) > 0L, "no doc exceeds the smallest L")
     assert(rows.last.getLong(5) < 1000000L, "no padding at the largest L")
+  }
+
+  test("q171 quality curve equals a driver recompute; monotone and discriminating") {
+    val perDoc = TextPack.queries("q36_quality_score")(spark, sf)
+      .select(col("n_tokens").cast("long"),
+        expr("CAST(round(quality * 10000) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = perDoc.length.toLong
+    val nToks = perDoc.map(_._1).sum
+    val rows = CurationPack.queries("q171_quality_curve")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(5000L, 5500L, 6000L, 6200L, 6500L, 7000L))
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val kept = perDoc.filter(_._2 >= t)
+      assert(r.getLong(1) == kept.length.toLong)
+      assert(r.getLong(2) == kept.map(_._1).sum)
+      assert(r.getLong(3) == kept.length * 1000000L / nDocs)
+      assert(r.getLong(4) == kept.map(_._1).sum * 1000000L / nToks)
+    }
+    // kept mass is non-increasing in t, and the sweep actually separates
+    val keptSeq = rows.map(_.getLong(1)).toSeq
+    assert(keptSeq.zip(keptSeq.tail).forall { case (a, b) => a >= b })
+    assert(keptSeq.distinct.length > 1, "thresholds do not discriminate")
   }
 
   test("q153 reliability bins partition the scored corpus exactly") {

@@ -505,8 +505,11 @@ class PlanQualitySpec extends GraftSuite {
                                // attribute domains) + 1-row grand total
       "q166_ivf_balance",      // 1-row corpus total into the |cells|-row
                                // occupancy histogram
-      "q170_packing_curve")    // |candidate-lengths|-row (4) constant
+      "q170_packing_curve",    // |candidate-lengths|-row (4) constant
                                // table fanned onto the per-doc counts
+      "q171_quality_curve")    // |thresholds|-row (6) constant table
+                               // fanned onto the per-doc (q_e4, n_tok)
+                               // relation + 1-row corpus totals
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!tinySideCross(name)) {
         val plan = executedPlan(fn(spark, sf))
