@@ -716,7 +716,32 @@ object PipelinePack {
     // neither dropped nor double-counted anything (CurateJobSpec asserts
     // the sums equal the raw corpus). |reasons| rows, one partial agg.
     "q164_curation_audit" -> ((s, d) =>
-      curationAudit(curationDecisions(s, d)))
+      curationAudit(curationDecisions(s, d))),
+
+    // Cross-source near-dup matrix — WHERE the duplicate mass lives: per
+    // unordered source pair, how many verified near-dup pairs cross it.
+    // The table that prioritizes dedup effort (heavy within-source mass →
+    // dedup at ingest per source; heavy cross-source mass → a global
+    // pass is mandatory) and flags mirror/scrape overlap between
+    // sources. Rides q31's CACHED pair relation (zero extra corpus
+    // work); the PAIR side broadcasts (it is dedup-output-sized, far
+    // smaller than the corpus dim it probes — q137's probe direction);
+    // output bounded by |sources|². Unordered pair via least/greatest
+    // on the source names (string order, both engines).
+    "q174_dup_source_matrix" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val pairs = TextPack.queries("q31_ngram_jaccard")(s, d)
+        .select(col("i"), col("j"))
+      val e1 = src.select(col("doc_id").as("i"), col("source").as("src_i"))
+        .join(broadcast(pairs), "i")
+      src.select(col("doc_id").as("j"), col("source").as("src_j"))
+        .join(broadcast(e1), "j")
+        .groupBy(least(col("src_i"), col("src_j")).as("src_a"),
+          greatest(col("src_i"), col("src_j")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("src_a") =!= col("src_b"))
+        .orderBy(col("src_a"), col("src_b"))
+    })
   )
 
   /** Memoized per-(session, dir) curation DECISIONS relation — the
@@ -924,6 +949,18 @@ object PipelinePack {
          |  sum(n_chars)::BIGINT AS n_chars,
          |  sum(n_tokens)::BIGINT AS n_tokens
          |FROM dec GROUP BY reason ORDER BY reason""".stripMargin,
+
+    "q174_dup_source_matrix" ->
+      s"""WITH ${TextPack.sqlPairCtes}
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  least(da.source, db.source) <> greatest(da.source, db.source)
+         |    AS cross_source
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = i
+         |JOIN documents db ON db.doc_id = j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same hash split + fingerprint compare; FULL OUTER JOIN mirrors the
     // Spark plan exactly.

@@ -686,6 +686,75 @@ object RelationalPack {
         .orderBy(col("bucket"))
     }),
 
+    // TPC-H Q7-shaped volume shipping: bilateral trade between two
+    // nations — revenue per (supplier nation, customer nation, ship
+    // year) where the pair is (N1→N2) or (N2→N1). The shape's point:
+    // BOTH nation-resolved dims (supplier and customer sides) broadcast
+    // after their own nation filters prune them to two nations' worth,
+    // and the direction filter excludes same-nation flows; the one
+    // shuffle is lineitem ⋈ orders on orderkey. Revenue in integer
+    // cents; year via the shared UTC session calendar.
+    "q172_volume_shipping" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      // NATION_3/NATION_8: both host suppliers at EVERY shipped SF (the
+      // smallest SF populates only 10 supplier nations), so both flow
+      // directions stay live down to sf0.001
+      val nations = Seq("NATION_3", "NATION_8")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(cents).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q9-shaped product profit: per (supplier nation, order year),
+    // revenue minus a supply-cost PROXY (the shipped schema has no
+    // partsupp, so cost = 10% of p_retailprice per unit — the shape is
+    // the point: a five-table star where part's type filter prunes the
+    // probe side early and part/supplier/nation all broadcast; the one
+    // shuffle is lineitem ⋈ orders). Profit in exact integer cents: each
+    // component floors independently (revenue cents; cost in tenths of
+    // retailprice = cents of the 10% proxy), so the distributed sum is
+    // addition-order exact.
+    "q173_product_profit" -> ((s, d) => {
+      val revC = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      val costC = floor(col("l_quantity") * col("p_retailprice") * 10).cast("long")
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(promo), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("supp_nation"), col("o_year"))
+        .agg(sum(revC - costC).cast("long").as("profit_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("o_year"))
+    }),
+
     // TPC-H Q19-shaped disjunctive-predicate revenue: three (brand,
     // size-range, quantity-range) clauses OR'ed together over
     // lineitem ⋈ part. The point is predicate-pushdown hygiene under
@@ -1102,6 +1171,38 @@ object RelationalPack {
         |       AND l_quantity BETWEEN 15 AND 35)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 30 AND 50)""".stripMargin,
+
+    "q172_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT)
+        |    ::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  AND sn.n_name IN ('NATION_3', 'NATION_8')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_8')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q173_product_profit" ->
+      """SELECT sn.n_name AS supp_nation, year(o_orderdate)::BIGINT AS o_year,
+        |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT
+        |      - floor(l_quantity * p_retailprice * 10)::BIGINT)
+        |    ::BIGINT AS profit_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q154_order_count_dist" ->
       """WITH pc AS (

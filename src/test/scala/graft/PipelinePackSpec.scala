@@ -308,4 +308,25 @@ class PipelinePackSpec extends GraftSuite {
       }
     }
   }
+
+  test("q174 dup-source matrix reconciles with q31's pairs; pair mass conserved") {
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextPack.queries("q31_ngram_jaccard")(spark, sf)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs
+      .map { case (i, j) =>
+        val (a, b) = (srcOf(i), srcOf(j))
+        if (a <= b) (a, b) else (b, a)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = PipelinePack.queries("q174_dup_source_matrix")(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getString(0) != r.getString(1))))
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
+      "every near-dup pair lands in exactly one source cell")
+  }
 }

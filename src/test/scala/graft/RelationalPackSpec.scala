@@ -375,4 +375,72 @@ class RelationalPackSpec extends GraftSuite {
       assert(rows.exists { case (pk, q, _) => c(pk, q) }, "a clause never fired")
     }
   }
+
+  test("q172 volume shipping equals a driver recompute; both directions live") {
+    val nk = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nk(r.getLong(1))).toMap
+    val cst = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nk(r.getLong(1))).toMap
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Set("NATION_3", "NATION_8")
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"),
+        expr("CAST(year(l_shipdate) AS LONG)"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (sup(r.getLong(1)), cst(ord(r.getLong(0))), r.getLong(2), r.getLong(3)))
+      .filter(t => two(t._1) && two(t._2) && t._1 != t._2)
+      .groupBy(t => (t._1, t._2, t._3)).view
+      .mapValues(rs => (rs.map(_._4).sum, rs.length.toLong)).toMap
+    val got = RelationalPack.queries("q172_volume_shipping")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.keys.map(_._1).toSet == two, "both flow directions live")
+  }
+
+  test("q173 product profit equals a driver recompute over exact cents") {
+    val nk = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nk(r.getLong(1))).toMap
+    val promo = Tables.part(spark, sf).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey").cast("long"), col("p_retailprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val yearOf = Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"),
+        expr("CAST(year(o_orderdate) AS LONG)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"), col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .collect()
+      .flatMap { r =>
+        promo.get(r.getLong(1)).map { rp =>
+          val cost = math.floor(r.getDouble(3) * rp * 10).toLong
+          ((sup(r.getLong(2)), yearOf(r.getLong(0))), r.getLong(4) - cost)
+        }
+      }
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.length.toLong)).toMap
+    val got = RelationalPack.queries("q173_product_profit")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.keys.map(_._1).toSet.size > 1)
+  }
 }
