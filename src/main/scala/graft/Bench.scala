@@ -109,8 +109,15 @@ object Bench {
     // "qNN" keys; the bare number keeps every entry (the judge reads the
     // numeric id either way) before we resort to dropping entries
     val bare = line(_.takeWhile(_ != '_').stripPrefix("q"), r2)
+    // last full-coverage step before dropping entries: 1 decimal still
+    // separates the slow tail (the 2-decimal bare line hit EXACTLY 1900
+    // chars at 174 queries), and bench_queries.json keeps 3 decimals
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val bare1 = line(_.takeWhile(_ != '_').stripPrefix("q"), r1)
     if (short.length < 1900) println(short)
     else if (bare.length < 1900) println(bare)
+    else if (bare1.length < 1900) println(bare1)
     else {
       // future-proofing (~140+ queries): keep the slowest entries that fit
       // rather than failing the round's bench artifact outright
