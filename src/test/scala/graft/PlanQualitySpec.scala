@@ -433,15 +433,17 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
-  test("q130/q131: every dimension broadcasts; at most one shuffled join (the fact pair)") {
-    for (name <- Seq("q130_trade_volume", "q131_market_share")) {
+  test("star shapes (q130/q131/q172/q173): dims broadcast; at most one shuffled join (the fact pair)") {
+    for ((name, minBhj) <- Seq("q130_trade_volume" -> 3,
+        "q131_market_share" -> 3, "q172_volume_shipping" -> 2,
+        "q173_product_profit" -> 2)) {
       val df = graft.operators.RelationalPack.queries(name)(spark, sf)
       df.collect() // finalize the adaptive plan
       val plan = executedPlan(df).split("== Initial Plan ==").head
       val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
       val shuffled = plan.linesIterator.count(l =>
         l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-      assert(bhj >= 3, s"$name lost its broadcast dimension cascade:\n$plan")
+      assert(bhj >= minBhj, s"$name lost its broadcast dimension cascade:\n$plan")
       assert(shuffled <= 1,
         s"$name shuffles more than the one fact-fact join:\n$plan")
     }
