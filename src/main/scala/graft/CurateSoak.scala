@@ -42,7 +42,8 @@ object CurateSoak {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
       .orderBy(col("doc_id")).as[CurDoc].collect()
     val nDocs = docs.length.toLong
     val chunks = docs.grouped(docs.length / nChunks + 1).toSeq

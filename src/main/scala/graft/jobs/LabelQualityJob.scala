@@ -56,8 +56,8 @@ object LabelQualityJob {
     * both guarantees: a same-checkpoint replay reuses the same base →
     * version tie → existing wins (exactly-once); a fresh checkpoint mints
     * base = stored-max + 1 → its folds correctly continue the store. */
-  private[jobs] def runBase(spark: SparkSession, ckpt: String,
-                            store: String): Long = {
+  private[graft] def runBase(spark: SparkSession, ckpt: String,
+                             store: String): Long = {
     val marker = new org.apache.hadoop.fs.Path(s"$ckpt/graft-labelq-base")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {

@@ -8,18 +8,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A document arriving on the curation ingest stream. */
-final case class CurDoc(doc_id: Long, lang: String, text: String)
+final case class CurDoc(doc_id: Long, lang: String, source: String,
+                        text: String, n_chars: Long)
 
 /** A doc after the fingerprint index: `is_dup` = an identical text is
   * already canonical in the standing index. */
-final case class DupTagged(doc_id: Long, lang: String, text: String,
-                           is_dup: Boolean)
+final case class DupTagged(doc_id: Long, lang: String, source: String,
+                           text: String, n_chars: Long, is_dup: Boolean)
 
 /** Streaming per-document curation VERDICT — the live form of q119, and
   * the front half of the CurateJob pipeline running on ingest instead of
   * on a materialized corpus: every arriving doc gets its C4-precedence
   * keep/drop decision (language → exact dedup → repetition → quality)
-  * the moment it lands.
+  * the moment it lands, and (via [[runWithShards]]) its shard-file
+  * assignment too — ingest → verdict → layout as ONE live pipeline.
   *
   * Composition mirrors the batch verdict exactly, pass by pass:
   *  - exact dedup: a keyed fingerprint INDEX (md5(text) — the q30
@@ -35,16 +37,23 @@ final case class DupTagged(doc_id: Long, lang: String, text: String,
   *    batch code over the batch's docs (both are pure per-doc maps, so
   *    micro-batching cannot change their values).
   *  - precedence: [[CurationPack.c4Reason]] — the one shared expression.
+  *  - shard layout: the batch's keepers continue each source's greedy
+  *    (fileIdx, fill) recurrence ([[ShardFillStream.foldGroup]] — q127's
+  *    core) from a DURABLE per-source state store, so the live file
+  *    sequence equals the batch q163 layout under ordered ingest.
   *
   * Exactly-once: a replayed micro-batch re-enters fMGWS with the same
-  * pre-batch state (checkpoint-consistent), re-emits identical tags, and
-  * the per-doc verdict is deterministic from (tag, text) — the
-  * doc_id-keyed monotonic-version upsert absorbs the rewrite
-  * (CurateStreamSpec restarts mid-ingest and asserts parity with q119).
+  * pre-batch state (checkpoint-consistent) and re-emits identical tags;
+  * verdicts are deterministic from (tag, text) and the doc_id-keyed
+  * monotonic-version upsert absorbs rewrites. The shard fold is guarded
+  * the LabelQualityJob way: state and assignments write with a
+  * checkpoint-monotonic version, so a replayed fold (which would
+  * re-continue from the already-advanced state) loses every version tie
+  * and mutates nothing (CurateStreamSpec restarts mid-ingest and asserts
+  * parity with q119 and q163).
   *
-  * Scale: state is ONE long per distinct fingerprint, hash-partitioned
-  * across state partitions (the persisted dedup index is the product,
-  * like the reference's externalized post mapping); per batch the
+  * Scale: fingerprint state is ONE long per distinct text and shard
+  * state TWO longs per source, both hash-partitioned; per batch the
   * repetition/quality passes are batch-sized. Text rides through the
   * fingerprint shuffle here for simplicity — at corpus scale ship
   * (fp, doc_id, lang) through the index and re-join text from the
@@ -61,35 +70,41 @@ object CurateStream {
       st match {
         case None =>
           st = Some(dc.doc_id)
-          DupTagged(dc.doc_id, dc.lang, dc.text, is_dup = false)
+          DupTagged(dc.doc_id, dc.lang, dc.source, dc.text, dc.n_chars,
+            is_dup = false)
         case Some(c) =>
-          DupTagged(dc.doc_id, dc.lang, dc.text, is_dup = dc.doc_id != c)
+          DupTagged(dc.doc_id, dc.lang, dc.source, dc.text, dc.n_chars,
+            is_dup = dc.doc_id != c)
       }
     }
     (st, out)
   }
+
+  private def asCur(r: (String, CurDoc)): CurDoc = r._2
 
   /** Stage A (keyed index): one fMGWS group per text fingerprint. */
   def dupTags(docs: Dataset[CurDoc]): Dataset[DupTagged] = {
     implicit val stateEnc = Encoders.scalaLong
     implicit val outEnc   = Encoders.product[DupTagged]
     implicit val keyEnc   = Encoders.STRING
-    implicit val rowEnc   = Encoders.tuple(Encoders.STRING,
-      Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
-    val withFp = docs.toDF()
-      .withColumn("fp", md5(col("text")))
-      .select(col("fp"), col("doc_id"), col("lang"), col("text"))
-    withFp.as[(String, Long, String, String)]
+    implicit val rowEnc   =
+      Encoders.tuple(Encoders.STRING, Encoders.product[CurDoc])
+    docs.map(dc => (fpOf(dc.text), dc))(rowEnc)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[(String, Long, String, String)],
+        (_: String, it: Iterator[(String, CurDoc)],
          state: GroupState[Long]) => {
-          val (st, out) = foldFp(state.getOption,
-            it.map(r => CurDoc(r._2, r._3, r._4)).toSeq)
+          val (st, out) = foldFp(state.getOption, it.map(asCur).toSeq)
           st.foreach(state.update)
           out.iterator
         })
   }
+
+  /** q30's text fingerprint (md5 hex), computed where the doc is. */
+  private def fpOf(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 
   /** [[dupTags]] on the transformWithState API — the J11/DedupStream
     * three-API-parity pattern: the same [[foldFp]] core on RocksDB
@@ -101,14 +116,11 @@ object CurateStream {
                  ttl: TTLConfig = TTLConfig.NONE): Dataset[DupTagged] = {
     implicit val outEnc = Encoders.product[DupTagged]
     implicit val keyEnc = Encoders.STRING
-    implicit val rowEnc = Encoders.tuple(Encoders.STRING,
-      Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.product[CurDoc])
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    docs.toDF()
-      .withColumn("fp", md5(col("text")))
-      .select(col("fp"), col("doc_id"), col("lang"), col("text"))
-      .as[(String, Long, String, String)]
+    docs.map(dc => (fpOf(dc.text), dc))(rowEnc)
       .groupByKey(_._1)
       .transformWithState(new FpIndexProcessor(ttl), timeMode,
         OutputMode.Append())
@@ -117,7 +129,7 @@ object CurateStream {
   /** The fingerprint-index [[StatefulProcessor]] — same [[foldFp]] core
     * as the fMGWS form. */
   class FpIndexProcessor(ttl: TTLConfig)
-    extends StatefulProcessor[String, (String, Long, String, String), DupTagged] {
+    extends StatefulProcessor[String, (String, CurDoc), DupTagged] {
     @transient private var canonical: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -125,11 +137,10 @@ object CurateStream {
         Encoders.scalaLong, ttl)
 
     override def handleInputRows(fp: String,
-                                 rows: Iterator[(String, Long, String, String)],
+                                 rows: Iterator[(String, CurDoc)],
                                  timerValues: TimerValues): Iterator[DupTagged] = {
       val st0 = if (canonical.exists()) Some(canonical.get()) else None
-      val (st, out) = foldFp(st0,
-        rows.map(r => CurDoc(r._2, r._3, r._4)).toSeq)
+      val (st, out) = foldFp(st0, rows.map(asCur).toSeq)
       st.foreach(canonical.update)
       out.iterator
     }
@@ -163,4 +174,74 @@ object CurateStream {
           verdictsOf(b).withColumn("version", lit(id)),
           Seq("doc_id"), "version")
       }.start()
+
+  /** Continue each source's greedy (fileIdx, fill) recurrence over one
+    * batch's keepers from the durable per-source `stateStore`, returning
+    * the batch's (source, doc_id, nb, file_idx) assignments and writing
+    * the advanced state with the replay-guard version. Keepers fold in
+    * doc_id order per source (q163's order under ordered ingest). */
+  private[graft] def shardFold(spark: SparkSession, stateStore: String,
+                               keepers: DataFrame, cap: Long,
+                               version: Long): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(stateStore)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      if (fs.exists(new org.apache.hadoop.fs.Path(stateStore)))
+        spark.read.parquet(stateStore)
+          .select(col("source"), col("file_idx"), col("fill"))
+      else spark.emptyDataset[(String, Long, Long)]
+        .toDF("source", "file_idx", "fill")
+    val folded = keepers.select(col("source"), col("doc_id"), col("n_chars"))
+      .join(st, Seq("source"), "left")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("file_idx"), col("fill"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+        val rows = it.toSeq
+        val seed = rows.head match {
+          case (_, _, _, Some(fi), Some(fill)) => Some(ShardState(fi, fill))
+          case _ => None
+        }
+        val t0 = new java.sql.Timestamp(0L) // constant ts: order is doc_id
+        val (stOut, assigns) = ShardFillStream.foldGroup(seed,
+          rows.map { case (_, id, nb, _, _) => ShardDoc(src, t0, id, nb) }, cap)
+        assigns.map(a => (a.source, a.doc_id, a.n_bytes, a.file_idx)) ++
+          stOut.map(s => (src, -1L, s.fill, s.fileIdx)) // -1 marks the state row
+      }
+      .toDF("source", "doc_id", "nb", "file_idx")
+      .localCheckpoint() // assigns + state derive from ONE fold
+    val assigns = folded.filter(col("doc_id") >= 0)
+    KeyedUpsertSink.upsert(spark, stateStore,
+      folded.filter(col("doc_id") === -1L)
+        .select(col("source"), col("file_idx"),
+          col("nb").as("fill"), lit(version).as("version")),
+      Seq("source"), "version")
+    assigns
+  }
+
+  /** The FULL live pipeline: verdicts into `verdictOut` AND each batch's
+    * keepers routed to their shard file (q127's greedy recurrence over
+    * the durable per-source state) into `shardOut` — ingest → verdict →
+    * layout, one streaming query. */
+  def runWithShards(spark: SparkSession, docs: Dataset[CurDoc],
+                    verdictOut: String, shardOut: String, stateStore: String,
+                    ckpt: String,
+                    cap: Long = CurationPack.SHARD_CAP): StreamingQuery = {
+    val base = graft.jobs.LabelQualityJob.runBase(spark, ckpt, stateStore)
+    dupTags(docs).toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val v = verdictsOf(b).localCheckpoint() // two consumers, one derivation
+        KeyedUpsertSink.upsert(spark, verdictOut,
+          v.withColumn("version", lit(id)), Seq("doc_id"), "version")
+        val keepers = b.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(v.filter(col("keep")).select(col("doc_id")), "doc_id")
+        KeyedUpsertSink.upsert(spark, shardOut,
+          shardFold(spark, stateStore, keepers, cap, base + id)
+            .withColumn("version", lit(base + id)),
+          Seq("doc_id"), "version")
+      }.start()
+  }
 }
