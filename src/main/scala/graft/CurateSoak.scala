@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * counterpart of [[SoakBench]]'s three-job replay anchor.
   *
   * Usage: SPARK_GRAFT_SF_DIR=… [SPARK_GRAFT_STATE=rocksdb] \
-  *        sbt "runMain graft.CurateSoak [nChunks]"
-  * Prints one JSON line: docs, wall seconds, docs/s, verdict breakdown. */
+  *        sbt "runMain graft.CurateSoak [nChunks] [shards]"
+  * (`shards` soaks the FULL pipeline — runWithShards, i.e. verdicts plus
+  * the durable greedy shard layout.) Prints one JSON line: docs, wall
+  * seconds, docs/s, verdict breakdown (+ shard files when enabled). */
 object CurateSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val backend = sys.env.getOrElse("SPARK_GRAFT_STATE", "hdfs")
     val nChunks = args.lift(0).map(_.toInt).getOrElse(16)
+    val withShards = args.lift(1).contains("shards")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +53,11 @@ object CurateSoak {
 
     val stream = MemoryStream[CurDoc]
     val t0 = System.nanoTime()
-    val q = CurateStream.run(spark, stream.toDS(), out, ckpt)
+    val q =
+      if (withShards)
+        CurateStream.runWithShards(spark, stream.toDS(), out,
+          s"$base/shards", s"$base/shard_state", ckpt)
+      else CurateStream.run(spark, stream.toDS(), out, ckpt)
     chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
     val wall = (System.nanoTime() - t0) / 1e9
     q.stop()
@@ -60,10 +67,17 @@ object CurateSoak {
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
       .sorted.mkString("{", ",", "}")
     val nOut = verdicts.count()
+    val shardInfo =
+      if (withShards) {
+        val sh = spark.read.parquet(s"$base/shards")
+        val files = sh.select(col("source"), col("file_idx")).distinct().count()
+        s""","shard_docs":${sh.count()},"shard_files":$files"""
+      } else ""
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(f"""{"metric":"curate_soak","docs":$nDocs,"verdicts":$nOut,""" +
       f""""wall_sec":$wall%.1f,"docs_per_sec":${nDocs / wall}%.0f,""" +
-      f""""backend":"$backend","chunks":$nChunks,"reasons":$byReason}""")
+      f""""backend":"$backend","chunks":$nChunks,"reasons":$byReason""" +
+      s"""$shardInfo}""")
   }
 }
