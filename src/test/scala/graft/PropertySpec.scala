@@ -114,4 +114,82 @@ class PropertySpec extends AnyFunSuite {
     assert(ControlParams.parse("# anything").isEmpty)
     assert(ControlParams.parse("").isEmpty)
   }
+
+  test("foldFp: canonical is the first-seen batch's min under any batching; verdicts never retract") {
+    import graft.streaming.{CurDoc, CurateStream}
+    def doc(id: Long) = CurDoc(id, "en", "s", "t", 1L)
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(_.distinct)
+    val cutsGen = Gen.listOf(Gen.choose(1, 5))
+    check(Prop.forAll(idsGen, cutsGen) { (ids, cuts) =>
+      // partition ids into batches by the random cut widths
+      val batches = {
+        var rest = ids; val out = scala.collection.mutable.ListBuffer
+          .empty[List[Long]]
+        val ws = if (cuts.isEmpty) List(ids.length) else cuts
+        var i = 0
+        while (rest.nonEmpty) {
+          val w = ws(i % ws.length); out += rest.take(w); rest = rest.drop(w)
+          i += 1
+        }
+        out.toList
+      }
+      var st: Option[Long] = None
+      val tags = scala.collection.mutable.Map.empty[Long, Boolean]
+      batches.foreach { b =>
+        val (st2, out) = CurateStream.foldFp(st, b.map(doc))
+        st = st2
+        out.foreach(t => tags(t.doc_id) = t.is_dup)
+      }
+      // exactly one canonical; it is the min of its own and all EARLIER
+      // batches' ids (first-seen), and every other id is tagged dup
+      val canon = tags.collect { case (id, false) => id }
+      canon.size == 1 && st.contains(canon.head) &&
+        tags.size == ids.size &&
+        canon.head == batches
+          .take(batches.indexWhere(_.contains(canon.head)) + 1)
+          .flatten.min
+    })
+  }
+
+  test("shard foldGroup: never overflows the cap (unless a single doc does); files fill greedily") {
+    import graft.streaming.{ShardDoc, ShardFillStream}
+    val t0 = new java.sql.Timestamp(0L)
+    val sizesGen = Gen.nonEmptyListOf(Gen.choose(1L, 40L))
+    check(Prop.forAll(sizesGen, Gen.choose(20L, 100L)) { (sizes, cap) =>
+      val docs = sizes.zipWithIndex.map { case (nb, i) =>
+        ShardDoc("s", t0, i.toLong, math.min(nb, cap)) // no doc above cap
+      }
+      val (_, assigns) = ShardFillStream.foldGroup(None, docs, cap)
+      val byFile = assigns.groupBy(_.file_idx)
+      val fileIds = byFile.keys.toSeq.sorted
+      // files are consecutive from 0; every file within cap; and greedy:
+      // a file's first doc would have overflowed the previous file
+      fileIds == (0L until fileIds.length.toLong) &&
+        byFile.values.forall(_.map(_.n_bytes).sum <= cap) &&
+        fileIds.tail.forall { fi =>
+          val firstNb = byFile(fi).minBy(_.doc_id).n_bytes
+          byFile(fi - 1).map(_.n_bytes).sum + firstNb > cap
+        }
+    })
+  }
+
+  test("shard foldGroup: state carry equals one concatenated fold (re-batching invariance)") {
+    import graft.streaming.{ShardDoc, ShardFillStream, ShardState}
+    val t0 = new java.sql.Timestamp(0L)
+    val sizesGen = Gen.nonEmptyListOf(Gen.choose(1L, 40L))
+    check(Prop.forAll(sizesGen, Gen.choose(2, 6), Gen.choose(40L, 100L)) {
+      (sizes, nB, cap) =>
+        val docs = sizes.zipWithIndex.map { case (nb, i) =>
+          ShardDoc("s", t0, i.toLong, nb)
+        }
+        val (stA, oneShot) = ShardFillStream.foldGroup(None, docs, cap)
+        var st: Option[ShardState] = None
+        val chunked = docs.grouped(math.max(1, docs.length / nB)).flatMap { c =>
+          val (st2, out) = ShardFillStream.foldGroup(st, c, cap)
+          st = st2
+          out
+        }.toSeq
+        st == stA && chunked == oneShot
+    })
+  }
 }
