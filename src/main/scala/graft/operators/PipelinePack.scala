@@ -64,7 +64,22 @@ object PipelinePack {
     * [[connectedComponents]]: cheap propagation for the shallow common
     * case, log-round star contraction when the graph turns out deep. */
   def dupClusterLabels(s: SparkSession, d: String): DataFrame =
-    connectedComponents(TextPack.pairsDf(s, d).select(col("i"), col("j")))
+    ccMemo.get(s, d) {
+      connectedComponents(TextPack.pairsDf(s, d).select(col("i"), col("j")))
+        .localCheckpoint()
+    }
+
+  /** The CC labeling is a per-corpus BUILD artifact (an eager multi-round
+    * fixpoint) shared by q44/q137/q142 and the q161-q164 decisions — run
+    * once per (session, dir) and collapsed to one materialized LogicalRDD,
+    * the TextPack.bpeChain pattern ([[SessionMemo]]'s immutable-testdata
+    * staleness contract; [[invalidateDupLabels]] clears). */
+  private val ccMemo = new SessionMemo[DataFrame]
+
+  /** Drop memoized dup-cluster labels (data changed mid-session); stopped
+    * sessions are cleaned automatically. */
+  def invalidateDupLabels(s: SparkSession, dir: Option[String] = None): Unit =
+    ccMemo.invalidate(s, dir)
 
   /** Adaptive connected components: min-label propagation with a small
     * round budget first (real dup graphs are near-cliques — it converges

@@ -107,4 +107,15 @@ class GraphPackSpec extends GraftSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == expected)
   }
+
+  test("resolvedChains is memoized per (session, dir) and invalidation rebuilds identically") {
+    val a = GraphPack.resolvedChains(spark, sf)
+    assert(GraphPack.resolvedChains(spark, sf) eq a,
+      "second call must hit the memo, not re-run the fixpoint")
+    GraphPack.invalidateChains(spark, Some(sf))
+    val b = GraphPack.resolvedChains(spark, sf)
+    assert(!(b eq a), "invalidate must force a rebuild")
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "rebuilt chain must carry identical rows")
+  }
 }

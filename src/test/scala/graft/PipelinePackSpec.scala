@@ -329,4 +329,15 @@ class PipelinePackSpec extends GraftSuite {
     assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
       "every near-dup pair lands in exactly one source cell")
   }
+
+  test("dupClusterLabels is memoized per (session, dir) and invalidation rebuilds identically") {
+    val a = PipelinePack.dupClusterLabels(spark, sf)
+    assert(PipelinePack.dupClusterLabels(spark, sf) eq a,
+      "second call must hit the memo, not re-run the CC fixpoint")
+    PipelinePack.invalidateDupLabels(spark, Some(sf))
+    val b = PipelinePack.dupClusterLabels(spark, sf)
+    assert(!(b eq a), "invalidate must force a rebuild")
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "rebuilt labeling must carry identical rows")
+  }
 }
