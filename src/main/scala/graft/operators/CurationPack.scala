@@ -167,6 +167,22 @@ object CurationPack {
     trainPerceptronFrom(feat, feat.sparkSession.range(1).select(
       (0 until nx).map(j => lit(0L).as(s"w$j")): _*), nx, epochs)
 
+  /** The (s, d)-corpus quality perceptron q114/q117/q153 all score with:
+    * trained once per session per corpus (the epoch fold re-ran inside
+    * every consumer's plan otherwise — epochs × full-pass re-aggregation
+    * per invocation) and collapsed to a materialized 1-row weight
+    * relation; bpeChain's [[SessionMemo]] pattern and staleness contract
+    * ([[invalidatePerceptron]] clears). */
+  private val pctMemo = new SessionMemo[DataFrame]
+  private def trainedQualityPerceptron(s: SparkSession, d: String): DataFrame =
+    pctMemo.get(s, d) {
+      trainPerceptron(pctFeatures(s, d), 4, PCT_EPOCHS).localCheckpoint()
+    }
+
+  /** Drop memoized perceptron weights (data changed mid-session). */
+  def invalidatePerceptron(s: SparkSession, dir: Option[String] = None): Unit =
+    pctMemo.invalidate(s, dir)
+
   /** [[trainPerceptron]] seeded with an existing 1-row weight relation —
     * the continuation form the online/mini-batch path builds on: each new
     * slice of data trains `epochs` more epochs on top of the carried
@@ -544,7 +560,7 @@ object CurationPack {
     // relation); each scan partial-aggregates map-side to 4 sums.
     "q114_perceptron" -> ((s, d) => {
       val feat = pctFeatures(s, d)
-      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      val wT = trainedQualityPerceptron(s, d)
       feat.crossJoin(broadcast(wT))
         .select(col("doc_id"), col("y"),
           perceptronScore(4).cast("long").as("score"))
@@ -564,7 +580,7 @@ object CurationPack {
     // capability: train (q114) → score → AUC against held-out labels.
     "q117_auc" -> ((s, d) => {
       val feat = pctFeatures(s, d)
-      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      val wT = trainedQualityPerceptron(s, d)
       val hist = feat.crossJoin(broadcast(wT))
         .select(col("y"), perceptronScore(4).cast("long").as("s"))
         .groupBy(col("s")).agg(
@@ -685,7 +701,7 @@ object CurationPack {
     // histogram-sized.
     "q153_reliability" -> ((s, d) => {
       val feat = pctFeatures(s, d)
-      val wT = trainPerceptron(feat, 4, PCT_EPOCHS)
+      val wT = trainedQualityPerceptron(s, d)
       val hist = feat.crossJoin(broadcast(wT))
         .select(col("y"), perceptronScore(4).cast("long").as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("n"),

@@ -312,6 +312,11 @@ object GraphPack {
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).cache()
+    // `o` is cached PRE-PARTITIONED on the wedge apex (pageRank's trick):
+    // the wedge self-join keys on u, so both sides reuse the cached hash
+    // layout instead of re-exchanging the oriented edge list per scan
+    // (2 exchanges saved; the closing-edge probe re-keys on (v, w), which
+    // no single layout can also serve)
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     // oriented edge (u → v) with v's degree carried for wedge ordering
@@ -321,7 +326,7 @@ object GraphPack {
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"),
         when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
-      .cache()
+      .repartition(col("u")).cache()
     val wedges = o.as("e1").join(o.as("e2"), Seq("u"))
       .filter(col("e1.dv") < col("e2.dv") ||
         (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))

@@ -232,7 +232,18 @@ object PipelinePack {
     * once per corpus snapshot and probed by every retrieval query (q90,
     * and any caller scoring against the corpus) — at cluster scale a
     * materialized table bucketed by `tok`, like TextPack's shingle index. */
-  private[operators] def bm25Index(s: SparkSession, d: String): DataFrame = {
+  private[operators] def bm25Index(s: SparkSession, d: String): DataFrame =
+    // memoized + lineage-truncated (ccMemo's pattern): the index is a
+    // per-corpus build artifact probed by every retrieval query
+    bm25Memo.get(s, d) { buildBm25Index(s, d) }
+
+  private val bm25Memo = new SessionMemo[DataFrame]
+
+  /** Drop the memoized BM25 index (data changed mid-session). */
+  def invalidateBm25(s: SparkSession, dir: Option[String] = None): Unit =
+    bm25Memo.invalidate(s, dir)
+
+  private def buildBm25Index(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -254,7 +265,11 @@ object PipelinePack {
       .withColumn("c_micro",
         floor(col("idf") * col("tfp") * lit(1000000.0)).cast("long"))
       .select(col("tok"), col("doc_id"), col("c_micro"))
-      .cache()
+      // localCheckpoint truncates the lineage (one tiny plan for every
+      // consumer); the cache() on top restores ACCURATE size statistics —
+      // a bare LogicalRDD defaults to a huge sizeInBytes and downstream
+      // planners stop broadcasting the index's derivatives
+      .localCheckpoint().cache()
   }
 
   val queries: Map[String, Q] = Map(

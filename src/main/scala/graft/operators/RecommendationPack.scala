@@ -260,7 +260,22 @@ object RecommendationPack {
     * the policy knob mirroring the reference's candidate limit,
     * AsyncCandidateUsersLookupFunction:44.)
     */
-  private def scored(s: SparkSession, d: String): DataFrame = {
+  private def scored(s: SparkSession, d: String): DataFrame =
+    scoredMemo.get(s, d) { buildScored(s, d) }
+
+  /** The scored relation is a per-corpus BUILD artifact shared by q53/q54
+    * (the persisted scored-candidate table of the reference's pipeline):
+    * memoized and lineage-truncated like TextPack.bpeChain — a plain
+    * .cache() still re-analyzes + canonicalizes the whole LSH lineage on
+    * every invocation (~1 s/call of driver time at sf0.1), which the memo
+    * removes; [[SessionMemo]]'s immutable-testdata staleness contract. */
+  private val scoredMemo = new SessionMemo[DataFrame]
+
+  /** Drop memoized scored candidates (data changed mid-session). */
+  def invalidateScored(s: SparkSession, dir: Option[String] = None): Unit =
+    scoredMemo.invalidate(s, dir)
+
+  private def buildScored(s: SparkSession, d: String): DataFrame = {
     val sg = sig(s, d).cache()
     // class id = smallest member user id per distinct signature
     val userCls = sg.select(col("user_id"), mh.sigArray.as("sig"))
@@ -284,10 +299,10 @@ object RecommendationPack {
       .withColumn("est_sim", round(mh.estSim("sig_u", "sig_c"), 4))
       .filter(col("est_sim") >= MIN_SIM)
       .select(col("ucls"), col("ccls"), col("est_sim"))
-    // expand class pairs to user pairs; J6 exclude known. Cached: q53 and
-    // q54 rank the SAME scored relation (q54 adds the activity filter) —
-    // the persisted scored-candidate table of the reference's pipeline.
-    expandClassPairs(clsSims, userCls, CLASS_MEMBER_CAP).cache()
+    // expand class pairs to user pairs; J6 exclude known. Materialized
+    // once (see scoredMemo): q53 and q54 rank the SAME scored relation
+    // (q54 adds the activity filter).
+    expandClassPairs(clsSims, userCls, CLASS_MEMBER_CAP).localCheckpoint()
   }
 
   /** Class pairs → user pairs through policy-capped member lists.

@@ -464,10 +464,17 @@ object RelationalPack {
       val custs = Tables.customer(s, d)
         .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      // the cust-nation filter lands on ORDERS before the orderkey join:
+      // both fact-shuffle sides are now dimension-pre-filtered (~2/|nations|
+      // each), not just lineitem — same rows out, ~6x fewer bytes through
+      // the one big exchange (and a small-enough orders side for AQE to
+      // broadcast at bench SFs)
+      val ordersF = Tables.orders(s, d)
+        .join(broadcast(custs), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
       Tables.lineitem(s, d)
         .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(custs), col("o_custkey") === col("c_custkey"))
+        .join(ordersF, col("l_orderkey") === col("o_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))

@@ -211,18 +211,35 @@ object TextPack {
     * (Jaccard q31, containment q69). Cached so the expensive join is paid
     * once per session; at cluster scale this is the persisted candidate-
     * pair table every dedup pass downstream reads. */
-  private[operators] def pairBase(s: SparkSession, d: String): DataFrame = {
-    val shx = cappedShingleRows(s, d)
-    val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    shx.as("a")
-      .join(shx.as("b"), col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("shared"))
-      .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-      .cache()
-  }
+  private[operators] def pairBase(s: SparkSession, d: String): DataFrame =
+    // memoized + lineage-truncated (bpeChain's pattern): a plain .cache()
+    // still re-analyzes and canonicalizes the inverted-index lineage on
+    // every call, and MANY queries compose this relation. The hot-shingle
+    // cap changes the relation's contents, so it is part of the key (the
+    // BenchOne SPARK_GRAFT_CONF knob and the cap specs flip it in-session).
+    pairMemo.get(s, s"$d|cap=${dfCap(s).getOrElse(-1L)}") {
+      val shx = cappedShingleRows(s, d)
+      val counts = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      shx.as("a")
+        .join(shx.as("b"), col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .localCheckpoint()
+    }
+
+  /** Memo for the three shared pair relations ([[pairBase]],
+    * [[minhashNearDupPairs]], [[simhashNearDupPairs]]) — the persisted
+    * candidate-pair tables of a cluster deployment, built once per
+    * session per corpus ([[SessionMemo]]'s immutable-testdata staleness
+    * contract; [[invalidatePairs]] clears). */
+  private val pairMemo = new SessionMemo[DataFrame]
+
+  /** Drop every memoized pair relation of the session (data changed
+    * mid-session); stopped sessions are cleaned automatically. */
+  def invalidatePairs(s: SparkSession): Unit = pairMemo.invalidate(s)
 
   /** q31's near-dup pair relation (i, j, shared, jac) — a cheap scoring
     * projection over [[pairBase]]; also the edge input of q28's clustering
@@ -330,7 +347,12 @@ object TextPack {
     * candidates = docs sharing any band bucket, then exact-Jaccard
     * verification of candidates only (MMDS ch.3; reference seed:
     * RecommendationUtils.scala:40-49 + LoadStaticDataJob.scala:92-105). */
-  private[operators] def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashNearDupPairs(s: SparkSession, d: String): DataFrame =
+    // memoized like pairBase (no cap dependency: candidates come from the
+    // signature table, verification from raw shingle sets)
+    pairMemo.get(s, s"$d|minhash") { buildMinhashNearDupPairs(s, d) }
+
+  private def buildMinhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sig = sigDf(s, d).cache()
     val bandCols = (0 until BANDS).map(j =>
       concat_ws("-", (0 until ROWS).map(r => col(s"m${j * ROWS + r}")): _*))
@@ -357,9 +379,9 @@ object TextPack {
         / size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jac") >= JACC_T)
       .select(col("i"), col("j"), col("est_sim"), col("jac"))
-      // cached like pairBase: q32 and q112's funnel share the one
+      // materialized once (pairMemo): q32 and q112's funnel share the one
       // LSH-candidate + verify join (near-dup pairs are corpus-small)
-      .cache()
+      .localCheckpoint()
   }
 
   /** SimHash: 48-bit per-doc sketch over distinct tokens — bit b is the
@@ -392,18 +414,24 @@ object TextPack {
     * measured 3.4× SLOWER at sf0.1, so the scan stays. At 100 TB the
     * choice is data-dependent; both are exact, pick by a bucket-size
     * histogram. */
-  private[operators] def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def simhashNearDupPairs(s: SparkSession, d: String): DataFrame =
+    pairMemo.get(s, s"$d|simhash") { buildSimhashNearDupPairs(s, d) }
+
+  private def buildSimhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
     // cache: both self-join sides read the sketch table instead of
     // re-deriving it from raw text (64 bits/doc — trivially resident)
     val sh = simhashSketch(s, d).cache()
-    // repartition: BNLJ parallelism = streamed-side partitions (see q41)
-    sh.repartition(32).as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // repartition: BNLJ parallelism = streamed-side partitions (see q41);
+    // defaultParallelism, not a constant — scale-adaptive like q41's
+    sh.repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      .as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
       .filter(col("hamming") <= 8)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
-      // cached: q34 and q112's funnel share the one n² sketch scan — the
-      // in-memory stand-in for the persisted pair table a cluster keeps
-      .cache()
+      // materialized once (pairMemo): q34 and q112's funnel share the one
+      // n² sketch scan — the in-memory stand-in for the persisted pair
+      // table a cluster keeps
+      .localCheckpoint()
   }
 
   val queries: Map[String, Q] = Map(
