@@ -731,15 +731,32 @@ object CurationPack {
     // end-to-end through the same composition. Scale: three doc_id-keyed
     // joins over per-doc relations — with all passes written over a
     // doc_id-bucketed corpus table they co-locate shuffle-free.
+    // Fused single-scan form (§optimization r11): the q36 quality and
+    // q57 bigram measures are pure per-doc MAPS sharing one token
+    // projection, and q30's fingerprint is a per-doc hash — so ONE
+    // documents scan carries lang + fp + quality + dup_bigram_ratio, the
+    // exact-dup flag is the fp-window over that same scan, and only
+    // max_tok (genuinely needing the token explode) joins in. Same
+    // composed values by construction — the shared column expressions
+    // ARE q36's/q57's (TextPack.qualityExprs, dupBigramRatioExpr) — and
+    // the oracle still re-derives the verdict from the composed passes'
+    // own SQL. 3 corpus passes + 3 doc_id joins → 2 passes + 1 join.
     "q119_curation_verdict" -> ((s, d) => {
-      val dup = TextPack.queries("q30_dedup_exact")(s, d)
-        .select(col("doc_id"), col("is_dup"))
-      val rep = queries("q57_repetition_filter")(s, d)
-        .select(col("doc_id"), col("kept").as("rep_kept"))
-      val qual = TextPack.queries("q36_quality_score")(s, d)
-        .select(col("doc_id"), col("quality"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(dup, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"), toks.as("t"))
+        .select(Seq(col("doc_id"), col("lang"), col("fp"),
+          dupBigramRatioExpr(col("t")).as("dup_bigram_ratio"))
+          ++ TextPack.qualityExprs(col("t")): _*)
+        .withColumn("is_dup", col("doc_id") =!=
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      val maxTok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+      base.join(maxTok, "doc_id")
+        .withColumn("rep_kept",
+          round(col("max_tok").cast("double") / col("n_tokens"), 4) <= TOP_TOK_T
+            && col("dup_bigram_ratio") <= DUP_BG_T)
         .withColumn("reason", c4Reason(col("lang"), col("is_dup"),
           col("rep_kept"), col("quality")))
         .withColumn("keep", col("reason") === "keep")
@@ -823,31 +840,35 @@ object CurationPack {
     * aggregation (no cross-doc state), shared verbatim by the streaming
     * curation verdict ([[graft.streaming.CurateStream]]): an arriving
     * doc's repetition stats are byte-identical to its batch ones. */
+  /** q57's duplicated-bigram measures as COLUMN expressions over a
+    * pre-projected token-array column (t must be a plain attribute: HOFs
+    * are CodegenFallback, so an inlined `toks` would re-split the doc per
+    * element, O(n²)) — shared verbatim by [[repetitionOf]] and q119's
+    * fused single-scan verdict. A single-token doc has no bigrams: its
+    * duplicated-bigram mass is 0 by definition (not NULL/÷0). */
+  private[graft] def dupBigramRatioExpr(t: Column): Column = {
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val n = size(bg).cast("long")
+    val dn = size(array_distinct(bg)).cast("long")
+    when(n === 0, 0.0)
+      .otherwise(round(lit(1.0) - dn.cast("double") / n, 4))
+  }
+
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     val tc = docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
-    // t is pre-projected: HOFs are CodegenFallback, so a `toks` inlined
-    // into the lambda body would re-split the doc per element (O(n²))
-    val bigrams = when(size(col("t")) >= 2,
-      transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", slice(col("t"), i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
     val bc = docs
       .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), bigrams.as("bg"))
-      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("d_bigrams"))
+      .select(col("doc_id"), dupBigramRatioExpr(col("t")).as("dup_bigram_ratio"))
     tc.join(bc, "doc_id")
       .withColumn("top_tok_ratio",
         round(col("max_tok").cast("double") / col("n_tokens"), 4))
-      // a single-token doc has no bigrams: its duplicated-bigram mass is
-      // 0 by definition (not NULL/÷0) — keeps the operator total
-      .withColumn("dup_bigram_ratio",
-        when(col("n_bigrams") === 0, 0.0).otherwise(
-          round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 4)))
       .withColumn("kept",
         col("top_tok_ratio") <= TOP_TOK_T && col("dup_bigram_ratio") <= DUP_BG_T)
       .select(col("doc_id"), col("n_tokens"), col("max_tok"),

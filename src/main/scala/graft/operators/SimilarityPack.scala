@@ -194,7 +194,29 @@ object SimilarityPack {
     * measured against. Query set = [[annPanel]] (bounded), broadcast against the
     * corpus; rank by round(cos, 6) with vec_id tiebreak for cross-engine
     * determinism. */
-  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+  private def bruteTopK(s: SparkSession, d: String): DataFrame =
+    annMemo.get(s, s"$d|brute") { buildBruteTopK(s, d).localCheckpoint() }
+
+  /** The three per-corpus top-k search results and the IVF cell
+    * assignment are BUILD artifacts shared across the ANN family (q40/
+    * q42/q43 expose them; q111 composes all three, q126 re-ranks the LSH
+    * one, q78/q166 reuse the cell assignment) — built once per (session,
+    * dir) and lineage-truncated, the bpeChain [[SessionMemo]] pattern
+    * and staleness contract ([[invalidateAnn]] clears). */
+  private val annMemo = new SessionMemo[DataFrame]
+
+  /** Drop memoized ANN search/assignment relations (data changed
+    * mid-session); stopped sessions are cleaned automatically. */
+  def invalidateAnn(s: SparkSession): Unit = annMemo.invalidate(s)
+
+  /** Test probe: the brute top-k WITHOUT the memo's lineage truncation,
+    * so SimilarityPackSpec can assert the build's plan shape (query-side
+    * broadcast, corpus never shuffled) that q40's own executed plan no
+    * longer shows — bpeProbeRound1's pattern. */
+  private[graft] def bruteTopKProbe(s: SparkSession, d: String): DataFrame =
+    buildBruteTopK(s, d)
+
+  private def buildBruteTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(annPanel(col("vec_id")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
@@ -212,7 +234,10 @@ object SimilarityPack {
     * candidates for a query = vectors sharing any table bucket; exact
     * cosine + top-k within candidates only. Sub-quadratic: n² collapses to
     * Σ bucket². */
-  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+  private def lshTopK(s: SparkSession, d: String): DataFrame =
+    annMemo.get(s, s"$d|lsh") { buildLshTopK(s, d).localCheckpoint() }
+
+  private def buildLshTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val sigs = e.select(col("vec_id") +: col("v") +: col("norm") +:
       (0 until TABLES).map(t => sigCol(t).as(s"sig$t")): _*)
@@ -239,7 +264,10 @@ object SimilarityPack {
     * argmin over centroid literals (one narrow pass), queries probe the
     * NPROBE nearest cells, exact cosine top-k within probed cells only.
     * Search cost: n/IVF_CELLS * NPROBE candidates per query instead of n. */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  private def ivfTopK(s: SparkSession, d: String): DataFrame =
+    annMemo.get(s, s"$d|ivf") { buildIvfTopK(s, d).localCheckpoint() }
+
+  private def buildIvfTopK(s: SparkSession, d: String): DataFrame = {
     val cents = ivfCentroids(s, d)
     val assigned = assignedCells(s, d)
     // queries probe their NPROBE nearest cells
@@ -689,7 +717,10 @@ object SimilarityPack {
   /** Every vector assigned to its nearest trained cell by a codegen'd
     * argmin over centroid literals — one narrow pass, shared by the IVF
     * search (q43) and semantic dedup (q78). */
-  private def assignedCells(s: SparkSession, d: String): DataFrame = {
+  private def assignedCells(s: SparkSession, d: String): DataFrame =
+    annMemo.get(s, s"$d|cells") { buildAssignedCells(s, d).localCheckpoint() }
+
+  private def buildAssignedCells(s: SparkSession, d: String): DataFrame = {
     val cents = ivfCentroids(s, d)
     val scores = cents.zipWithIndex.map { case (c, i) => cellScore(c).as(s"cs$i") }
     val minScore = least((0 until IVF_CELLS).map(i => col(s"cs$i")): _*)

@@ -178,6 +178,24 @@ object TextPack {
   private[operators] def qualityCore(s: SparkSession, d: String): DataFrame =
     qualityCoreOf(Tables.documents(s, d))
 
+  /** q36's five quality measures as COLUMN expressions over a
+    * pre-projected token-array column — the one place the formulas live,
+    * consumed by [[qualityCoreOf]] and by q119's fused single-scan
+    * verdict (identical values by construction: the same expressions,
+    * only the surrounding projection differs). */
+  private[graft] def qualityExprs(t: Column): Seq[Column] = {
+    val nTok = size(t)
+    val nDis = size(array_distinct(t))
+    val ttr = round(nDis.cast("double") / nTok, 4)
+    val stop = round(
+      size(filter(t, w => w.isin("the", "a", "value"))).cast("double") / nTok, 4)
+    val q = round(
+      lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stop)
+        + lit(0.3) * least(lit(1.0), nTok.cast("double") / 100.0), 4)
+    Seq(nTok.as("n_tokens"), nDis.as("n_distinct"), ttr.as("ttr"),
+      stop.as("stop_ratio"), q.as("quality"))
+  }
+
   /** [[qualityCore]] over an arbitrary documents frame — a pure per-doc
     * map (no cross-doc state), which is what lets the streaming curation
     * verdict ([[graft.streaming.CurateStream]]) score arriving docs with
@@ -185,17 +203,7 @@ object TextPack {
   private[graft] def qualityCoreOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks.as("t"))
-      .withColumn("n_tokens", size(col("t")))
-      .withColumn("n_distinct", size(array_distinct(col("t"))))
-      .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
-      .withColumn("stop_ratio", round(
-        expr("size(filter(t, w -> w IN ('the', 'a', 'value')))").cast("double")
-          / col("n_tokens"), 4))
-      .withColumn("quality", round(
-        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        col("ttr"), col("stop_ratio"), col("quality"))
+      .select(col("doc_id") +: qualityExprs(col("t")): _*)
 
   /** Distinct W-token shingles of a pre-projected token-array attribute
     * ([[graft.functions.TextLsh.shinglesOf]] — see its codegen note). */

@@ -189,7 +189,9 @@ class SimilarityPackSpec extends GraftSuite {
   }
 
   test("q40 plan broadcasts the query side (no shuffle of the corpus)") {
-    val plan = SimilarityPack.queries("q40_cosine_topk")(spark, sf)
+    // the probe form: q40's own plan is a memoized-RDD scan (annMemo), so
+    // the broadcast shape is asserted on the BUILD — bpeProbeRound1's style
+    val plan = SimilarityPack.bruteTopKProbe(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
   }
