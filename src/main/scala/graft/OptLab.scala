@@ -48,6 +48,38 @@ object OptLab {
             col("event_type"), col("n"))),
       "q21_v4_orderby" -> ((s: SparkSession, d: String) =>
         q21body(s, d).orderBy(col("wstart"), col("user_id"))),
+      "q21_v6_upart" -> ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(expr("(unix_timestamp(ts) div 1800) * 1800").as("b0"),
+            col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .repartition(col("user_id"))
+          .select(col("b0"), col("user_id"), col("event_type"), col("n"),
+            explode(sequence(lit(0), lit(23))).as("k"))
+          .select((col("b0") - col("k") * 1800).as("wstart"), col("user_id"),
+            col("event_type"), col("n"))
+          .groupBy(col("wstart"), col("user_id"), col("event_type"))
+          .agg(sum(col("n")).as("n"))
+          .groupBy(col("wstart"), col("user_id"))
+          .agg(
+            sum(col("n")).as("n_events"),
+            sum(when(col("event_type") === "purchase", col("n")).otherwise(0L)).as("n_purchase"),
+            sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("n_click"),
+            count(lit(1)).as("n_types"))
+          .orderBy(col("wstart"), col("user_id"))),
+      "q61_v2_upart" -> ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .repartition(col("user_id"))
+          .groupBy(window(col("ts"), "12 hours", "1 hour").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("frequency"))
+          .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("frequency"))
+          .orderBy(col("wstart"), col("user_id"))),
+      "q61_v1_current" -> ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "12 hours", "1 hour").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("frequency"))
+          .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("frequency"))
+          .orderBy(col("wstart"), col("user_id"))),
       "q21_v5_rangepart" -> ((s: SparkSession, d: String) =>
         Tables.events(s, d)
           .groupBy(expr("(unix_timestamp(ts) div 1800) * 1800").as("b0"),

@@ -744,8 +744,10 @@ object CurationPack {
     "q119_curation_verdict" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"), toks.as("t"))
+        .select(col("doc_id"), col("lang"), col("fp"), col("t"),
+          bigramsExpr(col("t")).as("bg"))
         .select(Seq(col("doc_id"), col("lang"), col("fp"),
-          dupBigramRatioExpr(col("t")).as("dup_bigram_ratio"))
+          dupBigramRatioOf(col("bg")).as("dup_bigram_ratio"))
           ++ TextPack.qualityExprs(col("t")): _*)
         .withColumn("is_dup", col("doc_id") =!=
           min(col("doc_id")).over(Window.partitionBy(col("fp"))))
@@ -846,11 +848,18 @@ object CurationPack {
     * element, O(n²)) — shared verbatim by [[repetitionOf]] and q119's
     * fused single-scan verdict. A single-token doc has no bigrams: its
     * duplicated-bigram mass is 0 by definition (not NULL/÷0). */
-  private[graft] def dupBigramRatioExpr(t: Column): Column = {
-    val bg = when(size(t) >= 2,
+  /** The bigram array itself — materialize it as a COLUMN before feeding
+    * [[dupBigramRatioOf]]: HOF transforms are CodegenFallback and not
+    * CSE'd, so inlining this expression into the three ratio references
+    * would rebuild the array up to 3× per row. */
+  private[graft] def bigramsExpr(t: Column): Column =
+    when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", slice(t, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Duplicated-bigram mass over a pre-materialized bigram-array column. */
+  private[graft] def dupBigramRatioOf(bg: Column): Column = {
     val n = size(bg).cast("long")
     val dn = size(array_distinct(bg)).cast("long")
     when(n === 0, 0.0)
@@ -865,7 +874,8 @@ object CurationPack {
       .agg(sum(col("c")).cast("long").as("n_tokens"), max(col("c")).as("max_tok"))
     val bc = docs
       .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), dupBigramRatioExpr(col("t")).as("dup_bigram_ratio"))
+      .select(col("doc_id"), bigramsExpr(col("t")).as("bg"))
+      .select(col("doc_id"), dupBigramRatioOf(col("bg")).as("dup_bigram_ratio"))
     tc.join(bc, "doc_id")
       .withColumn("top_tok_ratio",
         round(col("max_tok").cast("double") / col("n_tokens"), 4))

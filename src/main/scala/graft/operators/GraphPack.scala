@@ -309,6 +309,9 @@ object GraphPack {
     * should `spark.catalog.clearCache()` (or unpersist by plan) between
     * inputs. */
   def triangleStats(und: DataFrame): DataFrame = {
+    // deg arrives hash-partitioned on n from its own aggregation; caching
+    // that layout lets the final deg ⋈ perNode join (keyed n) skip its
+    // deg-side exchange on every scan
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).cache()
