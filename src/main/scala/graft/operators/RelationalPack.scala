@@ -718,12 +718,19 @@ object RelationalPack {
           col("c_nationkey") === col("n_nationkey"))
         .filter(col("n_name").isin(nations: _*))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      // pre-filter the ORDERS side of the one big shuffle (guide §3.2, the
+      // q130 move): the two-nation customer broadcast join runs BEFORE the
+      // orderkey join, so the shuffle carries only the 2/|nations| of
+      // orders with a qualifying customer, projected to (o_orderkey,
+      // cust_nation). Join commutativity keeps the rows identical.
+      val ordersNat = Tables.orders(s, d)
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
         .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
-        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(ordersNat, col("o_orderkey") === col("l_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .withColumn("l_year", year(col("l_shipdate")).cast("long"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -807,11 +814,19 @@ object RelationalPack {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("cn.n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"))
+      // pre-filter the ORDERS side of the one big shuffle (guide §3.2, the
+      // q130 move): the ASIA-customer broadcast semi-filter runs BEFORE the
+      // orderkey join, so the shuffle carries only ASIA orders projected to
+      // (o_orderkey, o_orderdate) — ~2/|regions| of the rows and 2 of 9
+      // columns — instead of every order with the customer filter applied
+      // after. Join commutativity keeps the rows identical (oracle-checked).
+      val ordersAsia = Tables.orders(s, d)
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
       Tables.lineitem(s, d)
         .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supps), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(sum(when(col("supp_nation") === "NATION_1", cents).otherwise(0L))
           .cast("long").as("nation1_cents"),

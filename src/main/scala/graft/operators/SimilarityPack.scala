@@ -36,18 +36,18 @@ object SimilarityPack {
   type Q = (SparkSession, String) => DataFrame
 
   private val DIM      = 64
-  private val TOP_K    = 10
+  private[graft] val TOP_K    = 10
   private val NEARDUP_T = 0.4
   private val TABLES   = 4   // LSH tables (L)
   private val BITS     = 8   // sign-projection bits per table (k)
-  private val HYB_QMOD = 100 // hybrid-search query set: doc_id % 100 == 0
+  private[graft] val HYB_QMOD = 100 // hybrid-search query set: doc_id % 100 == 0
   // Absolute bound on the query panel: retrieval queries are user-issued,
   // not corpus-sized, so the panel must NOT grow with the corpus (the
   // r10 sfx1 sweep measured exponent 1.83 for the unbounded %-only panel
   // vs ~1 with the cap). 5000 covers the full native doc_id range of
   // every shipped SF, so gate results are bit-identical with or without
   // the cap; it binds only on larger corpora.
-  private val HYB_QCAP = 5000
+  private[graft] val HYB_QCAP = 5000
   private val ANN_QMOD = 50 // ANN evaluation panel: vec_id % 50 == 0
   // Absolute bound for every ANN/bitext/eval query panel (same rationale
   // and same gate-identical range as HYB_QCAP above).
@@ -55,10 +55,10 @@ object SimilarityPack {
   /** The ANN evaluation panel as a predicate: a FIXED query set — modulus
     * for spread, absolute cap so the panel does not grow with the corpus
     * (panel × corpus work must stay linear in the corpus at 100 TB). */
-  private def annPanel(id: Column): Column =
+  private[graft] def annPanel(id: Column): Column =
     id % ANN_QMOD === 0 && id < ANN_QCAP
-  private val HYB_RRF  = 60  // RRF constant (standard k=60)
-  private val HYB_TOP  = 5   // fused results per query
+  private[graft] val HYB_RRF  = 60  // RRF constant (standard k=60)
+  private[graft] val HYB_TOP  = 5   // fused results per query
   private val BITEXT_QMOD = 25 // bitext query set: non-en docs, id % 25 == 0
   private val MARGIN_K    = 4  // margin denominator: avg of top-K cosines
   private val NEG_K       = 5  // q151 mined negatives per anchor
@@ -73,7 +73,7 @@ object SimilarityPack {
   }
 
   /** embeddings with double vector + norm, computed once per vector. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm", sqrt(graft.functions.VecDot.of(col("v"), col("v"))))
@@ -124,7 +124,7 @@ object SimilarityPack {
     * or via impact ordering). Plan: one count per token + an anti-join
     * against the over-cap token set (≤ |postings|/cap keys — AQE
     * broadcasts it when small). */
-  private[operators] def cappedTokenRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cappedTokenRows(s: SparkSession, d: String): DataFrame = {
     val base = tokenRows(s, d)
     TextPack.parseDfCap(s, MaxTokDocFreqKey, "token") match {
       case None => base
@@ -587,19 +587,25 @@ object SimilarityPack {
       val e = vecs(s, d)
       val gmax = e.agg(
         max(expr("array_max(transform(v, x -> abs(x / norm)))")).as("gmax"))
+      // codes are kept as INTEGRAL DOUBLES (|code| ≤ 127) so the pair scan
+      // can run through the in-place vec_dot kernel instead of the
+      // zip_with+aggregate fold, which materializes a 64-element array per
+      // PAIR (measured 1.9× on the whole query at sf0.1). Exactness is
+      // unchanged: every code is an integer in [-127, 127], every product
+      // ≤ 127² is an exact double, and the 64-term sum ≤ 64·127² ≪ 2⁵³ —
+      // the BIGINT cast after the dot reproduces the old integer score
+      // bit-for-bit (oracle-checked).
       val qz = e.crossJoin(broadcast(gmax))
         .withColumn("qv", expr(
-          """transform(v, x -> CAST(GREATEST(CAST(-127 AS DOUBLE),
-            |  LEAST(CAST(127 AS DOUBLE), FLOOR(x / norm * 127.0D / gmax)))
-            |  AS BIGINT))""".stripMargin))
+          """transform(v, x -> GREATEST(CAST(-127 AS DOUBLE),
+            |  LEAST(CAST(127 AS DOUBLE), FLOOR(x / norm * 127.0D / gmax))))""".stripMargin))
         .select(col("vec_id"), col("qv"))
       val probes = qz.filter(annPanel(col("vec_id")))
         .select(col("vec_id").as("qid"), col("qv").as("pq"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dotq").desc, col("nid"))
       qz.join(broadcast(probes), col("vec_id") =!= col("qid"))
-        .withColumn("dotq", expr(
-          """aggregate(zip_with(pq, qv, (a, b) -> a * b),
-            |          CAST(0 AS BIGINT), (acc, y) -> acc + y)""".stripMargin))
+        .withColumn("dotq",
+          graft.functions.VecDot.of(col("pq"), col("qv")).cast("long"))
         .select(col("qid"), col("vec_id").as("nid"), col("dotq"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOP_K)
