@@ -18,6 +18,28 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Gated scan parallelizer (guide §2.5 "input skew — one huge
+    * unsplittable file … repartition immediately after the read"). The
+    * testdata parquet is written as ONE row group per table, so byte-range
+    * splitting cannot parallelize the scan and all per-row map work
+    * (tokenize, shingle, hash, join probe) runs on a single core however
+    * many the machine has. When the planned scan has fewer partitions than
+    * the session's core count, round-robin it to defaultParallelism —
+    * a shuffle of the scan's (column-pruned) output, cheap at the sizes
+    * where the gate fires. When the input already plans >= cores
+    * partitions (many files / many row groups — the production case) the
+    * df is returned unchanged, so nothing here is tuned to local mode.
+    * The planned-partition probe runs once per (session, table), not once
+    * per query invocation. */
+  private val scanParts = new graft.operators.SessionMemo[Integer]
+  private[graft] def parallel(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    if (sys.env.contains("GRAFT_NOPAR")) return df // A/B kill switch (dev)
+    val n = scanParts.get(s, key)(Integer.valueOf(df.rdd.getNumPartitions))
+    if (n >= cores) df else df.repartition(cores)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -70,13 +70,20 @@ object GraphPack {
     // q115 at sf0.1). Build side = the rank relation: one (node, rank)
     // pair per node per partition — the per-partition build is |nodes| /
     // shuffle-partitions rows, the size AQE already bounds at scale.
+    // Escape hatch (r11 advice): under heavy dst-skew a hash build can
+    // exceed memory where SMJ would spill — `graft.pagerank.shj=false`
+    // restores SMJ without a code change.
+    val useShj = edges.sparkSession.conf
+      .get("graft.pagerank.shj", "true").toBoolean
+    def shj(df: DataFrame): DataFrame =
+      if (useShj) df.hint("shuffle_hash") else df
     (1 to iters).foldLeft(r0) { (r, _) =>
       val cin = ew.join(
-          r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+          shj(r.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr(s"($PR_DNUM * rank * w) div ($PR_DDEN * tw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).cast("long").as("cin"))
-      withN.join(cin.hint("shuffle_hash"), Seq("node"), "left")
+      withN.join(shj(cin), Seq("node"), "left")
         .select(col("node"),
           (expr(s"${(PR_DDEN - PR_DNUM) * PR_SCALE} div ($PR_DDEN * n_nodes)")
             + coalesce(col("cin"), lit(0L))).cast("long").as("rank"))

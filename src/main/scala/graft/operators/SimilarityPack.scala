@@ -598,7 +598,8 @@ object SimilarityPack {
       val qz = e.crossJoin(broadcast(gmax))
         .withColumn("qv", expr(
           """transform(v, x -> GREATEST(CAST(-127 AS DOUBLE),
-            |  LEAST(CAST(127 AS DOUBLE), FLOOR(x / norm * 127.0D / gmax))))""".stripMargin))
+            |  LEAST(CAST(127 AS DOUBLE),
+            |    CAST(FLOOR(x / norm * 127.0D / gmax) AS DOUBLE))))""".stripMargin))
         .select(col("vec_id"), col("qv"))
       val probes = qz.filter(annPanel(col("vec_id")))
         .select(col("vec_id").as("qid"), col("qv").as("pq"))
@@ -653,8 +654,14 @@ object SimilarityPack {
     // once on (qid, cid); both rank windows ride the same partitioning.
     "q89_hybrid_search" -> ((s, d) => {
       // the distinct-token posting relation is the lexical leg's index —
-      // cached like TextPack.shingleRows (at scale: a table bucketed by tok)
-      val dt = cappedTokenRows(s, d).cache()
+      // cached like TextPack.shingleRows (at scale: a table bucketed by
+      // tok), pre-partitioned on the posting key so the candidate probe
+      // runs with full parallelism (the raw scan is one row group → a bare
+      // .cache() would hold ONE partition and the probe would be
+      // single-core) and a non-broadcast plan of the tok join needs no
+      // exchange on either side (guide §2.4)
+      val dt = cappedTokenRows(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("tok")).cache()
       val shared = dt.filter(col("doc_id") % HYB_QMOD === 0
           && col("doc_id") < HYB_QCAP)
         .select(col("doc_id").as("qid"), col("tok")).as("q")

@@ -270,6 +270,15 @@ object TextPack {
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(shinglesOf(col("t"))).as("shingle"))
+      // cached PRE-PARTITIONED on the posting key (guide §2.4): every
+      // consumer joins or groups on `shingle` (pairBase's self-join, q105's
+      // batch×corpus posting join, q55's train-distinct + hit join), so the
+      // one exchange paid at build time replaces an exchange in each of
+      // them — and the cache holds shuffle-partitions-many slices instead
+      // of the single partition the one-row-group scan would leave it with
+      // (every consumer then reads it with full parallelism). At cluster
+      // scale this is the table bucketed by shingle.
+      .repartition(s.sparkContext.defaultParallelism, col("shingle"))
       .cache()
 
   /** Session conf knob for the hot-shingle document-frequency cap: a

